@@ -1,0 +1,61 @@
+"""Cross-engine-deterministic hashing primitives.
+
+Spark's ``hash()``/``xxhash64()`` and DuckDB's ``hash()`` use different
+algorithms, so every hashed operator (minhash, simhash, fingerprints,
+LSH) is built on md5 — available and bit-identical in both engines —
+making the DuckDB oracles exact.
+
+``h32(s) = int(md5(s)[0:8], 16)`` — an unsigned 32-bit value carried in
+a long. Spark: ``conv(substring(md5(s),1,8),16,10)``; DuckDB:
+``CAST('0x'||substr(md5(s),1,8) AS BIGINT)`` (verified identical).
+
+All pure Column expressions — JVM-side, codegen-friendly, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Modulus for rolling fingerprints: 2^31-1 keeps ``acc*31 + h32`` within
+#: a 64-bit long (2^31 * 31 + 2^32 < 2^37).
+FINGERPRINT_MOD = 2147483647
+
+
+def h32(col: Column | str) -> Column:
+    """Deterministic unsigned-32-bit hash of a string, as a long."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    """DuckDB SQL text computing the same ``h32`` value."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def salted_md5(salt: int, col: Column | str) -> Column:
+    """``md5('{salt}:' || s)`` — the i-th minhash hash function.
+
+    Min over lowercase fixed-width hex strings is the same total order
+    as min over the underlying 128-bit integers, so minhash can stay in
+    string space: no 64-bit overflow concerns, identical in DuckDB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(f"{salt}:"), c))
+
+
+def salted_md5_sql(salt: int, expr: str) -> str:
+    """DuckDB SQL twin of :func:`salted_md5`."""
+    return f"md5('{salt}:' || {expr})"
+
+
+def rolling_fingerprint(tokens: Column, mod: int = FINGERPRINT_MOD) -> Column:
+    """Order-sensitive rolling hash over a token array (doc fingerprint).
+
+    ``acc = (acc*31 + h32(token)) % mod`` folded left-to-right from 0.
+    DuckDB twin: ``list_reduce(list_prepend(0, hashes), (a,b)->(a*31+b)%mod)``.
+    """
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + h32(t)) % F.lit(mod),
+    )

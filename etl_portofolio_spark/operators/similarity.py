@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k**: queries × corpus with a window top-k.
+  Exact baseline; O(|Q|·|C|), viable when |Q| is small or as the
+  per-bucket kernel below.
+- **LSH-bucketed ANN**: random-hyperplane signatures (sign bits) →
+  candidates share a bucket → exact cosine on candidates only. The
+  100 TB scale path: the corpus shuffles once on the bucket key; no
+  cross join ever materializes.
+
+Dot products are computed with ``zip_with`` + left-to-right
+``aggregate`` folds over double-cast elements — sequential IEEE adds,
+so the DuckDB oracle (``list_reduce`` over the same order) is
+bit-identical. Hyperplanes are deterministic md5-derived ±1 matrices
+generated in Python (hashlib) and inlined as literals into BOTH the
+Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_HYPERPLANES = 8
+
+
+def _dvec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic IEEE order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplane_matrix(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign from md5(f"{plane}:{dim}").
+
+    Generated driver-side with hashlib (same md5 as both engines) and
+    inlined as literals, so Spark plan and oracle SQL share the exact
+    matrix without re-hashing per row.
+    """
+    mat = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 1 else -1)
+        mat.append(row)
+    return mat
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket id from the hyperplane matrix (long)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: tiny query set broadcast against the corpus.
+
+    The query side is broadcast (it is k rows), so the corpus never
+    shuffles; ranking is a window over the query id — partition count =
+    |Q|, each partition |C| rows; at scale swap in the LSH variant.
+    """
+    docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    queries = docs.where(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = docs.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = NUM_HYPERPLANES,
+    k: int = 3,
+) -> DataFrame:
+    """ANN top-k: exact cosine *within* each hyperplane-LSH bucket.
+
+    Every vector gets a sign-bit bucket; candidates are same-bucket
+    pairs (equi-join on the bucket key — one shuffle, no cross join).
+    Approximate by construction: recall misses neighbors that land in
+    other buckets; raise recall with fewer planes or multi-probe.
+    """
+    planes = hyperplane_matrix(num_planes, dim)
+    docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col("a.bucket").alias("bucket"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs (id_a < id_b).
+
+    Brute-force at fixture scale; the LSH bucket key above is the drop-in
+    blocking strategy at corpus scale.
+    """
+    docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

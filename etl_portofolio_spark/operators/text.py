@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+Tokenization, quality scoring, language ID, token counting, and
+document fingerprinting over a text column. All built-in expressions —
+at 100 TB these run entirely inside whole-stage codegen with no Python
+in the hot path and no shuffle at all (pure per-row map stage, so they
+scale linearly with input splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.functions.hashing import rolling_fingerprint
+
+#: Whitespace tokenizer shared by every text operator (and the oracles).
+TOKEN_SPLIT = r"\s+"
+
+#: BPE-ish word/punct segmentation: alnum runs or single non-space symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword langid
+#: heuristic. Deliberately small and embedded (no external model): the
+#: operator contract is the machinery, not lexicon quality.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "es": ("el", "la", "de", "y", "que", "en", "los", "se", "del", "las"),
+    "de": ("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"),
+    "fr": ("le", "la", "et", "les", "des", "une", "dans", "est", "pour", "que"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens (order preserved, duplicates kept)."""
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT)
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: alnum runs + individual symbols."""
+    return F.size(
+        F.regexp_extract_all(
+            F.col(text) if isinstance(text, str) else text,
+            F.lit(BPE_TOKEN_PATTERN),
+            F.lit(0),
+        )
+    )
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    stoplist = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stoplist, t)))
+
+
+def langid_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (0..1)."""
+    n = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: (stopword_hits(toks, lang).cast("double") / n.cast("double"))
+        for lang in LANG_STOPWORDS
+    }
+
+
+def langid_pick(scores: dict[str, Column]) -> Column:
+    """Argmax language with deterministic ties: score desc, lang asc;
+    'und' when no stopword hits at all."""
+    langs = sorted(scores)  # ascending lang => deterministic tie-break
+    best = None
+    best_score = None
+    for lang in langs:
+        if best is None:
+            best, best_score = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def punct_count(text: Column | str) -> Column:
+    """Count of non-alnum, non-space characters."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Length/punct/stopword quality features + a composite score.
+
+    The score formula is arbitrary but fixed: it rewards mid-length
+    documents with low punctuation density and a natural stopword rate —
+    the standard cheap pre-filter shape for LLM training corpora.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    avg_token_len = sum_tok_len.cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")
+    p_cnt = punct_count(c)
+    punct_ratio = p_cnt.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = stopword_hits(toks, "en").cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_toks.cast("double") / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_toks.cast("long"),
+        "n_tokens_bpe": token_count_bpe(c).cast("long"),
+        "avg_token_len": avg_token_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling-hash fingerprint of the token stream."""
+    return rolling_fingerprint(tokens(text))

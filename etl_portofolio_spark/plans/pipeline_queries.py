@@ -1,0 +1,487 @@
+"""Training-data-pipeline queries: dedup, similarity, text, multimodal.
+
+The phase-4 extension surface (SURVEY.md §7): first-class operators a
+100 TB LLM-data pipeline needs, each with an exact DuckDB oracle. All
+hashing is md5-based so both engines compute bit-identical values; all
+float folds are sequential (zip_with+aggregate vs list_reduce) so IEEE
+order matches. Repetitive oracle SQL is generated from the same
+parameters as the Spark plan to keep the two structurally identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.functions.hashing import FINGERPRINT_MOD, h32_sql
+from etl_portofolio_spark.operators import dedup, similarity, text
+from etl_portofolio_spark.operators.multimodal import decode_binary_metadata
+from etl_portofolio_spark.session import apply_runtime_confs
+
+# --- shared SQL fragments (DuckDB) -----------------------------------------
+
+#: whitespace tokens of lowercased trimmed text — twin of text.tokens()
+_SQL_TOKENS = r"regexp_split_to_array(lower(trim({col})), '\s+')"
+
+#: distinct 3-shingles — twin of dedup.shingles(); generate_series(1, n-2)
+#: is empty for n<3 in DuckDB, matching the Spark guard.
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({t}) - 2, 0)),"
+    " i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+
+
+def _sql_minhash_aggs(num_hashes: int) -> str:
+    return ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i:02d}" for i in range(num_hashes)
+    )
+
+
+def _sql_band_hash(b: int, rows: int) -> str:
+    cols = " || '|' || ".join(f"mh{b * rows + r:02d}" for r in range(rows))
+    return f"md5({cols})"
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 of normalized text — the cheapest dedup rung.
+
+    One shuffle on the 32-char content hash with map-side partial agg;
+    at 100 TB the hash is computed at scan time and only (hash, id)
+    pairs move.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- minhash ---------------------------------------------------------------
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (16 salted-md5 mins over 3-shingles)."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text")
+
+
+ORACLE_MINHASH_SIG = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+)
+SELECT doc_id,
+         {_sql_minhash_aggs(dedup.NUM_MINHASHES)}
+FROM ex GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified at >= 0.7.
+
+    Candidates only from shared (band, hash) buckets — never a cross
+    join — then exact Jaccard on the candidate set.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+_N_BANDS = dedup.NUM_MINHASHES // dedup.BAND_ROWS
+ORACLE_MINHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs(dedup.NUM_MINHASHES)}
+  FROM ex GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {_sql_band_hash(b, dedup.BAND_ROWS)} AS band_hash FROM sig"
+      for b in range(_N_BANDS)
+  )}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(sa.s, sb.s))::DOUBLE
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE AS jaccard
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE >= 0.7
+"""
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (frequency-weighted bit votes)."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs, "doc_id", "text")
+
+
+def _sql_simhash_fingerprint() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS bit{b:02d}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN bit{b:02d} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok FROM documents
+), weighted AS (
+  SELECT doc_id, tok, count(*) AS cnt, {h32_sql('tok')} AS h
+  FROM tok GROUP BY doc_id, tok
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLE_SIMHASH = _sql_simhash_fingerprint()
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3 via 4x8-bit block LSH."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH fp AS ({_sql_simhash_fingerprint()}),
+blocks AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {i} AS block_id, (simhash >> {i * 8}) & 255 AS block_val FROM fp"
+      for i in range(4)
+  )}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.block_id = b.block_id AND a.block_val = b.block_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --- n-gram jaccard ---------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs blocked by language, >= 0.5."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, lang, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS block,
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (pure map stage)."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+ORACLE_TEXT_QUALITY = rf"""
+WITH f AS (
+  SELECT doc_id,
+         text AS txt,
+         length(text) AS n_chars,
+         {_SQL_TOKENS.format(col='text')} AS t,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS p_cnt
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars, len(t) AS n_tokens,
+         len(regexp_extract_all(txt, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+         list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS sum_tok_len,
+         p_cnt,
+         len(list_filter(t, x -> list_contains({list(text.LANG_STOPWORDS['en'])}, x))) AS stop_hits
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
+       sum_tok_len::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS avg_token_len,
+       p_cnt::DOUBLE / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+       stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS stopword_ratio,
+       0.4 * least(n_tokens::DOUBLE / 64.0, 1.0)
+         + 0.3 * (1.0 - least((p_cnt::DOUBLE / greatest(n_chars, 1)::DOUBLE) * 4.0, 1.0))
+         + 0.3 * least((stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 4.0, 1.0) AS quality_score
+FROM g
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID with deterministic argmax."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    scores = text.langid_scores(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        text.langid_pick(scores).alias("predicted_lang"),
+    )
+
+
+def _sql_langid() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    score_exprs = ",\n         ".join(
+        f"len(list_filter(t, x -> list_contains({list(text.LANG_STOPWORDS[lang])}, x)))::DOUBLE"
+        f" / greatest(len(t), 1)::DOUBLE AS score_{lang}"
+        for lang in langs
+    )
+    # closed form of the ascending strict-greater fold: max score wins,
+    # earliest lang (ascending) wins ties.
+    pick_branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        pick_branches.append(f"WHEN {conds} THEN '{lang}'")
+    pick = f"CASE {' '.join(pick_branches)} ELSE '{langs[-1]}' END"
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {score_exprs}
+  FROM tok
+)
+SELECT doc_id, lang, {', '.join('score_' + lang for lang in langs)},
+       CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS predicted_lang
+FROM scored
+"""
+
+
+ORACLE_TEXT_LANGID = _sql_langid()
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint of each token stream."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> {h32_sql('x')})),
+         (a, b) -> (a * 31 + b) % {FINGERPRINT_MOD}
+       ) AS fingerprint
+FROM tok
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)),"
+    " (x, y) -> x + y))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"({_SQL_NORM.format(a=a)} * {_SQL_NORM.format(a=b)})"
+    )
+
+
+def q_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 query vectors (broadcast, no shuffle)."""
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, query_ids=(0, 1, 2, 3, 4), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+ORACLE_ANN_BRUTE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'v.v')} AS cosine
+  FROM v, q WHERE v.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY query_id, cosine DESC, neighbor_id ASC) AS rn,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within hyperplane-LSH buckets (the scale path)."""
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_ann_topk(emb, dim=64, num_planes=4, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_ann_lsh(num_planes: int, dim: int) -> str:
+    planes = similarity.hyperplane_matrix(num_planes, dim)
+    values = ", ".join(
+        f"({p}, {[float(w) for w in planes[p]]})" for p in range(num_planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), planes(plane_id, w) AS (
+  SELECT * FROM (VALUES {values})
+), bucketed AS (
+  SELECT v.vec_id, v.v,
+         CAST(sum(CASE WHEN {_SQL_DOT.format(a='v.v', b='planes.w')} > 0
+                  THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS bucket
+  FROM v, planes GROUP BY v.vec_id, v.v
+), scored AS (
+  SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+         {_sql_cosine('a.v', 'b.v')} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, bucket, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+ORACLE_ANN_LSH = _sql_ann_lsh(4, 64)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs (cosine >= 0.35)."""
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cosine('a.v', 'b.v')} AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_sql_cosine('a.v', 'b.v')} >= 0.35
+"""
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: mapInPandas fake-decode over opaque bytes.
+
+    The documents' text is encoded to a binary column (standing in for
+    stored image bytes); an Arrow-batched mapInPandas extracts metadata
+    with a deterministic md5-derived fake decode (real codec stubbed —
+    see operators/multimodal.py). Oracle recomputes the same values in
+    SQL, proving the UDF plumbing end to end.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return decode_binary_metadata(binary, id_col="doc_id", bin_col="content")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       substr(md5(text), 1, 8) AS content_hash_prefix,
+       CAST(320 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1600 AS BIGINT) AS fake_width,
+       CAST(240 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1200 AS BIGINT) AS fake_height,
+       CAST(1 + CAST('0x' || substr(md5(text), 9, 2) AS BIGINT) % 3 AS BIGINT) AS fake_channels
+FROM documents
+"""
+
+
+#: name -> (query_fn, oracle_sql | None)
+PIPELINE_QUERIES = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_signatures": (q_dedup_minhash_signatures, ORACLE_MINHASH_SIG),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "ann_brute_force_topk": (q_ann_brute_force_topk, ORACLE_ANN_BRUTE),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
+    "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL),
+}
