@@ -1,0 +1,399 @@
+"""Analytics extension queries: aggregates, windows, rollup, set ops.
+
+The reference performs no groupBy aggregation at all (SURVEY.md §2.5) —
+these queries are deliberately labeled ENGINE EXTENSIONS: the aggregate
+/ window / set-op surface a user of a Spark analytics engine expects,
+exercised TPC-H-style over the fixture star schema.
+
+Float determinism policy: money values are integerized per-row
+(``round(x * 10^k)`` → long) before summing, so every SUM is exact
+integer arithmetic — order-independent and identical in DuckDB — and
+only converted back to double at the end (same long → same double in
+both engines). Raw double SUMs would depend on accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.session import apply_runtime_confs
+
+
+def cents(col: Column | str, scale: int = 2) -> Column:
+    """Exact integer money: ``round(col * 10^scale)`` as long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10**scale), 0).cast("long")
+
+
+def _sql_cents(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(({expr}) * {10**scale}, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped sums/avgs over lineitem.
+
+    Scale: partial (map-side) aggregation before the 6-group shuffle;
+    the shipdate filter is pushed to the parquet scan. The classic
+    "does partial agg + pushdown happen" probe query.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_price_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    charge_c6 = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    )
+    disc_c = cents("l_discount")
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price_c4).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c6).cast("double") / 1000000.0).alias("sum_charge"),
+            ((F.sum(qty_c).cast("double") / n) / 100.0).alias("avg_qty"),
+            ((F.sum(price_c).cast("double") / n) / 100.0).alias("avg_price"),
+            ((F.sum(disc_c).cast("double") / n) / 100.0).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({_sql_cents('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sum({_sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}) AS DOUBLE) / 1000000.0 AS sum_charge,
+       (CAST(sum({_sql_cents('l_quantity')}) AS DOUBLE) / count(*)) / 100.0 AS avg_qty,
+       (CAST(sum({_sql_cents('l_extendedprice')}) AS DOUBLE) / count(*)) / 100.0 AS avg_price,
+       (CAST(sum({_sql_cents('l_discount')}) AS DOUBLE) / count(*)) / 100.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, grouped revenue, deterministic top-10.
+
+    Scale: customer filter cuts the build side before the join; AQE
+    picks broadcast for the dim side; top-10 runs as TakeOrdered (no
+    global sort materialization).
+    """
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_c4).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join with small-dim broadcasts, revenue per nation."""
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev_c4).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+ORACLE_REGION_REVENUE = f"""
+SELECT n_name,
+       CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-3 orders per customer (deterministic tie-break)."""
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_WINDOW_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+FROM orders
+QUALIFY rn <= 3
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + lag per customer over order history.
+
+    Cents-integer running sum so the cumulative value is exact at any
+    frame position in both engines.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_c = cents("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.sum(price_c).over(frame).cast("double") / 100.0).alias("running_total"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = f"""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum({_sql_cents('o_totalprice')}) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total,
+       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+       lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price
+FROM orders
+"""
+
+
+def q_asof_last_click_before_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: latest click at/before each signup, per user.
+
+    Spark lacks a native as-of join; the composition is the standard
+    union + last(ignoreNulls) running window — one shuffle on user_id,
+    no range join explosion. (DuckDB's ASOF JOIN would be the oracle
+    shortcut, but the window formulation keeps both sides identical.)
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "signup"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        both.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "signup")
+        .select("event_id", "user_id", F.col("ts").alias("signup_ts"), "last_click_ts")
+    )
+
+
+ORACLE_ASOF = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events WHERE event_type IN ('click', 'signup')
+)
+SELECT event_id, user_id, ts AS signup_ts, last_click_ts
+FROM ev WHERE event_type = 'signup'
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup / set ops / distinct / cross join
+# ---------------------------------------------------------------------------
+
+
+def q_agg_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = cents("l_extendedprice")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(sum({_sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT set composition (distinct semantics).
+
+    (high-balance customers ∪ customers with an order) ∖ BUILDING
+    segment — all three legs project the key only, so the set ops run
+    on narrow shuffles.
+    """
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.where(F.col("c_acctbal") > 7000).select("c_custkey")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey"))
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.union(buyers).distinct().subtract(building)
+
+
+ORACLE_SET_OPS = """
+(SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+ UNION
+ SELECT o_custkey AS c_custkey FROM orders)
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (the expensive two-shuffle agg)."""
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 parity: explicit cross join of two tiny relations."""
+    apply_runtime_confs(spark)
+    region = load_table(spark, sf_dir, "region")
+    events = load_table(spark, sf_dir, "events")
+    types = events.select("event_type").distinct()
+    return region.select("r_name").crossJoin(types)
+
+
+ORACLE_CROSS_JOIN = """
+SELECT r_name, event_type
+FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+"""
+
+
+def q_agg_decimal_revenue_by_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal(20,0) counter aggregation by ds partition key (F9 + K1 shape).
+
+    Exercises exact decimal sums (the counter-safe type the reference
+    casts at Ingestion Data (MySQL).py:171) grouped by the engine's
+    string day-partition key.
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import types as T
+
+    counter = (F.col("value") * F.lit(1000000)).cast(T.DecimalType(20, 0))
+    return (
+        events.select(F.date_format("ts", "yyyyMMdd").alias("ds"), counter.alias("v"))
+        .groupBy("ds")
+        .agg(F.sum("v").cast(T.DecimalType(38, 0)).alias("revenue_micro"))
+    )
+
+
+ORACLE_DECIMAL_REVENUE = """
+SELECT strftime(ts, '%Y%m%d') AS ds,
+       CAST(sum(CAST(round(value * 1000000, 0) AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS revenue_micro
+FROM events GROUP BY 1
+"""
+
+
+#: name -> (query_fn, oracle_sql)
+ANALYTICS_QUERIES = {
+    "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "join_shipping_priority": (q_join_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "join_region_revenue": (q_join_region_revenue, ORACLE_REGION_REVENUE),
+    "window_top_orders": (q_window_top_orders, ORACLE_WINDOW_TOP_ORDERS),
+    "window_running_total": (q_window_running_total, ORACLE_WINDOW_RUNNING),
+    "asof_last_click_before_signup": (q_asof_last_click_before_signup, ORACLE_ASOF),
+    "agg_rollup_sales": (q_agg_rollup_sales, ORACLE_ROLLUP),
+    "set_ops_customers": (q_set_ops_customers, ORACLE_SET_OPS),
+    "agg_distinct_users": (q_agg_distinct_users, ORACLE_DISTINCT_USERS),
+    "cross_join_matrix": (q_cross_join_matrix, ORACLE_CROSS_JOIN),
+    "agg_decimal_revenue_by_ds": (q_agg_decimal_revenue_by_ds, ORACLE_DECIMAL_REVENUE),
+}
