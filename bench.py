@@ -1,0 +1,85 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect overhead, no output IO skew). One warmup query runs
+first so JVM/codegen startup is not billed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as contract  # noqa: E402
+from etl_portofolio_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family (scan+agg, shuffle join,
+#: multi-join, pivot, window, as-of, distinct, dedup, ANN, text).
+HEADLINE = (
+    "agg_pricing_summary",
+    "join_shipping_priority",
+    "join_region_revenue",
+    "direction_pivot_groupby",
+    "window_top_orders",
+    "asof_last_click_before_signup",
+    "agg_distinct_users",
+    "dedup_minhash_pairs",
+    "ann_brute_force_topk",
+    "text_quality",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = contract.queries()
+
+    # Warmup: spin up executors / codegen on a cheap query.
+    _force(queries["agg_distinct_users"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
