@@ -32,6 +32,32 @@ def h32_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+#: Mersenne prime 2^31-1: modulus for the affine minhash permutations.
+#: With h, a, b < 2^31, a*h + b < 2^62 — no 64-bit overflow in Spark or
+#: DuckDB BIGINT arithmetic.
+MINHASH_MOD = 2147483647
+
+#: (a_i, b_i) for the i-th permutation pi_i(h) = (a_i*h + b_i) % MOD.
+#: Fixed Knuth-style constants; both the Spark plan and the generated
+#: oracle SQL embed these same literals.
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
+    (((2 * i + 1) * 2654435761) % MINHASH_MOD or 1, (i * 40503 + 12345) % MINHASH_MOD)
+    for i in range(64)
+)
+
+
+def minhash_perm(i: int, h: Column) -> Column:
+    """The i-th affine permutation of a base hash already reduced mod MOD."""
+    a, b = MINHASH_PARAMS[i]
+    return (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MOD)
+
+
+def minhash_perm_sql(i: int, expr: str) -> str:
+    """DuckDB SQL twin of :func:`minhash_perm`."""
+    a, b = MINHASH_PARAMS[i]
+    return f"(({expr}) * {a} + {b}) % {MINHASH_MOD}"
+
+
 def salted_md5(salt: int, col: Column | str) -> Column:
     """``md5('{salt}:' || s)`` — the i-th minhash hash function.
 

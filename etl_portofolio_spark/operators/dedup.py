@@ -24,11 +24,17 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_portofolio_spark.functions.hashing import h32, salted_md5
+from etl_portofolio_spark.functions.hashing import (
+    MINHASH_MOD,
+    h32,
+    minhash_perm,
+)
 from etl_portofolio_spark.operators.text import tokens
+from etl_portofolio_spark.operators.util import spread
 
 NUM_MINHASHES = 16
 BAND_ROWS = 4  # 16 hashes / 4 rows = 4 bands
@@ -60,37 +66,95 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a *materialized* token-array column.
+
+    ``toks`` MUST be an attribute reference (a column produced by a prior
+    projection), not an expression tree: higher-order functions evaluate
+    interpreted, so an inline ``split(...)`` here would be re-evaluated
+    for every array element — O(doc_len²) per row (measured 15x slower
+    at sf0.1). Use :func:`shingled_docs` to get the projection right.
+    """
+    n = F.size(toks)
+    window = F.slice(toks, 1, F.greatest(n - F.lit(k - 1), F.lit(0)))
+    make = F.transform(window, lambda x, i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(make)
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles of the token stream."""
-    t = tokens(text)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + F.lit(j)) for j in range(k)]),
+    """Distinct k-word shingles straight from a text column.
+
+    Convenience form for one-off expressions; hot paths should go
+    through :func:`shingled_docs` (tokens materialized first).
+    """
+    return shingles_of(tokens(text), k)
+
+
+def shingled_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, extra...], sh_set) with the shingle set built in two stages:
+    tokenize into a real column, then shingle from that attribute — see
+    :func:`shingles_of` for why. Input is spread across cores first."""
+    tokenized = spread(df).select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("__toks")
     )
-    # sequence(1, n-k+1) would count *down* when n < k; guard to empty.
-    return F.when(n >= k, F.array_distinct(make)).otherwise(
-        F.array().cast("array<string>")
+    return tokenized.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        shingles_of(F.col("__toks"), k).alias("sh_set"),
     )
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:
-    """Per-doc MinHash signature: min salted-md5 per hash function.
+    """Per-doc MinHash signature: min affine-permuted base hash per fn.
 
-    One explode + one groupBy(id) — a single shuffle keyed on the doc
-    id, with map-side partial mins. Signature values are 32-char hex
-    strings (min over hex == min over the 128-bit ints).
+    Shuffle-free: each signature column is ``array_min(transform(...))``
+    over the doc's own shingle set — a pure map stage, unlike the
+    textbook explode + groupBy(id) which shuffles every (doc, shingle)
+    pair. Docs with no shingles (shorter than k tokens) produce no
+    signature, matching the explode semantics.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    docs = shingled_docs(df, id_col, text_col)
+    return minhash_signatures_from_shingles(docs, id_col, num_hashes)
+
+
+def minhash_signatures_from_shingles(
+    docs: DataFrame, id_col: str, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """MinHash signatures from an (id, sh_set) frame (shingles reused).
+
+    Two projections: (1) hash each shingle ONCE (md5 → 32-bit → mod p)
+    into a materialized array column, (2) num_hashes ``array_min``s of
+    cheap affine permutations (a_i*h + b_i) % p of that array — the
+    classic universal-hashing minhash family. One md5 per shingle total
+    instead of num_hashes md5s (~16x less hash work), and the base-hash
+    array is an attribute so the 16 permutations never re-evaluate it.
+
+    NOTE: per-hash lambdas close over i via ``functools.partial`` — a
+    two-parameter lambda would make PySpark pass (element, index) and
+    silently use the array index as the parameter.
+    """
+    import functools
+
+    hashed = docs.where(F.size("sh_set") > 0).select(
+        F.col(id_col),
+        F.transform(F.col("sh_set"), lambda s: h32(s) % F.lit(MINHASH_MOD)).alias(
+            "__hs"
+        ),
     )
-    aggs = [
-        F.min(salted_md5(i, "shingle")).alias(f"mh{i:02d}") for i in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+
+    def mh(i: int) -> Column:
+        per_hash = F.transform(F.col("__hs"), functools.partial(minhash_perm, i))
+        return F.array_min(per_hash).alias(f"mh{i:02d}")
+
+    return hashed.select(F.col(id_col), *[mh(i) for i in range(num_hashes)])
 
 
 def minhash_bands(
@@ -131,10 +195,13 @@ def minhash_candidate_pairs(
     exact Jaccard over distinct shingle sets. Returns
     (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    docs = df.select(
-        F.col(id_col), shingles(text_col).alias("sh_set")
-    )
-    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    # The shingled frame feeds three plan branches (signatures + both
+    # verification sides); persist it so shingles are built once. Spark's
+    # cache manager is keyed on the logical plan, so repeated calls over
+    # the same input also hit this cache. MEMORY_AND_DISK: spills rather
+    # than recomputes at scale.
+    docs = shingled_docs(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures_from_shingles(docs, id_col, num_hashes)
     bands = minhash_bands(sig, id_col, num_hashes, rows)
 
     a = bands.alias("a")
@@ -176,7 +243,7 @@ def simhash_fingerprints(
     Two shuffles ((doc, token) count, then doc) — both keyed on the doc
     id, so AQE coalesces them; no quadratic stage anywhere.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     weighted = (
         tok.groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -210,7 +277,11 @@ def simhash_near_pairs(
     half *only when* its diffs concentrate; to be exhaustive for
     hamming <= 3 we use 4 blocks of 8 bits: >=1 block must be equal).
     """
-    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    # Fingerprints are consumed by both sides of the block self-join;
+    # persist so the two token-hash aggregations run once.
+    fp = simhash_fingerprints(df, id_col, text_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_blocks = 4
     width = bits // n_blocks
     mask = (1 << width) - 1
@@ -261,8 +332,12 @@ def ngram_jaccard_pairs(
     join fan-out (here: language). The ground-truth comparator for the
     approximate dedup operators above.
     """
-    docs = df.select(
-        F.col(id_col), F.col(block_col).alias("block"), shingles(text_col, k).alias("sh")
+    docs = (
+        shingled_docs(df, id_col, text_col, k, extra_cols=(block_col,))
+        .select(
+            F.col(id_col), F.col(block_col).alias("block"), F.col("sh_set").alias("sh")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both self-join sides
     )
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))

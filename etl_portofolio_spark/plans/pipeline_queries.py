@@ -14,9 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_portofolio_spark.catalog import load_table
-from etl_portofolio_spark.functions.hashing import FINGERPRINT_MOD, h32_sql
+from etl_portofolio_spark.functions.hashing import (
+    FINGERPRINT_MOD,
+    MINHASH_MOD,
+    h32_sql,
+    minhash_perm_sql,
+)
 from etl_portofolio_spark.operators import dedup, similarity, text
 from etl_portofolio_spark.operators.multimodal import decode_binary_metadata
+from etl_portofolio_spark.operators.util import spread
 from etl_portofolio_spark.session import apply_runtime_confs
 
 # --- shared SQL fragments (DuckDB) -----------------------------------------
@@ -34,8 +40,9 @@ _SQL_SHINGLES = (
 
 
 def _sql_minhash_aggs(num_hashes: int) -> str:
+    base = f"{h32_sql('shingle')} % {MINHASH_MOD}"
     return ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i:02d}" for i in range(num_hashes)
+        f"min({minhash_perm_sql(i, base)}) AS mh{i:02d}" for i in range(num_hashes)
     )
 
 
@@ -229,7 +236,7 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (pure map stage)."""
     apply_runtime_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     feats = text.quality_features("text")
     return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
 
@@ -267,7 +274,7 @@ FROM g
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID with deterministic argmax."""
     apply_runtime_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = text.tokens(F.col("text"))
     scores = text.langid_scores(toks)
     return docs.select(
@@ -315,7 +322,7 @@ ORACLE_TEXT_LANGID = _sql_langid()
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint of each token stream."""
     apply_runtime_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", text.doc_fingerprint("text").alias("fingerprint")
     )
@@ -451,7 +458,7 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, proving the UDF plumbing end to end.
     """
     apply_runtime_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     binary = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
