@@ -147,8 +147,8 @@ def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .where(F.col("r_name") == "ASIA")
         .where(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .groupBy("n_name")
         .agg((F.sum(rev_c4).cast("double") / 10000.0).alias("revenue"))
@@ -165,8 +165,8 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
 
@@ -383,6 +383,31 @@ FROM events GROUP BY 1
 """
 
 
+def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregation over the event stream.
+
+    The batch twin of streaming/structured.windowed_counts — the same
+    plan Structured Streaming runs per micro-batch (§2.8 window
+    assignment as ``F.window``, not a driver loop).
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.streaming.structured import windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_counts(events, window="5 minutes", lateness="0 seconds")
+
+
+ORACLE_TUMBLING_WINDOW = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 #: name -> (query_fn, oracle_sql)
 ANALYTICS_QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_PRICING_SUMMARY),
@@ -396,4 +421,5 @@ ANALYTICS_QUERIES = {
     "agg_distinct_users": (q_agg_distinct_users, ORACLE_DISTINCT_USERS),
     "cross_join_matrix": (q_cross_join_matrix, ORACLE_CROSS_JOIN),
     "agg_decimal_revenue_by_ds": (q_agg_decimal_revenue_by_ds, ORACLE_DECIMAL_REVENUE),
+    "tumbling_window_events": (q_tumbling_window_events, ORACLE_TUMBLING_WINDOW),
 }

@@ -1,0 +1,89 @@
+"""Partitioned parquet writers — the reference's sink surface, Spark-first.
+
+Reference behaviors re-expressed (SURVEY.md §2.2):
+
+- K1 partitioned append (`Ingestion Data (MySQL).py:58-64`):
+  ``df.write.partitionBy("ds").mode("append")``.
+- K2 full overwrite (`Ingestion Data (MySQL).py:52-57`).
+- K3 adaptive file sizing (`Ingestion Data (MySQL).py:34-51` — 10% sample
+  write + py4j FileSystem.getContentSummary + repartition(ceil/128MiB)):
+  replaced by ``maxRecordsPerFile`` derived from a driver-side sample of
+  average row width — no scratch table, no JVM FS probing, and AQE
+  coalescing already right-sizes shuffle output. The ~128 MiB/file
+  *semantic* is kept as ``target_file_bytes``.
+- K4 idempotent re-ingest (TRUNCATE PARTITION + append,
+  `Ingestion Data (MySQL).py:132-149`): replaced by dynamic partition
+  overwrite — atomic per-partition replacement, safe to re-run.
+- K5 metadata refresh (`REFRESH TABLE`, `Ingestion Data (MySQL).py:65`):
+  ``spark.catalog.refreshByPath`` for path tables.
+
+At cluster scale the partition column (`ds`) keeps writes pruned to the
+day being (re)loaded, and ``maxRecordsPerFile`` bounds file count *and*
+size without a pre-write shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference's 128 MiB target
+
+
+def _estimate_rows_per_file(
+    df: DataFrame, target_file_bytes: int, sample_rows: int = 1000
+) -> int | None:
+    """Rows-per-file estimate from a tiny driver-side sample.
+
+    Replaces the reference's write-a-10%-sample-table + HDFS
+    getContentSummary probe (`Ingestion Data (MySQL).py:34-51`) with a
+    bounded ``limit(n)`` sample: average serialized row width is
+    approximated from the in-memory pickled size (pessimistic vs
+    parquet's encoding+compression, so files come out under target).
+    Returns None when the frame is empty (writer then skips the option).
+    """
+    import sys
+
+    rows = df.limit(sample_rows).collect()
+    if not rows:
+        return None
+    avg = max(sum(sys.getsizeof(repr(r)) for r in rows) / len(rows), 1.0)
+    return max(int(target_file_bytes / avg), 1)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "ds",
+    mode: str = "overwrite",
+    target_file_bytes: int | None = DEFAULT_TARGET_FILE_BYTES,
+) -> None:
+    """Partitioned parquet write with idempotent per-partition overwrite.
+
+    ``mode="overwrite"`` + dynamic partition overwrite replaces ONLY the
+    partitions present in ``df`` (the reference's truncate-then-append
+    dance, K4, as one atomic operation); ``mode="append"`` is the plain
+    K1 append.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = df.write.partitionBy(partition_col).format("parquet").mode(mode)
+    if target_file_bytes:
+        rows_per_file = _estimate_rows_per_file(df, target_file_bytes)
+        if rows_per_file:
+            writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.save(path)
+    refresh_path(spark, path)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """K2: unpartitioned full overwrite (`Ingestion Data (MySQL).py:52-57`)."""
+    df.write.format("parquet").mode("overwrite").save(path)
+    refresh_path(df.sparkSession, path)
+
+
+def refresh_path(spark: SparkSession, path: str) -> None:
+    """K5: invalidate cached metadata for a path-based table."""
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass  # path not cached / not a table — refresh is best-effort

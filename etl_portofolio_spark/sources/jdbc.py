@@ -1,0 +1,80 @@
+"""JDBC ingestion source with query pushdown + parallel range reads (S4).
+
+The reference reads one hour of the Zabbix ``history`` table through a
+derived-table subquery so the range filter (and an ORDER BY for index
+use) run inside MySQL — but on a SINGLE connection
+(`Ingestion Data (MySQL).py:156-169`). This module keeps the pushdown
+subquery and adds what the reference lacked: ``partitionColumn`` /
+``lowerBound`` / ``upperBound`` / ``numPartitions`` so executors fetch
+disjoint ``clock`` stripes concurrently, plus ``fetchsize`` (the MySQL
+driver otherwise streams row-at-a-time).
+
+No database ships in the test environment, so ``load()`` is exercised
+against the options contract in tests (and integration-gated); the
+option-building logic — the actual operator — is pure and fully tested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+MYSQL_DRIVER = "com.mysql.cj.jdbc.Driver"
+
+
+def pushdown_subquery(
+    table: str, clock_col: str, lo: int, hi: int, order_desc: bool = True
+) -> str:
+    """The reference's derived-table pushdown
+    (`Ingestion Data (MySQL).py:156-160`): range filter executes in the
+    database, using the (itemid, clock) index."""
+    order = f" ORDER BY {clock_col} DESC" if order_desc else ""
+    return (
+        f"(SELECT * FROM {table} WHERE {clock_col} >= {lo} AND {clock_col} < {hi}"
+        f"{order}) AS final"
+    )
+
+
+@dataclass
+class JdbcWindowSource:
+    """Config for one incremental JDBC read window."""
+
+    url: str
+    table: str
+    user: str
+    password: str
+    clock_col: str = "clock"
+    driver: str = MYSQL_DRIVER
+    num_partitions: int = 8
+    fetch_size: int = 10000
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def options_for(self, start: datetime, end: datetime) -> dict[str, str]:
+        """Full reader-option map for [start, end) epoch-seconds window."""
+        lo, hi = int(start.timestamp()), int(end.timestamp())
+        return {
+            "driver": self.driver,
+            "url": self.url,
+            "user": self.user,
+            "password": self.password,
+            "dbtable": pushdown_subquery(self.table, self.clock_col, lo, hi),
+            # parallel stripes over the same range predicate
+            "partitionColumn": self.clock_col,
+            "lowerBound": str(lo),
+            "upperBound": str(hi),
+            "numPartitions": str(self.num_partitions),
+            "fetchsize": str(self.fetch_size),
+            **self.extra_options,
+        }
+
+    def read_window(
+        self, spark: SparkSession, start: datetime, end: datetime
+    ) -> DataFrame:
+        """`spark.read.format("jdbc")` with the window's options —
+        plugs directly into IncrementalRunner as its ``source``."""
+        reader = spark.read.format("jdbc")
+        for k, v in self.options_for(start, end).items():
+            reader = reader.option(k, v)
+        return reader.load()

@@ -1,0 +1,251 @@
+"""Sinks, incremental runner, structured streaming, and sources (§2.1/2.2/2.8)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.sinks.writer import overwrite_table, write_partitioned
+from etl_portofolio_spark.sources.http_xml import (
+    build_query_xml,
+    register_xml_api,
+)
+from etl_portofolio_spark.sources.jdbc import JdbcWindowSource, pushdown_subquery
+from etl_portofolio_spark.streaming.incremental import (
+    IncrementalRunner,
+    latest_partition,
+    time_windows,
+)
+from etl_portofolio_spark.streaming.structured import (
+    start_dynamic_overwrite_sink,
+    windowed_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def _events_with_ds(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return ev.withColumn("ds", F.date_format("ts", "yyyyMMdd"))
+
+
+# --- sinks ------------------------------------------------------------------
+
+
+def test_write_partitioned_is_idempotent(spark, tmp_path):
+    """K4: re-writing the same partitions replaces, never duplicates."""
+    target = str(tmp_path / "tbl")
+    ev = _events_with_ds(spark).limit(500)
+    write_partitioned(ev, target)
+    first = spark.read.parquet(target).count()
+    write_partitioned(ev, target)  # rerun the same batch
+    assert spark.read.parquet(target).count() == first == 500
+
+
+def test_write_partitioned_only_touches_written_partitions(spark, tmp_path):
+    """Dynamic overwrite: other days' partitions survive a day's rewrite."""
+    target = str(tmp_path / "tbl")
+    ev = _events_with_ds(spark)
+    days = sorted(r["ds"] for r in ev.select("ds").distinct().collect())
+    assert len(days) >= 2
+    write_partitioned(ev, target)
+    total = spark.read.parquet(target).count()
+    day0 = days[0]
+    day0_rows = ev.where(F.col("ds") == day0)
+    write_partitioned(day0_rows, target)  # rewrite just day0
+    assert spark.read.parquet(target).count() == total
+
+
+def test_overwrite_table_roundtrip(spark, tmp_path):
+    target = str(tmp_path / "flat")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    overwrite_table(df, target)
+    overwrite_table(df.limit(10), target)
+    assert spark.read.parquet(target).count() == 10
+
+
+# --- incremental runner ------------------------------------------------------
+
+
+def test_latest_partition_reads_layout(spark, tmp_path):
+    target = str(tmp_path / "tbl")
+    assert latest_partition(target) is None
+    write_partitioned(_events_with_ds(spark), target)
+    days = sorted(
+        r["ds"] for r in _events_with_ds(spark).select("ds").distinct().collect()
+    )
+    assert latest_partition(target) == days[-1]
+
+
+def test_time_windows_cover_range():
+    ws = list(
+        time_windows(
+            datetime(2024, 1, 1), datetime(2024, 1, 4), timedelta(days=1)
+        )
+    )
+    assert len(ws) == 3
+    assert ws[0] == (datetime(2024, 1, 1), datetime(2024, 1, 2))
+    assert ws[-1][1] == datetime(2024, 1, 4)
+
+
+def test_incremental_runner_matches_single_batch(spark, tmp_path):
+    """Windowed incremental ingestion == one-shot ingestion, and reruns
+    of any window are idempotent."""
+    ev = _events_with_ds(spark).persist()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    start = datetime(lo.year, lo.month, lo.day)
+    end = datetime(hi.year, hi.month, hi.day) + timedelta(days=1)
+
+    def source(s: datetime, e: datetime):
+        return ev.where((F.col("ts") >= F.lit(s)) & (F.col("ts") < F.lit(e)))
+
+    target = str(tmp_path / "tbl")
+    runner = IncrementalRunner(spark, source, target)
+    results = runner.run(start, end, timedelta(days=1))
+    assert sum(r.rows for r in results) == ev.count()
+    total = spark.read.parquet(target).count()
+    assert total == ev.count()
+
+    # re-run a middle window: same totals (dynamic overwrite, K4)
+    mid = start + timedelta(days=1)
+    runner.run_window(mid, mid + timedelta(days=1))
+    assert spark.read.parquet(target).count() == total
+
+    # resume from watermark: rewrites only the last day, still no dupes
+    runner.run_from_watermark(end, timedelta(days=1), default_start=start)
+    assert spark.read.parquet(target).count() == total
+    ev.unpersist()
+
+
+# --- structured streaming ----------------------------------------------------
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """availableNow file-stream through the windowed agg == batch result."""
+    ev = load_table(spark, SF_DIR, "events")
+    src_dir = str(tmp_path / "src")
+    ev.write.parquet(src_dir)
+    stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(
+        src_dir
+    )
+    agg = windowed_counts(stream, window="1 hour", keys=("event_type",))
+    target = str(tmp_path / "out")
+    q = start_dynamic_overwrite_sink(
+        agg, target, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(target)
+    # Append-mode watermark semantics: windows still inside the lateness
+    # horizon at end-of-stream stay in state — only FINALIZED windows
+    # (w_end <= max_ts - lateness) are emitted.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - timedelta(minutes=10)
+    expected = (
+        windowed_counts(ev, window="1 hour", keys=("event_type",))
+        .withColumn("ds", F.date_format("w_start", "yyyyMMdd"))
+        .where(F.col("w_end") <= F.lit(cutoff))
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_restart_is_idempotent(spark, tmp_path):
+    """Restarting from the same checkpoint doesn't duplicate output."""
+    ev = load_table(spark, SF_DIR, "events").limit(2000)
+    src_dir = str(tmp_path / "src")
+    ev.write.parquet(src_dir)
+    stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(
+        src_dir
+    )
+    agg = windowed_counts(stream, window="1 hour")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_dynamic_overwrite_sink(agg, target, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(target).count()
+    # restart with no new input: no new batches, no duplicated rows
+    q2 = start_dynamic_overwrite_sink(agg, target, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == n1
+
+
+# --- http xml source ---------------------------------------------------------
+
+_FAKE_ROWS = 7
+
+
+def fake_fetch(url: str, xml_body: str, window_id: str) -> str:
+    """Deterministic fake API: CSV keyed off the window id (executor-side)."""
+    header = "waktu,appId_String,clientAddr,serverAddr,transactions,delay,throughput"
+    rows = [
+        f"{window_id},app{i},10.0.0.{i},10.1.0.{i},{i * 10}.0,{i}.5,{i * 100}.0"
+        for i in range(_FAKE_ROWS)
+    ]
+    return "\n".join([header] + rows)
+
+
+def test_build_query_xml_shape():
+    xml = build_query_xml(
+        ("waktu", "transactions"),
+        "WKF:ALL",
+        datetime(2024, 1, 1, 0, 0),
+        datetime(2024, 1, 1, 0, 5),
+    )
+    assert "<column>transactions</column>" in xml
+    assert "<startTime>2024-01-01 00:00:00</startTime>" in xml
+    assert "<resolution>FIVE_MINUTE</resolution>" in xml
+
+
+def test_xml_api_datasource_distributed_fetch(spark):
+    """One partition per 5-min window; executors parse their own CSV."""
+    register_xml_api(spark)
+    df = (
+        spark.read.format("xmlapi")
+        .option("fetcher", "tests.test_io_streaming:fake_fetch")
+        .option("starttime", "2024-01-01 00:00:00")
+        .option("endtime", "2024-01-01 00:15:00")
+        .option("windowminutes", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 3 * _FAKE_ROWS
+    row = df.where(
+        (F.col("waktu") == "2024-01-01 00:05:00") & (F.col("appId_String") == "app2")
+    ).first()
+    assert row["transactions"] == 20.0 and row["delay"] == 2.5
+    # explicit schema, not inferred
+    assert dict(df.dtypes)["throughput"] == "double"
+
+
+# --- jdbc source -------------------------------------------------------------
+
+
+def test_jdbc_pushdown_subquery():
+    q = pushdown_subquery("history", "clock", 100, 200)
+    assert q == (
+        "(SELECT * FROM history WHERE clock >= 100 AND clock < 200"
+        " ORDER BY clock DESC) AS final"
+    )
+
+
+def test_jdbc_window_options_parallel_stripes():
+    src = JdbcWindowSource(
+        url="jdbc:mysql://db:3306/zabbix",
+        table="history",
+        user="u",
+        password="p",
+        num_partitions=8,
+    )
+    lo = datetime(2024, 1, 1, 10, 0)
+    hi = datetime(2024, 1, 1, 11, 0)
+    opts = src.options_for(lo, hi)
+    assert opts["partitionColumn"] == "clock"
+    assert int(opts["upperBound"]) - int(opts["lowerBound"]) == 3600
+    assert opts["numPartitions"] == "8"
+    assert "clock >= " in opts["dbtable"] and "AS final" in opts["dbtable"]
+    assert opts["driver"].startswith("com.mysql")
