@@ -92,3 +92,100 @@ def decode_binary_metadata(
             )
 
     return df.select(id_col, bin_col).mapInPandas(extract, METADATA_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("thumbnail", T.BinaryType()),
+    ]
+)
+
+
+def resize_binary(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+) -> DataFrame:
+    """Thumbnail/resize plumbing over opaque image bytes.
+
+    Real path (stubbed — see :func:`decode_real`): decode → resample to
+    (width, height) → re-encode. The deterministic fake emits an
+    md5-keyed placeholder payload so batch shape, schema and
+    distribution are real and testable. Binary in/binary out keeps the
+    payload Arrow-batched end to end.
+    """
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf[bin_col]
+            thumbs = [
+                hashlib.md5(bytes(p) + f":{width}x{height}".encode()).digest()
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_width": pd.Series([width] * len(pdf), dtype="int64"),
+                    "out_height": pd.Series([height] * len(pdf), dtype="int64"),
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame.
+
+    The fake "video" has ``8 + md5[10:12] % 8`` frames; every
+    ``stride``-th frame is emitted with a deterministic per-frame hash
+    (``md5(payload ':' idx)``), so a SQL oracle can reproduce the exact
+    fan-out. Real decode (av/ffmpeg) plugs in at :func:`decode_real`.
+    One input row → many output rows inside the same Arrow batch — the
+    explode stays in Python, the schema stays declared.
+    """
+    import pandas as pd
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload)
+                n_frames = 8 + int(hashlib.md5(raw).hexdigest()[10:12], 16) % 8
+                for i in range(0, n_frames, stride):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(raw + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(frames, FRAME_SCHEMA)

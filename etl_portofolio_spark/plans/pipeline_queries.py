@@ -476,6 +476,67 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→binary resize plumbing (fake resample; hex for the oracle)."""
+    apply_runtime_confs(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    binary = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    from etl_portofolio_spark.operators.multimodal import resize_binary
+
+    out = resize_binary(binary, 64, 64)
+    return out.select(
+        "doc_id", "out_width", "out_height", F.hex("thumbnail").alias("thumb_hex")
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS out_width,
+       CAST(64 AS BIGINT) AS out_height,
+       upper(md5(text || ':64x64')) AS thumb_hex
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: one row per sampled fake video frame."""
+    apply_runtime_confs(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    binary = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    from etl_portofolio_spark.operators.multimodal import sample_frames
+
+    return sample_frames(binary, stride=4)
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH d AS (
+  SELECT doc_id, text,
+         8 + CAST('0x' || substr(md5(text), 11, 2) AS BIGINT) % 8 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS BIGINT) AS frame_idx,
+       md5(text || ':' || CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS VARCHAR)) AS frame_hash
+FROM d
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — batch twin of the
+    applyInPandasWithState streaming operator."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.streaming.stateful import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=30)
+
+
+def _oracle_sessionize() -> str:
+    from etl_portofolio_spark.streaming.stateful import oracle_sessionize_sql
+
+    return oracle_sessionize_sql(30)
+
+
 #: name -> (query_fn, oracle_sql | None)
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
@@ -491,4 +552,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL),
+    "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_MULTIMODAL_FRAMES),
+    "sessionize_events": (q_sessionize_events, _oracle_sessionize()),
 }

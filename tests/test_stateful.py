@@ -1,0 +1,69 @@
+"""applyInPandasWithState sessionization vs its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+from .conftest import SF_DIR
+
+
+def test_sessionize_batch_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 11:30:00"),  # > 30 min gap: new session
+            (2, "2024-01-01 09:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in sessionize_batch(df, 30).collect()
+    }
+    assert out == {
+        (1, "2024-01-01 10:00:00", 2),
+        (1, "2024-01-01 11:30:00", 1),
+        (2, "2024-01-01 09:00:00", 1),
+    }
+
+
+def test_sessionize_stream_matches_batch_minus_open_sessions(spark, tmp_path):
+    """Stream emits every session except each user's trailing open one."""
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+    src_dir = str(tmp_path / "src")
+    ev.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(
+        src_dir
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    target = str(tmp_path / "out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(target)
+    batch = sessionize_batch(ev, gap_minutes=30)
+    # drop each user's last session (still open in the state store)
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    expected = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .drop("__rn")
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
