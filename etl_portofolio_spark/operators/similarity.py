@@ -158,6 +158,80 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cluster per vector.
+
+    The coarse codebook here is the deterministic "first
+    ``num_centroids`` vectors" (in production: k-means centroids trained
+    offline and broadcast the same way — the assignment plan is
+    identical). Centroids broadcast to every executor; assignment is a
+    map-side argmax (row_number over per-vector centroid scores), so the
+    corpus is scanned once and shuffles only on (vector, K) ranking keys.
+    Ties break toward the lowest centroid id, deterministically.
+    """
+    docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    cents = docs.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = docs.join(F.broadcast(cents)).withColumn(
+        "sim", cosine(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("v"), F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    num_centroids: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine within the query's own cluster only.
+
+    nprobe=1 inverted-file search: each query scans just its cluster's
+    inverted list (join on cluster_id — one shuffle of the assigned
+    corpus, no cross join). Recall rises by probing more clusters;
+    the LSH variant is the rotation-free alternative.
+    """
+    assigned = ivf_assign(emb, id_col, vec_col, num_centroids).persist()
+    queries = assigned.where(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cluster_id").alias("q_cluster"),  # renamed: disambiguates self-join
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("cluster_id") == F.col("q_cluster"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        "cluster_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cluster_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -383,6 +383,73 @@ FROM events GROUP BY 1
 """
 
 
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order since 2001-01-01.
+
+    Scale: the anti join shuffles on the customer key like any equi
+    join, and the date filter prunes the probe side at the scan; AQE
+    can flip to broadcast when the filtered side shrinks enough.
+    """
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+def q_agg_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate revenue share per month.
+
+    ECONOMY-type share of revenue, by order month — a lineitem⋈part
+    join where part broadcasts, then a conditional sum.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    econ = F.when(F.col("p_type") == "ECONOMY", rev_c4).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            (F.sum(econ).cast("double") / 10000.0).alias("economy_revenue"),
+            (F.sum(rev_c4).cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .withColumn(
+            "economy_share",
+            F.col("economy_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
+ORACLE_TYPE_REVENUE_SHARE = f"""
+WITH g AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                  THEN {_sql_cents('l_extendedprice * (1 - l_discount)', 4)}
+                  ELSE 0 END) AS DOUBLE) / 10000.0 AS economy_revenue,
+         CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE) / 10000.0 AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month, economy_revenue, total_revenue,
+       economy_revenue / total_revenue AS economy_share
+FROM g
+"""
+
+
 def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute window aggregation over the event stream.
 
@@ -422,4 +489,9 @@ ANALYTICS_QUERIES = {
     "cross_join_matrix": (q_cross_join_matrix, ORACLE_CROSS_JOIN),
     "agg_decimal_revenue_by_ds": (q_agg_decimal_revenue_by_ds, ORACLE_DECIMAL_REVENUE),
     "tumbling_window_events": (q_tumbling_window_events, ORACLE_TUMBLING_WINDOW),
+    "anti_join_inactive_customers": (
+        q_anti_join_inactive_customers,
+        ORACLE_ANTI_JOIN,
+    ),
+    "agg_type_revenue_share": (q_agg_type_revenue_share, ORACLE_TYPE_REVENUE_SHARE),
 }

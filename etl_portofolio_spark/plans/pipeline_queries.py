@@ -427,6 +427,42 @@ FROM ranked WHERE rank <= 3
 ORACLE_ANN_LSH = _sql_ann_lsh(4, 64)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nprobe=1) ANN top-3 within nearest-centroid clusters."""
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, query_ids=(10, 11, 12, 13, 14), num_centroids=8, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+ORACLE_ANN_IVF = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS cluster_id FROM (
+    SELECT v.vec_id, v.v, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_cosine('v.v', 'c.cv')} DESC, c.centroid_id ASC) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cluster_id FROM assigned
+  WHERE vec_id IN (10, 11, 12, 13, 14)
+), scored AS (
+  SELECT q.query_id, a.cluster_id, a.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'a.v')} AS cosine
+  FROM assigned a JOIN q ON a.cluster_id = q.cluster_id AND a.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cluster_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (cosine >= 0.35)."""
     apply_runtime_confs(spark)
@@ -550,6 +586,7 @@ PIPELINE_QUERIES = {
     "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "ann_brute_force_topk": (q_ann_brute_force_topk, ORACLE_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL),
     "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
