@@ -1,0 +1,96 @@
+"""Skew mitigation: salted aggregation and salted broadcast-free joins.
+
+AQE's skew-join splitting (enabled engine-wide in session.py) handles
+skewed SORT-MERGE JOIN partitions at runtime, but two cases still need
+explicit salting at 100 TB:
+
+- **aggregation hot keys** — AQE never splits a single groupBy key; a
+  key holding 1% of 100 TB lands 1 TB on one reducer. Two-stage salted
+  aggregation bounds any reducer's input to ~1/num_salts of the hot key.
+- **static skew joins** where the runtime stats arrive too late (first
+  stage already spilled) or the join is not sort-merge.
+
+Salting here is deterministic (hash-mod over a row-unique column, never
+``rand()``) so reruns, retries, and oracle checks are stable.
+
+Results are bit-identical to the unsalted plans — salting only changes
+the physical key space. Tests assert equality against the plain
+formulations; the ``skew_salted_agg`` registry query proves it against
+a plain-SQL DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+#: partial-combine / final-merge expression pairs per algebraic aggregate
+_MERGE = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salt_column(unique_col: Column | str, num_salts: int = DEFAULT_SALTS) -> Column:
+    """Deterministic salt in [0, num_salts): hash-mod of a row-unique col."""
+    c = F.col(unique_col) if isinstance(unique_col, str) else unique_col
+    return F.pmod(F.hash(c), F.lit(num_salts))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_from: str,
+    num_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-stage aggregation immune to group-key skew.
+
+    ``aggs`` is a list of (column, fn, alias) with fn in sum/count/min/
+    max (algebraic — partials merge losslessly). Stage 1 aggregates on
+    (keys + salt): the hot key's rows spread over ``num_salts`` reducers.
+    Stage 2 merges the ≤num_salts partials per key — trivially small.
+    Equivalent to ``df.groupBy(keys).agg(...)`` for these functions.
+    """
+    partials = []
+    finals = []
+    for col, fn, alias in aggs:
+        partial_fn, merge_fn = _MERGE[fn]
+        partials.append(partial_fn(F.col(col)).alias(f"__p_{alias}"))
+        finals.append(merge_fn(F.col(f"__p_{alias}")).alias(alias))
+    stage1 = (
+        df.withColumn("__salt", salt_column(salt_from, num_salts))
+        .groupBy(*keys, "__salt")
+        .agg(*partials)
+    )
+    return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_from: str,
+    num_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over salted buckets.
+
+    The big side gets a deterministic salt per row; the small side is
+    replicated ``num_salts``× (explode of a literal range — fine when
+    small ≪ big). The join key becomes (key, salt): a hot key's rows now
+    hash to ``num_salts`` different reducers instead of one.
+
+    Use when the small side is too big to broadcast but the big side's
+    key histogram is badly skewed and AQE can't save the stage.
+    """
+    big_s = big.withColumn("__salt", salt_column(salt_from, num_salts))
+    small_r = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    joined = big_s.join(small_r, [key, "__salt"], how)
+    return joined.drop("__salt")

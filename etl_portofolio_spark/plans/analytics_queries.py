@@ -450,6 +450,41 @@ FROM g
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — result-identical to a plain groupBy.
+
+    The hot-key-proof physical plan (operators/skew.py): stage 1 groups
+    on (key, salt16) so no reducer ever sees a whole hot key, stage 2
+    merges <=16 partials per key. The oracle is the PLAIN group-by —
+    salting must be invisible in the result.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with_c = li.withColumn("qty_c", cents("l_quantity"))
+    return salted_aggregate(
+        with_c,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[
+            ("qty_c", "sum", "sum_qty_c"),
+            ("l_orderkey", "count", "n_items"),
+            ("qty_c", "max", "max_qty_c"),
+        ],
+        salt_from="l_orderkey",
+    )
+
+
+ORACLE_SKEW_SALTED = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({_sql_cents('l_quantity')}) AS sum_qty_c,
+       count(l_orderkey) AS n_items,
+       max({_sql_cents('l_quantity')}) AS max_qty_c
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute window aggregation over the event stream.
 
@@ -494,4 +529,5 @@ ANALYTICS_QUERIES = {
         ORACLE_ANTI_JOIN,
     ),
     "agg_type_revenue_share": (q_agg_type_revenue_share, ORACLE_TYPE_REVENUE_SHARE),
+    "skew_salted_agg": (q_skew_salted_agg, ORACLE_SKEW_SALTED),
 }

@@ -1,0 +1,47 @@
+"""Salted aggregation / join equivalence with plain formulations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.operators.skew import salted_aggregate, salted_join
+
+from .conftest import SF_DIR
+
+
+def test_salted_aggregate_equals_plain(spark):
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "qty_c", F.round(F.col("l_quantity") * 100, 0).cast("long")
+    )
+    salted = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs=[
+            ("qty_c", "sum", "sum_qty"),
+            ("l_orderkey", "count", "n"),
+            ("qty_c", "min", "min_qty"),
+            ("qty_c", "max", "max_qty"),
+        ],
+        salt_from="l_orderkey",
+        num_salts=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("qty_c").alias("sum_qty"),
+        F.count("l_orderkey").alias("n"),
+        F.min("qty_c").alias("min_qty"),
+        F.max("qty_c").alias("max_qty"),
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_equals_plain(spark):
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    salted = salted_join(li, orders, "o_orderkey", salt_from="l_quantity", num_salts=4)
+    plain = li.join(orders, "o_orderkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
