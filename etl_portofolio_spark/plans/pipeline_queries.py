@@ -573,6 +573,120 @@ def _oracle_sessionize() -> str:
     return oracle_sessionize_sql(30)
 
 
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus: keep the min-id doc per exact content group.
+
+    The consuming form of exact dedup — what a training pipeline actually
+    writes out. Left-semi join of the corpus against the keeper set: the
+    corpus shuffles once on doc_id; no wide row ever moves twice.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = dedup.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi").select("doc_id", "lang", "text")
+
+
+ORACLE_DEDUP_KEEP_FIRST = r"""
+SELECT doc_id, lang, text FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+)
+"""
+
+
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup per language: docs, tokens, distinct tokens.
+
+    The fan-in shape of a training-data report: explode to tokens once,
+    then one grouped agg (count-distinct runs as its own expand) — at
+    100 TB the explode stays map-side and only (lang, token) pairs
+    shuffle.
+    """
+    apply_runtime_confs(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+ORACLE_CORPUS_STATS = rf"""
+WITH tok AS (
+  SELECT lang, doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok
+  FROM documents
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct_tokens
+FROM tok GROUP BY lang
+"""
+
+
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: dedup → quality gate → per-lang stats.
+
+    Exact-dedup the corpus, keep docs passing a quality threshold, then
+    summarize per language — the three pipeline stages chained as one
+    lazy plan so Catalyst fuses the scans (documents is read once for
+    the dedup branch and once for the semi-join probe, both pruned to
+    the used columns).
+    """
+    apply_runtime_confs(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keepers = dedup.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    feats = text.quality_features("text")
+    kept = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            feats["n_tokens"].alias("n_tokens"),
+            feats["quality_score"].alias("quality_score"),
+        )
+        .where(F.col("quality_score") >= 0.5)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+ORACLE_PIPELINE_E2E = rf"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), feats AS (
+  SELECT doc_id, lang,
+         len({_SQL_TOKENS.format(col='text')}) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS p_cnt,
+         len(list_filter({_SQL_TOKENS.format(col='text')},
+             x -> list_contains({list(text.LANG_STOPWORDS['en'])}, x))) AS stop_hits
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM keepers)
+), scored AS (
+  SELECT doc_id, lang, n_tokens,
+         0.4 * least(n_tokens::DOUBLE / 64.0, 1.0)
+           + 0.3 * (1.0 - least((p_cnt::DOUBLE / greatest(n_chars, 1)::DOUBLE) * 4.0, 1.0))
+           + 0.3 * least((stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 4.0, 1.0) AS quality_score
+  FROM feats
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM scored WHERE quality_score >= 0.5
+GROUP BY lang
+"""
+
+
 #: name -> (query_fn, oracle_sql | None)
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
@@ -592,4 +706,7 @@ PIPELINE_QUERIES = {
     "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_MULTIMODAL_FRAMES),
     "sessionize_events": (q_sessionize_events, _oracle_sessionize()),
+    "dedup_keep_first": (q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST),
+    "text_corpus_stats": (q_text_corpus_stats, ORACLE_CORPUS_STATS),
+    "pipeline_end_to_end": (q_pipeline_end_to_end, ORACLE_PIPELINE_E2E),
 }
