@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the scale claims, checked against explain().
+
+These pin the properties that make the engine viable at 100 TB — filter
+pushdown reaching scans, column pruning, broadcast of dimension sides,
+and the shuffle-free minhash formulation. If a refactor reintroduces a
+shuffle or un-pushes a filter, these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.operators import dedup
+from etl_portofolio_spark.plans.analytics_queries import (
+    q_agg_pricing_summary,
+    q_join_region_revenue,
+)
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(q_agg_pricing_summary(spark, SF_DIR))
+    # the shipdate range filter must reach the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: unused wide columns must not be read
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_region_revenue_broadcasts_all_dims(spark):
+    plan = _plan(q_join_region_revenue(spark, SF_DIR))
+    # 5 joins, every one broadcast — the fact table never shuffles for a
+    # join (formatted mode prints each node twice: tree + detail)
+    assert plan.count("BroadcastHashJoin") == 10
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signatures_are_shuffle_free(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text")
+    plan = _plan(sig)
+    # one round-robin spread of the single-split fixture scan is allowed;
+    # there must be NO hash/aggregate exchange (the map-only claim)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 1, f"expected <=1 exchange (spread only), got {n_exchanges}"
+    assert "HashAggregate" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.exact_dedup_groups(docs, "doc_id", "text"))
+    # partial agg -> single exchange on content_hash -> final agg
+    assert plan.count("Exchange ") == 1
+
+
+def test_filter_pushdown_on_partition_style_key(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    df = ev.where(F.col("event_type") == "click").select("event_id")
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "event_type" in pushed
