@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): operators vs plain-Python references.
+
+Random inputs catch the edge cases fixture data never hits: empty
+strings, single tokens, unicode whitespace runs, duplicate timestamps.
+Spark evaluation is batched per property (one createDataFrame + collect
+per example set, not per example) to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.functions.hashing import (
+    MINHASH_MOD,
+    MINHASH_PARAMS,
+)
+from etl_portofolio_spark.operators import dedup
+
+# printable-ish text with spaces, bounded size
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=0,
+    max_size=12,
+).map(lambda words: " ".join(words))
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.strip().lower().split()] if text.strip() else [""]
+
+
+def _py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.strip().lower().split() or [""]
+    out, seen = [], set()
+    for i in range(max(len(toks) - k + 1, 0)):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _py_h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_minhash(text: str, i: int) -> int | None:
+    sh = _py_shingles(text)
+    if not sh:
+        return None
+    a, b = MINHASH_PARAMS[i]
+    return min((_py_h32(s) % MINHASH_MOD * a + b) % MINHASH_MOD for s in sh)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=8))
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in dedup.shingled_docs(df, "doc_id", "text")
+        .select("doc_id", F.col("sh_set").alias("sh"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == sorted(_py_shingles(t)), (t, got[i])
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=6))
+def test_minhash_signature_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = {
+        r["doc_id"]: (r["mh00"], r["mh01"])
+        for r in dedup.minhash_signatures(df, "doc_id", "text", num_hashes=2).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = (_py_minhash(t, 0), _py_minhash(t, 1))
+        if expected[0] is None:
+            assert i not in sig  # no shingles -> no signature row
+        else:
+            assert sig[i] == expected, (t, sig[i], expected)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=10_000),  # minutes offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_batch_properties(spark, events):
+    """Sessions partition the events; intra-session gaps <= threshold,
+    inter-session gaps > threshold."""
+    from etl_portofolio_spark.streaming.stateful import sessionize_batch
+
+    gap_min = 30
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    df = spark.createDataFrame(
+        [(u, m * 60) for u, m in events], "user_id long, off long"
+    ).select("user_id", F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"))
+    sess = sessionize_batch(df, gap_minutes=gap_min).collect()
+    # total events preserved
+    assert sum(r["n_events"] for r in sess) == len(events)
+    # per-user session intervals are disjoint and separated by > gap
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for user, spans in by_user.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).total_seconds() > gap_min * 60
+        for s, e in spans:
+            assert s <= e
