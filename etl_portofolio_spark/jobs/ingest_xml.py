@@ -1,0 +1,135 @@
+"""XML-API ingestion job — the reference's `Ingestion Data (XML).py`.
+
+Differences by design (SURVEY.md §3.2): the fetch+parse runs on
+EXECUTORS (one input partition per 5-minute window) instead of driver
+pandas; the response schema is declared; the allowlist filter is a
+broadcast left-semi join; writes are idempotent dynamic partition
+overwrites instead of append-with-truncate-flag (the reference computed
+``is_truncate`` but never used it — §2.11.7).
+
+Intended column set per §2.11.1: transactions/delay/throughput (the
+reference selected misspelled names the API was never asked for).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.functions import date_parts, ds_from_ts, shift_hours
+from etl_portofolio_spark.session import build_session
+from etl_portofolio_spark.sinks.writer import write_partitioned
+from etl_portofolio_spark.sources.http_xml import TIME_FMT, register_xml_api
+
+
+def transform(df: DataFrame) -> DataFrame:
+    """ts parse → +7h shift → string date parts → ds (F4–F12 chain)."""
+    # API emits "E MMM d HH:mm:ss z yyyy" (Ingestion Data (XML).py:141);
+    # LEGACY parser policy accepts the E/z pattern fields on Spark 3+.
+    df.sparkSession.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    waktu = shift_hours(F.to_timestamp(F.col("waktu"), "E MMM d HH:mm:ss z yyyy"))
+    parts = date_parts(waktu)
+    return df.select(
+        F.col("appId_String").alias("aplikasi"),
+        F.col("clientAddr"),
+        F.col("serverAddr"),
+        F.col("transactions"),
+        F.col("delay"),
+        F.col("throughput"),
+        waktu.alias("waktu"),
+        *[
+            parts[k].alias(k)
+            for k in ("waktu_string", "tahun", "bulan", "tanggal", "jam", "menit")
+        ],
+        ds_from_ts(waktu).alias("ds"),
+    )
+
+
+def run(
+    spark: SparkSession,
+    start: datetime,
+    end: datetime,
+    target_path: str,
+    allowlist: list[str] | None = None,
+    url: str = "",
+    fetcher: str = "etl_portofolio_spark.jobs.ingest_xml:http_fetch",
+    window_minutes: int = 5,
+) -> int:
+    """Fetch [start, end) in parallel 5-minute windows and write one
+    idempotent partitioned batch. Returns rows written."""
+    register_xml_api(spark)
+    raw = (
+        spark.read.format("xmlapi")
+        .option("url", url)
+        .option("fetcher", fetcher)
+        .option("starttime", start.strftime(TIME_FMT))
+        .option("endtime", end.strftime(TIME_FMT))
+        .option("windowminutes", str(window_minutes))
+        .load()
+    )
+    if allowlist:
+        allow = spark.createDataFrame([(a,) for a in allowlist], ["appId_allow"])
+        raw = raw.join(
+            F.broadcast(allow), raw["appId_String"] == allow["appId_allow"], "left_semi"
+        )
+    out = transform(raw)
+    if out.isEmpty():
+        return 0
+    out = out.persist()
+    n = out.count()
+    write_partitioned(out, target_path)
+    out.unpersist()
+    return n
+
+
+def http_fetch(url: str, xml_body: str, window_id: str) -> str:
+    """Default production fetcher (basic-auth HTTP POST), import-gated:
+    the test container has no network; tests inject a fake fetcher."""
+    import requests  # noqa: F401  (available in most deployments)
+
+    resp = requests.post(
+        url,
+        data=xml_body,
+        headers={"Content-Type": "application/xml"},
+        auth=(os.getenv("api_user", ""), os.getenv("api_password", "")),
+        verify=False,
+        timeout=120,
+    )
+    resp.raise_for_status()
+    return resp.text
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--start", required=True, help="YYYY-mm-dd HH:MM:SS")
+    p.add_argument("--end", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--url", default=os.getenv("api_url", ""))
+    p.add_argument("--allowlist-csv", default=None)
+    args = p.parse_args()
+    spark = build_session("ingest-xml")
+    allow = None
+    if args.allowlist_csv:
+        allow = [
+            r[0]
+            for r in spark.read.option("header", "true")
+            .csv(args.allowlist_csv)
+            .collect()
+        ]
+    n = run(
+        spark,
+        datetime.strptime(args.start, TIME_FMT),
+        datetime.strptime(args.end, TIME_FMT),
+        args.target,
+        allowlist=allow,
+        url=args.url,
+    )
+    print(f"rows written: {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # dance (`Ingestion Data (MySQL).py:132-149`) with an atomic
     # per-partition overwrite.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # The engine's `ds` partition key is a STRING yyyyMMdd (SURVEY §1.3);
+    # without this, reading a partitioned table back infers ds=20240101
+    # as an int and silently changes the schema contract.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 #: Builder-time confs (only applied when *we* create the session).

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_portofolio_spark.sinks.writer import write_partitioned
 
@@ -95,28 +96,67 @@ class IncrementalRunner:
         self.transform = transform or (lambda df: df)
         self.target_path = target_path
         self.partition_col = partition_col
+        #: partitions already (re)written by THIS run — first touch of a
+        #: partition overwrites it (the reference's day-rollover
+        #: truncate), later windows of the same partition append.
+        self._seen: set = set()
 
     def watermark(self) -> str | None:
         return latest_partition(self.target_path, self.partition_col)
 
     def run_window(self, start: datetime, end: datetime) -> WindowResult:
+        """Run one window standalone: rewrites the partitions it touches."""
+        self._seen = set()
+        return self._window(start, end)
+
+    def _window(self, start: datetime, end: datetime) -> WindowResult:
+        """One window within the current run.
+
+        Windows can be FINER than the partition key (hourly windows into
+        daily ``ds``): a per-window blanket dynamic overwrite would then
+        clobber the same day's earlier hours. Instead, rows landing in a
+        partition this run has not touched yet are written with dynamic
+        overwrite (truncating whatever an older run left there — K4
+        semantics); rows for partitions this run already wrote are
+        appended.
+        """
         batch = self.transform(self.source(start, end))
         if batch.isEmpty():
             return WindowResult(start, end, 0, skipped_empty=True)
-        # Cache: the batch is consumed twice (row count for the result +
-        # the write). The reference instead re-read its JDBC source for
+        # Cache: the batch is consumed three times (count + ds probe +
+        # write). The reference instead re-read its JDBC source for
         # every count (`Ingestion Data (MySQL).py:172,175`).
         batch = batch.persist()
         rows = batch.count()
-        write_partitioned(batch, self.target_path, self.partition_col)
+        pc = self.partition_col
+        ds_vals = {r[0] for r in batch.select(pc).distinct().collect()}
+        fresh = ds_vals - self._seen
+        if fresh:
+            write_partitioned(
+                batch.where(F.col(pc).isin(*fresh)),
+                self.target_path,
+                pc,
+                mode="overwrite",
+            )
+        stale = ds_vals & self._seen
+        if stale:
+            write_partitioned(
+                batch.where(F.col(pc).isin(*stale)),
+                self.target_path,
+                pc,
+                mode="append",
+            )
+        self._seen |= ds_vals
         batch.unpersist()
         return WindowResult(start, end, rows, skipped_empty=False)
 
     def run(
         self, start: datetime, end: datetime, delta: timedelta
     ) -> list[WindowResult]:
-        """Run all windows in [start, end); each is independently idempotent."""
-        return [self.run_window(s, e) for s, e in time_windows(start, end, delta)]
+        """Run all windows in [start, end); re-running the whole range is
+        idempotent (each partition's first window truncates it)."""
+        self._seen = set()
+        return [self._window(s, e) for s, e in time_windows(start, end, delta)]
 
     def run_from_watermark(
         self, end: datetime, delta: timedelta, default_start: datetime

@@ -1,0 +1,118 @@
+"""End-to-end job tests — the reference's three scripts, run on fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.jobs import ingest_jdbc, ingest_xml, process_daily
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.sources.jdbc import JdbcWindowSource
+from etl_portofolio_spark.streaming.incremental import IncrementalRunner
+
+from .conftest import SF_DIR
+
+_FMT = "%a %b %d %H:%M:%S UTC %Y"
+
+
+def fake_api(url: str, xml_body: str, window_id: str) -> str:
+    """CSV in the API's Java-locale date format (E MMM d HH:mm:ss z yyyy)."""
+    start = datetime.strptime(window_id, "%Y-%m-%d %H:%M:%S")
+    header = "waktu,appId_String,clientAddr,serverAddr,transactions,delay,throughput"
+    rows = [
+        f"{(start + timedelta(minutes=i)).strftime(_FMT)},app{i % 3},10.0.0.{i},10.1.0.{i},{i}.0,0.5,{i * 10}.0"
+        for i in range(5)
+    ]
+    return "\n".join([header] + rows)
+
+
+def test_ingest_xml_job_end_to_end(spark, tmp_path):
+    target = str(tmp_path / "xml_tbl")
+    n = ingest_xml.run(
+        spark,
+        datetime(2024, 1, 1, 0, 0),
+        datetime(2024, 1, 1, 0, 10),  # two 5-min windows
+        target,
+        allowlist=["app0", "app1"],  # drops app2 rows
+        fetcher="tests.test_jobs:fake_api",
+    )
+    out = spark.read.parquet(target)
+    # 2 windows x 5 rows, minus app2 rows (i in {2}) per window
+    assert n == out.count() == 2 * 4
+    row = out.orderBy("waktu").first()
+    # +7h shift applied and string date parts derived
+    assert row["jam"] == "07" and row["tahun"] == "2024"
+    assert set(out.select("ds").distinct().toPandas()["ds"]) == {"20240101"}
+    # idempotent rerun
+    ingest_xml.run(
+        spark,
+        datetime(2024, 1, 1, 0, 0),
+        datetime(2024, 1, 1, 0, 10),
+        target,
+        allowlist=["app0", "app1"],
+        fetcher="tests.test_jobs:fake_api",
+    )
+    assert spark.read.parquet(target).count() == 8
+
+
+def test_ingest_jdbc_transform_contract(spark):
+    """The JDBC job's transform: decimal(20,0) counter + ds from clock+7h."""
+    df = spark.createDataFrame(
+        [(1, 1704067200, 5.0)], "itemid long, clock long, value double"
+    )
+    out = ingest_jdbc.transform(df)
+    row = out.first()
+    assert dict(out.dtypes)["value"] == "decimal(20,0)"
+    # 2024-01-01 00:00 UTC + 7h => ds 20240101
+    assert row["ds"] == "20240101"
+
+
+def test_ingest_jdbc_runner_wiring(spark, tmp_path, monkeypatch):
+    """Runner pulls windows from a stubbed JDBC source and writes parquet."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_id").alias("itemid"),
+        F.unix_timestamp("ts").alias("clock"),
+        "value",
+    ).persist()
+    lo = datetime.fromtimestamp(ev.agg(F.min("clock")).first()[0])
+    start = datetime(lo.year, lo.month, lo.day)
+
+    src = JdbcWindowSource(url="jdbc:stub", table="history", user="", password="")
+
+    def fake_read(self, spark_, s, e):
+        return ev.where(
+            (F.col("clock") >= int(s.timestamp())) & (F.col("clock") < int(e.timestamp()))
+        )
+
+    monkeypatch.setattr(JdbcWindowSource, "read_window", fake_read)
+    target = str(tmp_path / "jdbc_tbl")
+    runner = ingest_jdbc.build_runner(spark, src, target)
+    results = runner.run(start, start + timedelta(hours=6), timedelta(hours=1))
+    written = spark.read.parquet(target).count()
+    assert written == sum(r.rows for r in results)
+    assert written == ev.where(
+        (F.col("clock") >= int(start.timestamp()))
+        & (F.col("clock") < int((start + timedelta(hours=6)).timestamp()))
+    ).count()
+    ev.unpersist()
+
+
+def test_process_daily_job_end_to_end(spark, tmp_path):
+    from etl_portofolio_spark.plans.reference_queries import (
+        q_flagship_throughput_pivot,
+    )
+
+    full = q_flagship_throughput_pivot(spark, SF_DIR).persist()
+    lo, hi = full.agg(F.min("menit_ts"), F.max("menit_ts")).first()
+    start = datetime(lo.year, lo.month, lo.day)
+    end = datetime(hi.year, hi.month, hi.day) + timedelta(days=1)
+
+    target = str(tmp_path / "daily_tbl")
+    runner = process_daily.build_runner(spark, SF_DIR, target)
+    runner.run(start, end, timedelta(days=1))
+    got = spark.read.parquet(target).drop("ds")
+    expected = full.drop("ds")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    full.unpersist()

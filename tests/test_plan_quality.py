@@ -46,6 +46,9 @@ def test_region_revenue_broadcasts_all_dims(spark):
 
 
 def test_minhash_signatures_are_shuffle_free(spark):
+    # other tests may have left the shingled-docs persist() populated;
+    # a cache hit would splice InMemoryTableScan internals into the plan
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text")
     plan = _plan(sig)
