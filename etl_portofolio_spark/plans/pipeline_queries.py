@@ -10,7 +10,7 @@ parameters as the Spark plan to keep the two structurally identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_portofolio_spark.catalog import load_table
@@ -687,6 +687,116 @@ GROUP BY lang
 """
 
 
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: typed extraction + aggregation over props.
+
+    ``from_json`` with a declared schema (never schema_of_json at scale —
+    one pass, no sampling) then a grouped aggregate on the extracted
+    field. JSON parse happens once per row in the scan stage.
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "k", F.from_json(F.col("props"), "k int").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: majority label among the 5 nearest neighbors.
+
+    Similarity search applied to labeling (the standard semi-supervised
+    trick in training-data pipelines): brute-force top-5 per query,
+    join back the neighbor labels, majority vote with deterministic
+    ties (higher count first, then smaller label).
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.brute_force_topk(emb, query_ids=(20, 21, 22, 23, 24), k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+ORACLE_KNN_VOTE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id IN (20, 21, 22, 23, 24)
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'v.v')} AS cosine
+  FROM v, q WHERE v.vec_id <> q.query_id
+), topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+), votes AS (
+  SELECT t.query_id, e.label, count(*) AS n_votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+)
+SELECT query_id, label AS predicted_label, n_votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+def q_stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: first-N-by-id docs per source.
+
+    Source-mix control for training corpora: a per-stratum window quota
+    (row_number <= N). One shuffle on the stratum key; the deterministic
+    order column (doc_id) makes reruns and oracles exact — never
+    ``sample()`` inside a quota.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+ORACLE_STRATIFIED = """
+SELECT source, doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT source, doc_id, lang,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 #: name -> (query_fn, oracle_sql | None)
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
@@ -709,4 +819,7 @@ PIPELINE_QUERIES = {
     "dedup_keep_first": (q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST),
     "text_corpus_stats": (q_text_corpus_stats, ORACLE_CORPUS_STATS),
     "pipeline_end_to_end": (q_pipeline_end_to_end, ORACLE_PIPELINE_E2E),
+    "json_props_extract": (q_json_props_extract, ORACLE_JSON_PROPS),
+    "knn_label_vote": (q_knn_label_vote, ORACLE_KNN_VOTE),
+    "stratified_source_sample": (q_stratified_source_sample, ORACLE_STRATIFIED),
 }
