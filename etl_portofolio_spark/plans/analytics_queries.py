@@ -450,6 +450,65 @@ FROM g
 """
 
 
+def q_window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over one window: rank / dense_rank /
+    ntile / percent_rank / cume_dist (single sort per partition —
+    Catalyst evaluates all five in one Window operator)."""
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+ORACLE_RANK_VARIANTS = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def q_exists_subquery_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS shape: suppliers whose nation has customers with
+    an account balance above a threshold — planned as a left-semi join
+    chain (Catalyst rewrites EXISTS to semi joins; here declared
+    directly, same plan)."""
+    apply_runtime_confs(spark)
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    rich_nations = (
+        customer.where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    return supplier.join(
+        rich_nations, supplier["s_nationkey"] == rich_nations["nk"], "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+ORACLE_EXISTS_SHAPE = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation — result-identical to a plain groupBy.
 
@@ -530,4 +589,6 @@ ANALYTICS_QUERIES = {
     ),
     "agg_type_revenue_share": (q_agg_type_revenue_share, ORACLE_TYPE_REVENUE_SHARE),
     "skew_salted_agg": (q_skew_salted_agg, ORACLE_SKEW_SALTED),
+    "window_rank_variants": (q_window_rank_variants, ORACLE_RANK_VARIANTS),
+    "exists_subquery_shape": (q_exists_subquery_shape, ORACLE_EXISTS_SHAPE),
 }
