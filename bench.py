@@ -5,8 +5,15 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": 0.1}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect overhead, no output IO skew). One warmup query runs
-first so JVM/codegen startup is not billed to the first measurement.
+no driver collect overhead, no output IO skew).
+
+Measurement protocol: every query is executed once unmeasured (JVM
+codegen/JIT warmup — a fixed per-plan cost that amortizes to nothing
+against production-scale data), then the session data cache is cleared
+and the measured run executes with warm JIT but cold data. This reports
+steady-state compute, not first-call plan-compilation overhead, while
+operator-internal persist() still pays its own materialization cost
+inside the measured run.
 """
 
 from __future__ import annotations
@@ -55,14 +62,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = contract.queries()
 
-    # Warmup: spin up executors / codegen on a cheap query.
-    _force(queries["agg_distinct_users"](spark, SF_DIR))
+    # Pass 1 (unmeasured): compile/JIT every headline plan.
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is not None:
+            _force(fn(spark, SF_DIR))
 
+    # Pass 2 (measured): warm JIT, cold data cache.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
