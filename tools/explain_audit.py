@@ -1,0 +1,65 @@
+"""Plan audit: formatted-explain summaries for the headline queries.
+
+Prints, per query: parquet scans with their pushed filters and read
+schemas, join strategies, and exchange (shuffle) counts — the things
+that decide whether a plan survives a 100x scale-up. Run after any
+operator change:
+
+    python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = (
+    "agg_pricing_summary",
+    "join_region_revenue",
+    "join_shipping_priority",
+    "direction_pivot_groupby",
+    "flagship_throughput_pivot",
+    "dedup_minhash_pairs",
+    "ann_lsh_topk",
+    "sessionize_events",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as contract
+    from etl_portofolio_spark.session import build_session
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or DEFAULT_QUERIES
+
+    spark = build_session("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = contract.queries()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        scans = plan.count("Scan parquet")
+        joins = [
+            kind
+            for kind in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+            if kind in plan
+        ]
+        # tree section only (before the "(1) ..." detail list) for counts
+        tree = plan.split("\n(1)")[0]
+        exchanges = tree.count("Exchange")
+        print(f"== {name}: scans={scans} exchanges={exchanges} joins={joins}")
+        for line in plan.splitlines():
+            s = line.strip()
+            if s.startswith("PushedFilters") or s.startswith("ReadSchema"):
+                print(f"   {s[:160]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
