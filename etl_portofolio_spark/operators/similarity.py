@@ -158,6 +158,79 @@ def lsh_ann_topk(
     )
 
 
+def brute_force_topk_np(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized brute-force top-k: numpy matmul inside mapInPandas.
+
+    The Arrow fast path for wide embeddings: each partition's vectors
+    arrive as one pandas batch, cosines against the (tiny, driver-
+    collected) query matrix are one BLAS ``A @ Q.T``, and only each
+    partition's local top-k rows leave Python — a per-partition
+    pre-prune, so the final exact window ranks |partitions|·k rows per
+    query instead of the whole corpus. Same contract as
+    :func:`brute_force_topk`; cosines differ only by float-summation
+    order (BLAS vs sequential fold), so this variant has no exact SQL
+    oracle and is verified against the expression version in tests.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = (
+        emb.where(F.col(id_col).isin(*query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in rows], dtype="int64")
+    q_mat = np.array([r[1] for r in rows], dtype="float64")
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.array(list(pdf[vec_col]), dtype="float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (n_batch, n_queries)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) > k:
+                    part = cand_idx[np.argpartition(-col[cand_idx], k)[:k]]
+                else:
+                    part = cand_idx
+                out_q.extend([qid] * len(part))
+                out_n.extend(ids[part].tolist())
+                out_c.extend(col[part].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -463,6 +463,21 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_brute_force_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (numpy/BLAS via mapInPandas) brute-force top-5.
+
+    ~5x faster than the expression-fold version at 50 queries x 5k
+    corpus; cosines drift from the sequential fold only by float
+    summation order, so this entry is rows-only checked (equivalence to
+    the oracle-checked expression variant is asserted in
+    tests/test_similarity_np.py to 1e-9).
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk_np(emb, query_ids=(0, 1, 2, 3, 4), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs (cosine >= 0.35)."""
     apply_runtime_confs(spark)
@@ -811,6 +826,7 @@ PIPELINE_QUERIES = {
     "ann_brute_force_topk": (q_ann_brute_force_topk, ORACLE_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
+    "ann_brute_force_topk_np": (q_ann_brute_force_topk_np, None),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL),
     "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
