@@ -372,13 +372,16 @@ def q_agg_decimal_revenue_by_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.select(F.date_format("ts", "yyyyMMdd").alias("ds"), counter.alias("v"))
         .groupBy("ds")
-        .agg(F.sum("v").cast(T.DecimalType(38, 0)).alias("revenue_micro"))
+        # the SUM runs in exact decimal arithmetic (F9); the emitted leaf
+        # is BIGINT (micro-units fit comfortably) because DECIMAL crosses
+        # the cross-engine hash boundary unstably (VERDICT r1).
+        .agg(F.sum("v").cast(T.DecimalType(38, 0)).cast("long").alias("revenue_micro"))
     )
 
 
 ORACLE_DECIMAL_REVENUE = """
 SELECT strftime(ts, '%Y%m%d') AS ds,
-       CAST(sum(CAST(round(value * 1000000, 0) AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS revenue_micro
+       CAST(sum(CAST(round(value * 1000000, 0) AS DECIMAL(20,0))) AS BIGINT) AS revenue_micro
 FROM events GROUP BY 1
 """
 
@@ -536,7 +539,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SKEW_SALTED = f"""
 SELECT l_returnflag, l_linestatus,
-       sum({_sql_cents('l_quantity')}) AS sum_qty_c,
+       CAST(sum({_sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_c,
        count(l_orderkey) AS n_items,
        max({_sql_cents('l_quantity')}) AS max_qty_c
 FROM lineitem
@@ -563,7 +566,7 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
        time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2, 3
 """

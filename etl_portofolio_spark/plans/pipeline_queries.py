@@ -467,15 +467,35 @@ def q_ann_brute_force_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (numpy/BLAS via mapInPandas) brute-force top-5.
 
     ~5x faster than the expression-fold version at 50 queries x 5k
-    corpus; cosines drift from the sequential fold only by float
-    summation order, so this entry is rows-only checked (equivalence to
-    the oracle-checked expression variant is asserted in
-    tests/test_similarity_np.py to 1e-9).
+    corpus. BLAS cosines drift from a sequential fold by float-summation
+    order, so the hashed output is RANK-ONLY (query_id, neighbor_id,
+    rank) — fully oracle-checkable because the neighbor set + ordering
+    are summation-order-independent at any realistic cosine gap; the
+    cosine values themselves are asserted against the oracle-checked
+    expression variant in tests/test_similarity_np.py to 1e-9.
     """
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.brute_force_topk_np(emb, query_ids=(0, 1, 2, 3, 4), k=5)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_ANN_BRUTE_NP = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'v.v')} AS cosine
+  FROM v, q WHERE v.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,7 +716,7 @@ WITH keepers AS (
            + 0.3 * least((stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 4.0, 1.0) AS quality_score
   FROM feats
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM scored WHERE quality_score >= 0.5
 GROUP BY lang
 """
@@ -826,7 +846,7 @@ PIPELINE_QUERIES = {
     "ann_brute_force_topk": (q_ann_brute_force_topk, ORACLE_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
-    "ann_brute_force_topk_np": (q_ann_brute_force_topk_np, None),
+    "ann_brute_force_topk_np": (q_ann_brute_force_topk_np, ORACLE_ANN_BRUTE_NP),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL),
     "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),

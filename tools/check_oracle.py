@@ -26,10 +26,14 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # Strict on purpose: the driver's value hash does NOT forgive Decimal
+    # scale/exponent differences or tz-awareness, so neither do we
+    # (VERDICT r1: six queries passed a normalize()/tz-strip checker but
+    # failed the driver hash).
     if isinstance(v, Decimal):
-        return str(v.normalize())
+        return str(v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -39,6 +43,30 @@ def _norm(v):
 
 def _sortkey(row):
     return tuple((x is None, str(x)) for x in row)
+
+
+# Type classes that cross the driver's engine→hash boundary unstably even
+# when Python values compare equal (learned from CORRECTNESS_r01: DuckDB
+# sum(BIGINT)→HUGEINT, DECIMAL on either side, TIMESTAMPTZ vs naive).
+_SPARK_HAZARDS = ("decimal",)
+_DUCK_HAZARDS = ("DECIMAL", "HUGEINT", "UHUGEINT", "TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ")
+
+
+def type_hazards(name, spark_df, duck_types) -> list[str]:
+    errs = []
+    for f in spark_df.schema.fields:
+        if any(h in f.dataType.simpleString() for h in _SPARK_HAZARDS):
+            errs.append(
+                f"{name}: HAZARD spark column {f.name} is {f.dataType.simpleString()} "
+                "(emit BIGINT/STRING/DOUBLE instead — driver hash is repr-sensitive)"
+            )
+    for col, t in duck_types:
+        if any(h in str(t).upper() for h in _DUCK_HAZARDS):
+            errs.append(
+                f"{name}: HAZARD duck column {col} is {t} "
+                "(CAST to BIGINT/VARCHAR/DOUBLE/naive TIMESTAMP in the oracle)"
+            )
+    return errs
 
 
 def compare(name, spark_df, duck_rows, duck_cols) -> list[str]:
@@ -95,8 +123,10 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             rel = con.execute(oracles[name])
             duck_cols = [d[0] for d in rel.description]
+            duck_types = [(d[0], d[1]) for d in rel.description]
             duck_rows = rel.fetchall()
-            errs = compare(name, sdf, duck_rows, duck_cols)
+            errs = type_hazards(name, sdf, duck_types)
+            errs += compare(name, sdf, duck_rows, duck_cols)
         except Exception as e:  # noqa: BLE001
             errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
         if errs:
