@@ -499,21 +499,42 @@ FROM ranked WHERE rank <= 5
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup candidate pairs (cosine >= 0.35)."""
+    """LSH-blocked near-dup pairs (cosine >= 0.35, 2 planes x 6 tables)."""
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.35, dim=64, num_planes=2, num_tables=6
+    )
 
 
-ORACLE_EMB_NEAR_DUP = f"""
+def _sql_near_dup_lsh(threshold: float, dim: int, num_planes: int, num_tables: int) -> str:
+    """Oracle mirroring the multi-table LSH blocking exactly (same planes)."""
+    planes_all = similarity.hyperplane_matrix(num_tables * num_planes, dim)
+    values = ", ".join(
+        f"({r // num_planes}, {r % num_planes}, {[float(w) for w in planes_all[r]]})"
+        for r in range(num_tables * num_planes)
+    )
+    return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), planes(t, plane_id, w) AS (
+  SELECT * FROM (VALUES {values})
+), bucketed AS (
+  SELECT v.vec_id, v.v, planes.t,
+         CAST(sum(CASE WHEN {_SQL_DOT.format(a='v.v', b='planes.w')} > 0
+                  THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS b
+  FROM v, planes GROUP BY v.vec_id, v.v, planes.t
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_cosine('a.v', 'b.v')} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_sql_cosine('a.v', 'b.v')} AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_sql_cosine('a.v', 'b.v')} >= 0.35
+SELECT DISTINCT id_a, id_b, cosine FROM cand WHERE cosine >= {threshold}
 """
+
+
+ORACLE_EMB_NEAR_DUP = _sql_near_dup_lsh(0.35, 64, 2, 6)
 
 
 # --- multimodal -------------------------------------------------------------

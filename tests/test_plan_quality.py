@@ -72,3 +72,13 @@ def test_filter_pushdown_on_partition_style_key(spark):
     plan = _plan(df)
     pushed = plan.split("PushedFilters")[1].split("\n")[0]
     assert "event_type" in pushed
+
+
+def test_near_dup_lsh_has_no_cartesian(spark):
+    """The near-dup blocker must be an equi-join, never an all-pairs plan."""
+    from etl_portofolio_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(similarity.embedding_near_dup_pairs(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -25,3 +25,31 @@ def test_np_topk_matches_expression_topk(spark):
         assert nid == nid2, (key, nid, nid2)
         # BLAS vs sequential-fold summation order: tiny float drift only
         assert abs(cos - cos2) < 1e-9
+
+
+def test_near_dup_lsh_recall_vs_exact(spark):
+    """LSH blocking is a strict subset of exact pairs with recall >= 0.9.
+
+    2 planes x 6 tables at the fixture's dup band (cos 0.35-0.7,
+    theta 55-70 deg) predicts recall 0.94-0.97; measured 261/271 at
+    sf0.01. Every emitted pair must be a true pair with the exact
+    cosine (blocking changes WHICH pairs surface, never their values).
+    """
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators import similarity
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(emb).collect()
+    }
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs_exact(emb).collect()
+    }
+    assert set(got) <= set(truth)
+    for pair, cos in got.items():
+        assert cos == truth[pair]
+    assert len(got) / len(truth) >= 0.9
