@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,8 +68,13 @@ def main() -> None:
     )
     spark = build_session("ingest-jdbc")
     runner = build_runner(spark, source, args.target)
+    # runner windows are ds-timezone wall-clock (see JdbcWindowSource._epoch)
+    # — "now" must be in the same coordinates, not host-local.
+    now_local = datetime.now(timezone.utc).replace(tzinfo=None) + timedelta(
+        hours=source.tz_offset_hours
+    )
     results = runner.run_from_watermark(
-        end=datetime.now(),
+        end=now_local,
         delta=timedelta(hours=1),
         default_start=datetime.strptime(args.default_start, DS_FORMAT),
     )

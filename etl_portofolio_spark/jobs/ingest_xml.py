@@ -88,15 +88,25 @@ def run(
 
 def http_fetch(url: str, xml_body: str, window_id: str) -> str:
     """Default production fetcher (basic-auth HTTP POST), import-gated:
-    the test container has no network; tests inject a fake fetcher."""
+    the test container has no network; tests inject a fake fetcher.
+
+    TLS verification is ON unless ``api_verify_tls=false`` is set —
+    basic-auth credentials over an unverified channel would otherwise be
+    interceptable by design.
+    """
     import requests  # noqa: F401  (available in most deployments)
 
+    verify = os.getenv("api_verify_tls", "true").strip().lower() not in (
+        "0",
+        "false",
+        "no",
+    )
     resp = requests.post(
         url,
         data=xml_body,
         headers={"Content-Type": "application/xml"},
         auth=(os.getenv("api_user", ""), os.getenv("api_password", "")),
-        verify=False,
+        verify=verify,
         timeout=120,
     )
     resp.raise_for_status()

@@ -87,7 +87,17 @@ def salted_join(
 
     Use when the small side is too big to broadcast but the big side's
     key histogram is badly skewed and AQE can't save the stage.
+
+    Only ``inner`` and ``left`` are equivalent to the unsalted join:
+    the small side is replicated ``num_salts``×, so right/full outer
+    would emit each UNMATCHED small-side row once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the "
+            f"replicated small side would duplicate unmatched rows "
+            f"{num_salts}x under right/full outer"
+        )
     big_s = big.withColumn("__salt", salt_column(salt_from, num_salts))
     small_r = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

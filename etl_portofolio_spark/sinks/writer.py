@@ -53,7 +53,7 @@ def _estimate_rows_per_file(
 def write_partitioned(
     df: DataFrame,
     path: str,
-    partition_col: str = "ds",
+    partition_col: str | list[str] = "ds",
     mode: str = "overwrite",
     target_file_bytes: int | None = DEFAULT_TARGET_FILE_BYTES,
 ) -> None:
@@ -62,11 +62,13 @@ def write_partitioned(
     ``mode="overwrite"`` + dynamic partition overwrite replaces ONLY the
     partitions present in ``df`` (the reference's truncate-then-append
     dance, K4, as one atomic operation); ``mode="append"`` is the plain
-    K1 append.
+    K1 append. ``partition_col`` may be a composite key (list) — the
+    streaming sink uses ``[ds, batch_id]``.
     """
     spark = df.sparkSession
+    cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = df.write.partitionBy(partition_col).format("parquet").mode(mode)
+    writer = df.write.partitionBy(*cols).format("parquet").mode(mode)
     if target_file_bytes:
         rows_per_file = _estimate_rows_per_file(df, target_file_bytes)
         if rows_per_file:

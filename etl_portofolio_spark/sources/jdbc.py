@@ -16,10 +16,13 @@ option-building logic — the actual operator — is pure and fully tested.
 
 from __future__ import annotations
 
+import calendar
 from dataclasses import dataclass, field
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+
+from etl_portofolio_spark.functions.timeparts import DEFAULT_TZ_OFFSET_HOURS
 
 MYSQL_DRIVER = "com.mysql.cj.jdbc.Driver"
 
@@ -49,11 +52,30 @@ class JdbcWindowSource:
     driver: str = MYSQL_DRIVER
     num_partitions: int = 8
     fetch_size: int = 10000
+    #: IncrementalRunner windows (and the ds partition key derived from
+    #: clock) are wall-clock in THIS fixed offset; epoch conversion must
+    #: use it explicitly — never host-local ``datetime.timestamp()``.
+    tz_offset_hours: int = DEFAULT_TZ_OFFSET_HOURS
     extra_options: dict[str, str] = field(default_factory=dict)
+
+    def _epoch(self, dt: datetime) -> int:
+        """ds-timezone wall-clock (naive) → epoch seconds, host-tz-proof.
+
+        A naive datetime here is a UTC+offset LOCAL instant (the
+        coordinate system of the ``ds`` key and the runner's watermark
+        resume); tz-aware datetimes convert exactly. Using host-local
+        ``timestamp()`` instead shifted the resume boundary off the ds
+        partition edge on any host not running at UTC+offset — the first
+        fresh window then dynamic-overwrote the watermark partition with
+        a partial day (ADVICE r1).
+        """
+        if dt.tzinfo is not None:
+            return int(dt.timestamp())
+        return calendar.timegm(dt.timetuple()) - self.tz_offset_hours * 3600
 
     def options_for(self, start: datetime, end: datetime) -> dict[str, str]:
         """Full reader-option map for [start, end) epoch-seconds window."""
-        lo, hi = int(start.timestamp()), int(end.timestamp())
+        lo, hi = self._epoch(start), self._epoch(end)
         return {
             "driver": self.driver,
             "url": self.url,

@@ -162,7 +162,16 @@ class IncrementalRunner:
         self, end: datetime, delta: timedelta, default_start: datetime
     ) -> list[WindowResult]:
         """Resume after the watermark partition (re-running its day is safe:
-        dynamic overwrite replaces, never duplicates)."""
+        dynamic overwrite replaces, never duplicates).
+
+        Coordinate convention: window datetimes are wall-clock in the
+        SAME timezone the ``ds`` key is derived in (UTC+7 for the
+        reference jobs), so ``strptime(ds)`` IS the partition's exact
+        start boundary. Sources that need absolute epochs must convert
+        with their configured offset (``JdbcWindowSource._epoch``) —
+        host-local ``datetime.timestamp()`` would silently shift the
+        resume off the partition edge on non-UTC+7 hosts.
+        """
         wm = self.watermark()
         start = (
             datetime.strptime(wm, DS_FORMAT) if wm is not None else default_start

@@ -71,6 +71,32 @@ def windowed_counts(
     )
 
 
+def make_batch_sink(
+    target_path: str,
+    partition_col: str = "ds",
+    ds_from: str = "w_start",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch closure behind :func:`start_dynamic_overwrite_sink`.
+
+    Factored out so the (ds, batch_id) overwrite contract is directly
+    unit-testable: replaying a batch_id replaces its own sub-partitions;
+    sibling batches writing the same ds never touch each other.
+    """
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        out = batch.withColumn(
+            partition_col, F.date_format(F.col(ds_from), "yyyyMMdd")
+        )
+        if transform is not None:
+            out = transform(out)
+        out = out.withColumn("batch_id", F.lit(int(batch_id)))
+        if not out.isEmpty():
+            write_partitioned(out, target_path, [partition_col, "batch_id"])
+
+    return _sink
+
+
 def start_dynamic_overwrite_sink(
     df: DataFrame,
     target_path: str,
@@ -80,23 +106,28 @@ def start_dynamic_overwrite_sink(
     available_now: bool = True,
     transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
-    """foreachBatch sink: derive ``ds`` and dynamically overwrite partitions.
+    """foreachBatch sink: ``(ds, batch_id)``-keyed dynamic overwrite.
 
-    Micro-batch replays (after failure/restart) rewrite the same
-    partitions instead of appending duplicates — K4 semantics carried
-    into streaming.
+    Exactly-once-ish K4 semantics that hold across BOTH hazards of a
+    file sink fed by append-mode micro-batches:
+
+    - **replay** (failure/restart re-runs the last batch): the batch
+      dynamically overwrites only its own ``batch_id=N`` sub-partitions,
+      so a half-written attempt is replaced, never duplicated;
+    - **siblings** (several batches emit windows for the same day —
+      live triggers, or availableNow split by ``maxFilesPerTrigger``):
+      batch N+1 touches ``(ds, N+1)`` only and can never clobber batch
+      N's rows for the same ``ds`` — a per-run seen-set would still
+      lose them on restart replay, the composite key cannot.
+
+    Readers of ``target_path`` see an extra ``batch_id`` partition
+    column (drop it, or compact day partitions offline once the day is
+    closed). Append-mode windowed aggregation emits each finalized
+    window exactly once, so no cross-batch row duplication arises.
     """
 
-    def _sink(batch: DataFrame, _batch_id: int) -> None:
-        out = batch.withColumn(
-            partition_col, F.date_format(F.col(ds_from), "yyyyMMdd")
-        )
-        if transform is not None:
-            out = transform(out)
-        if not out.isEmpty():
-            write_partitioned(out, target_path, partition_col)
-
-    writer = df.writeStream.foreachBatch(_sink).option(
+    sink = make_batch_sink(target_path, partition_col, ds_from, transform)
+    writer = df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timedelta
 
 import pytest
@@ -138,7 +139,7 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = spark.read.parquet(target)
+    got = spark.read.parquet(target).drop("batch_id")
     # Append-mode watermark semantics: windows still inside the lateness
     # horizon at end-of-stream stay in state — only FINALIZED windows
     # (w_end <= max_ts - lateness) are emitted.
@@ -249,3 +250,65 @@ def test_jdbc_window_options_parallel_stripes():
     assert opts["numPartitions"] == "8"
     assert "clock >= " in opts["dbtable"] and "AS final" in opts["dbtable"]
     assert opts["driver"].startswith("com.mysql")
+
+
+def test_batch_sink_siblings_and_replay(spark, tmp_path):
+    """Batches sharing a ds partition must not clobber each other, and a
+    replayed batch_id must replace only its own sub-partitions.
+
+    Drives the foreachBatch closure directly with deterministic batches
+    (end-to-end streaming leaves which-batch-emits-which-day to
+    watermark timing): batch 1 = morning windows of day X, batch 2 =
+    afternoon windows of the same day. A blanket per-ds overwrite kept
+    only batch 2's rows; the (ds, batch_id) key keeps both, and
+    re-running batch 2 (failure replay) changes nothing."""
+    from etl_portofolio_spark.streaming.structured import make_batch_sink
+
+    target = str(tmp_path / "out")
+    sink = make_batch_sink(target)
+    ev = load_table(spark, SF_DIR, "events")
+    day = windowed_counts(ev, window="1 hour", keys=("event_type",)).where(
+        F.date_format("w_start", "yyyyMMdd") == "20240105"
+    )
+    morning = day.where(F.hour("w_start") < 12)
+    afternoon = day.where(F.hour("w_start") >= 12)
+    assert morning.count() > 0 and afternoon.count() > 0
+
+    sink(morning, 1)
+    sink(afternoon, 2)
+    got = spark.read.parquet(target).drop("batch_id", "ds")
+    assert got.exceptAll(day).count() == 0
+    assert day.exceptAll(got).count() == 0
+
+    sink(afternoon, 2)  # failure replay of the last batch
+    replayed = spark.read.parquet(target).drop("batch_id", "ds")
+    assert replayed.count() == day.count()
+    assert replayed.exceptAll(day).count() == 0
+
+
+def test_jdbc_window_epoch_is_host_tz_independent():
+    """Watermark resume must align with the ds partition boundary on ANY
+    host timezone: ds=20240105 begins at epoch(2024-01-05T00:00+07:00),
+    regardless of what TZ the driver process runs in."""
+    import calendar
+    import time
+
+    src = JdbcWindowSource(
+        url="jdbc:mysql://db:3306/zabbix", table="history", user="u", password="p"
+    )
+    wm_start = datetime(2024, 1, 5)  # strptime("20240105") — local wall-clock
+    expected = calendar.timegm((2024, 1, 5, 0, 0, 0)) - 7 * 3600
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Jakarta"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            opts = src.options_for(wm_start, wm_start + timedelta(hours=1))
+            assert int(opts["lowerBound"]) == expected, tz
+            assert int(opts["upperBound"]) == expected + 3600, tz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

@@ -45,3 +45,14 @@ def test_salted_join_equals_plain(spark):
     plain = li.join(orders, "o_orderkey")
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from etl_portofolio_spark.operators.skew import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left only"):
+        salted_join(a, b, key="k", salt_from="k", how="full")
