@@ -89,3 +89,83 @@ def refresh_path(spark: SparkSession, path: str) -> None:
         spark.catalog.refreshByPath(path)
     except Exception:
         pass  # path not cached / not a table — refresh is best-effort
+
+
+# --- catalog (metastore) table variants --------------------------------------
+#
+# The reference's sink is a NAMED catalog table, not a path: saveAsTable
+# into the metastore, SHOW PARTITIONS for the watermark, TRUNCATE ...
+# PARTITION for day rollover, REFRESH TABLE after writes (`Ingestion
+# Data (MySQL).py:24-26, 58-65, 142-149`). These mirror the path API
+# above 1:1 on spark.catalog tables (plain datasource tables — no Hive
+# metastore needed; works against Derby/in-memory catalogs alike).
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    table: str,
+    partition_col: str | list[str] = "ds",
+    mode: str = "overwrite",
+    target_file_bytes: int | None = DEFAULT_TARGET_FILE_BYTES,
+) -> None:
+    """K1/K4 against a catalog table: create on first write, then
+    per-partition dynamic overwrite (or plain append) via ``insertInto``.
+
+    ``saveAsTable(mode="overwrite")`` would drop and recreate the WHOLE
+    table; ``insertInto`` under ``partitionOverwriteMode=dynamic``
+    replaces only the partitions present in ``df`` — the truncate-then-
+    append dance as one atomic statement. ``insertInto`` is positional,
+    so columns are realigned to the table schema first.
+    """
+    spark = df.sparkSession
+    cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rows_per_file = (
+        _estimate_rows_per_file(df, target_file_bytes) if target_file_bytes else None
+    )
+    if not spark.catalog.tableExists(table):
+        writer = df.write.partitionBy(*cols).format("parquet")
+        if rows_per_file:
+            writer = writer.option("maxRecordsPerFile", rows_per_file)
+        writer.saveAsTable(table)
+    else:
+        aligned = df.select(*spark.table(table).columns)
+        writer = aligned.write.mode(mode)
+        if rows_per_file:
+            writer = writer.option("maxRecordsPerFile", rows_per_file)
+        writer.insertInto(table)
+    refresh_table(spark, table)
+
+
+def latest_table_partition(
+    spark: SparkSession, table: str, partition_col: str = "ds"
+) -> str | None:
+    """S7/A2 watermark from ``SHOW PARTITIONS`` — the reference's probe
+    (`Ingestion Data (MySQL).py:23-31`) verbatim, O(#partitions) metadata
+    only, no data scan."""
+    if not spark.catalog.tableExists(table):
+        return None
+    values = []
+    for row in spark.sql(f"SHOW PARTITIONS {table}").collect():
+        spec = dict(kv.split("=", 1) for kv in row[0].split("/"))
+        if partition_col in spec:
+            values.append(spec[partition_col])
+    return max(values) if values else None
+
+
+def truncate_table_partition(
+    spark: SparkSession, table: str, partition_col: str, value: str
+) -> None:
+    """The reference's ``TRUNCATE TABLE ... PARTITION`` day-rollover
+    (`Ingestion Data (MySQL).py:142-149`) — kept for parity; the runner
+    itself prefers dynamic overwrite (truncate+append in one op)."""
+    spark.sql(f"TRUNCATE TABLE {table} PARTITION ({partition_col}='{value}')")
+    refresh_table(spark, table)
+
+
+def refresh_table(spark: SparkSession, table: str) -> None:
+    """K5: ``REFRESH TABLE`` (`Ingestion Data (MySQL).py:65`)."""
+    try:
+        spark.sql(f"REFRESH TABLE {table}")
+    except Exception:
+        pass  # table dropped concurrently — refresh is best-effort
