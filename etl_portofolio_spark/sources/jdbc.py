@@ -9,9 +9,10 @@ subquery and adds what the reference lacked: ``partitionColumn`` /
 disjoint ``clock`` stripes concurrently, plus ``fetchsize`` (the MySQL
 driver otherwise streams row-at-a-time).
 
-No database ships in the test environment, so ``load()`` is exercised
-against the options contract in tests (and integration-gated); the
-option-building logic — the actual operator — is pure and fully tested.
+The read path executes in tests against embedded Derby (bundled with
+Spark's jars): pushdown subquery, parallel stripes, and the full
+hour-windowed ingest job all run against a live JDBC database — see
+``tests/test_io_streaming.py`` (``test_jdbc_read_window_executes_*``).
 """
 
 from __future__ import annotations

@@ -387,3 +387,90 @@ def test_table_incremental_runner_end_to_end(spark, tmp_path, catalog_db):
     runner.run_from_watermark(end, timedelta(days=1), default_start=start)
     assert spark.table(tbl).count() == total
     ev.unpersist()
+
+
+# --- jdbc execution path (embedded Derby ships with Spark) -------------------
+
+
+def _seed_derby_history(spark, db_path: str, rows: list[tuple[int, int, float]]):
+    """Create + populate a Derby `history` table via the driver JVM."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db_path};create=true")
+    st = conn.createStatement()
+    st.execute("CREATE TABLE history (itemid INT, clock BIGINT, value DOUBLE)")
+    ps = conn.prepareStatement("INSERT INTO history VALUES (?, ?, ?)")
+    for itemid, clock, value in rows:
+        ps.setInt(1, itemid)
+        ps.setLong(2, clock)
+        ps.setDouble(3, value)
+        ps.executeUpdate()
+    ps.close()
+    st.close()
+    conn.close()
+
+
+def _derby_source(db_path: str, num_partitions: int = 4) -> JdbcWindowSource:
+    return JdbcWindowSource(
+        url=f"jdbc:derby:{db_path}",
+        table="history",
+        user="",
+        password="",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        num_partitions=num_partitions,
+    )
+
+
+def test_jdbc_read_window_executes_with_pushdown(spark, tmp_path):
+    """S4 executed, not just options-tested: the pushdown subquery and
+    partitioned stripes run against a real JDBC database (embedded
+    Derby, bundled with Spark) and return exactly the window's rows."""
+    base = calendar_epoch = __import__("calendar").timegm((2024, 1, 5, 0, 0, 0)) - 7 * 3600
+    rows = [(1, base + i * 600, float(i)) for i in range(144)]  # 24h of 10-min points
+    db = str(tmp_path / "derbydb")
+    _seed_derby_history(spark, db, rows)
+
+    src = _derby_source(db)
+    lo = datetime(2024, 1, 5, 3, 0)   # ds-tz wall-clock, 1h window
+    hi = datetime(2024, 1, 5, 4, 0)
+    got = src.read_window(spark, lo, hi)
+    assert got.rdd.getNumPartitions() == 4  # parallel stripes
+    # Derby reports uppercase column names; Spark resolution is
+    # case-insensitive, Python Row.__getitem__ is not — go through select.
+    vals = sorted(r[0] for r in got.select(F.col("clock")).collect())
+    expect = [c for (_, c, _) in rows if base + 3 * 3600 <= c < base + 4 * 3600]
+    assert vals == expect
+
+
+def test_jdbc_incremental_ingest_end_to_end(spark, tmp_path):
+    """The full reference MySQL job shape against a live JDBC source:
+    hour-windowed run_from_watermark -> decimal counter cast -> ds from
+    clock+7h -> idempotent partitioned parquet, then resume is a no-op
+    rewrite."""
+    from etl_portofolio_spark.jobs.ingest_jdbc import build_runner
+
+    base = __import__("calendar").timegm((2024, 1, 5, 0, 0, 0)) - 7 * 3600
+    rows = [(1, base + i * 600, float(i)) for i in range(288)]  # 2 local days
+    db = str(tmp_path / "derbydb2")
+    _seed_derby_history(spark, db, rows)
+
+    target = str(tmp_path / "out")
+    runner = build_runner(spark, _derby_source(db), target)
+    results = runner.run_from_watermark(
+        end=datetime(2024, 1, 7),
+        delta=timedelta(hours=6),
+        default_start=datetime(2024, 1, 5),
+    )
+    assert sum(r.rows for r in results) == len(rows)
+    got = spark.read.parquet(target)
+    assert got.count() == len(rows)
+    assert sorted(r["ds"] for r in got.select("ds").distinct().collect()) == [
+        "20240105",
+        "20240106",
+    ]
+    # resume: watermark = 20240106 -> its day rewritten, nothing duplicated
+    runner.run_from_watermark(
+        end=datetime(2024, 1, 7),
+        delta=timedelta(hours=6),
+        default_start=datetime(2024, 1, 5),
+    )
+    assert spark.read.parquet(target).count() == len(rows)
