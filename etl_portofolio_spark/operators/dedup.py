@@ -361,3 +361,59 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, component) with
+    component = min id reachable — the canonical-keeper assignment that
+    turns pairwise dedup output into "keep one doc per duplicate
+    cluster".
+
+    Min-label propagation: each round every vertex takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds. Near-dup graphs are forests of tiny cliques/chains
+    (diameter rarely > a few), so the driver loop runs 2–4 rounds, each
+    ONE shuffle join + ONE aggregation over the edge list — never a
+    quadratic stage, never a collect of the graph. ``localCheckpoint``
+    truncates lineage so iteration N's plan does not replay rounds
+    1..N-1; the convergence probe is a bounded count() per round (the
+    same pattern as GraphX/Pregel, expressed on DataFrames).
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.where(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -9,7 +9,7 @@ scale linearly with input splits).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_portofolio_spark.functions.hashing import rolling_fingerprint
@@ -128,3 +128,80 @@ def quality_features(text: Column | str) -> dict[str, Column]:
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-sensitive rolling-hash fingerprint of the token stream."""
     return rolling_fingerprint(tokens(text))
+
+
+# --- PII redaction -----------------------------------------------------------
+
+#: (name, pattern, replacement) — intentionally simple regexes that parse
+#: identically under Java (Spark) and RE2-ish (DuckDB) dialects: no
+#: lookaround, no backreferences. Order matters: emails before phones so
+#: the local-part digits are not half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Chained regexp_replace over :data:`PII_PATTERNS` — pure codegen,
+    zero shuffle, the standard pre-training scrub pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (audit columns for the scrub report)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(f"({pat})"), 1)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, tok, tf, df, score, rank).
+
+    Three shuffles, all on bounded keys: tf = groupBy(doc, token); df =
+    groupBy(token) with map-side partials (output is vocabulary-sized);
+    the df side joins back BROADCAST (a vocabulary fits in memory at any
+    corpus size that fits a dictionary — swap to a shuffle join only for
+    web-scale open vocabularies); final per-doc ranking is a window over
+    doc_id. idf uses the smoothed form ln((N+1)/(df+1)) + 1, N computed
+    as a broadcast scalar, not a driver constant baked into the plan.
+    Ties rank deterministically (score desc, token asc).
+    """
+    from etl_portofolio_spark.operators.util import spread
+
+    tok = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "tok", "tf", "df", "score", "rank")
+    )

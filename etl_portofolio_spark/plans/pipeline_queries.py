@@ -854,7 +854,131 @@ SELECT source, doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
 
 
 #: name -> (query_fn, oracle_sql | None)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over MinHash-LSH pairs.
+
+    The step that turns pairwise near-dup output into an actionable
+    keep/drop list — every doc in a cluster maps to the cluster's min
+    doc_id (the canonical keeper). Iterative min-label propagation
+    (O(diameter) shuffle rounds, see operators/dedup.connected_components);
+    the oracle computes the same fixpoint with a recursive CTE.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.7)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
+
+
+ORACLE_DEDUP_CC = f"""
+WITH RECURSIVE pairs AS (
+  {ORACLE_MINHASH_PAIRS}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS component
+FROM walk GROUP BY id
+"""
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report: per-kind match counts + md5 of redacted text.
+
+    The fixture corpus contains no live PII, so a deterministic contact
+    blurb (derived from doc_id THE SAME WAY in both engines) is appended
+    before scrubbing — every row provably exercises all three patterns.
+    Map-only codegen: zero shuffle, no Python.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    blurb = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10.1.2."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +62 811-555-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    seeded = docs.select(F.col("doc_id"), blurb.alias("t"))
+    counts = text.pii_counts(F.col("t"))
+    return seeded.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.md5(text.redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+def _sql_pii_oracle() -> str:
+    blurb = (
+        "text || ' contact: user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com ip 10.1.2.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' tel +62 811-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    )
+    redacted = "t"
+    for _, pat, repl in text.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '({pat})', 1)) AS BIGINT) AS n_{alias}"
+        for (name, pat, _), alias in zip(text.PII_PATTERNS, ("email", "ip", "phone"))
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, {blurb} AS t FROM documents
+)
+SELECT doc_id,
+       {count_cols},
+       md5({redacted}) AS redacted_md5
+FROM seeded
+"""
+
+
+ORACLE_PII = _sql_pii_oracle()
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic ties)."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1.0) AS score
+  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES = {
+    "dedup_connected_components": (q_dedup_connected_components, ORACLE_DEDUP_CC),
+    "text_pii_redact": (q_text_pii_redact, ORACLE_PII),
+    "text_tfidf_topk": (q_text_tfidf_topk, ORACLE_TFIDF),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_signatures": (q_dedup_minhash_signatures, ORACLE_MINHASH_SIG),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_MINHASH_PAIRS),

@@ -1,0 +1,75 @@
+"""Unit tests for connected components, PII redaction, and TF-IDF.
+
+The oracle-parity suite already cross-checks the registered queries
+against DuckDB; these tests pin the operator semantics on hand-built
+inputs where the expected output is obvious by inspection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.operators.dedup import connected_components
+from etl_portofolio_spark.operators.text import pii_counts, redact_pii, tfidf_topk
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round), clique {10,11,12}, pair {20,21}
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, max_iterations=10).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_converges_under_iteration_cap(spark):
+    # a 6-node path labels converge in ceil(log-ish) rounds; cap generously
+    edges = [(i, i + 1) for i in range(1, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(pairs, max_iterations=20).collect()
+    assert all(r["component"] == 1 for r in rows)
+    assert len(rows) == 6
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [("mail a.b@x.co.id from 192.168.0.1 call +62 811-555-1234 now",)],
+        "t string",
+    )
+    row = df.select(
+        redact_pii("t").alias("red"),
+        *[c.alias(f"n_{k}") for k, c in pii_counts("t").items()],
+    ).first()
+    assert "<EMAIL>" in row["red"] and "<IP>" in row["red"] and "<PHONE>" in row["red"]
+    assert "a.b@x.co.id" not in row["red"]
+    assert "192.168.0.1" not in row["red"]
+    assert (row["n_email"], row["n_ipv4"], row["n_phone"]) == (1, 1, 1)
+
+
+def test_redact_pii_leaves_clean_text(spark):
+    df = spark.createDataFrame([("just words, no contact info here",)], "t string")
+    row = df.select(redact_pii("t").alias("red")).first()
+    assert row["red"] == "just words, no contact info here"
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "cherry cherry banana common common"),
+            (3, "durian durian common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, "doc_id", "text", k=1)
+    top = {r["doc_id"]: r["tok"] for r in out.collect()}
+    # the doc-unique repeated term beats the corpus-wide "common"
+    assert top == {1: "apple", 2: "cherry", 3: "durian"}
+    ranks = [r["rank"] for r in out.collect()]
+    assert ranks == [1, 1, 1]
