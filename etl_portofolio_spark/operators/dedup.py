@@ -363,6 +363,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop training docs that share ANY
+    k-word shingle with the eval set (the n-gram-overlap rule used to
+    scrub eval leakage from LLM training corpora).
+
+    Scale shape: eval-set grams are md5-hashed and broadcast (eval
+    suites are millions of grams — MBs, not the corpus), so the
+    contamination probe is a map-side LEFT SEMI join: the train corpus
+    never shuffles to find matches. Only the (small) contaminated-id
+    set shuffles for the final LEFT ANTI. If the eval side ever
+    outgrows broadcast, remove the hint and Spark falls back to a
+    shuffle semi-join on the 32-char gram hash — same semantics.
+    Hashing the gram (md5) keeps shuffle/broadcast rows fixed-width
+    instead of k-word strings.
+    """
+    eval_grams = (
+        shingled_docs(eval_df, id_col, text_col, k)
+        .select(F.explode("sh_set").alias("gram"))
+        .select(F.md5("gram").alias("gram_hash"))
+        .distinct()
+    )
+    train_grams = (
+        shingled_docs(train, id_col, text_col, k)
+        .select(F.col(id_col), F.explode("sh_set").alias("gram"))
+        .select(F.col(id_col), F.md5("gram").alias("gram_hash"))
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "gram_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

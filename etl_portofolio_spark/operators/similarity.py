@@ -82,6 +82,29 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Default exact top-k kernel: numpy/BLAS per-partition pre-prune.
+
+    Library entry point. Dispatches to :func:`brute_force_topk_np`
+    (Arrow batches + one BLAS matmul per partition, only
+    |partitions|·k rows leave Python — the shape that scales with |Q|)
+    and falls back to the expression-fold :func:`brute_force_topk` when
+    numpy is unavailable. The expression form stays the bit-exact
+    oracle comparator; this facade is what callers should use.
+    """
+    try:
+        import numpy  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy ships in the env
+        return brute_force_topk(emb, id_col, vec_col, query_ids, k)
+    return brute_force_topk_np(emb, id_col, vec_col, query_ids, k)
+
+
 def brute_force_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -93,7 +116,10 @@ def brute_force_topk(
 
     The query side is broadcast (it is k rows), so the corpus never
     shuffles; ranking is a window over the query id — partition count =
-    |Q|, each partition |C| rows; at scale swap in the LSH variant.
+    |Q|, each partition |C| rows, degenerate when |Q| grows; the numpy
+    kernel behind :func:`topk` pre-prunes per partition and is the
+    default. This expression-fold form is kept as the deterministic
+    (sequential IEEE adds) oracle comparator.
     """
     docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
     queries = docs.where(F.col(id_col).isin(*query_ids)).select(

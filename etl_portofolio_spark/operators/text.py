@@ -125,6 +125,34 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_features(toks: Column) -> dict[str, Column]:
+    """Within-document repetition signals over a MATERIALIZED token array.
+
+    ``repetition_ratio`` = 1 - distinct/total tokens (0 = no repeats);
+    ``top_token_ratio`` = share of the single most frequent token — the
+    cheap "degenerate doc" detectors (boilerplate, keyword stuffing,
+    decode loops) every training-corpus quality pass runs. Pure
+    per-row array expressions: no shuffle, no Python. ``toks`` must be
+    an attribute reference (see :func:`~etl_portofolio_spark.operators.
+    dedup.shingles_of` for the HOF re-evaluation pitfall).
+    """
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return {
+        "n_tokens": n.cast("long"),
+        "n_distinct": n_distinct.cast("long"),
+        "repetition_ratio": F.lit(1.0) - n_distinct.cast("double") / safe_n,
+        "top_token_ratio": top_freq.cast("double") / safe_n,
+    }
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-sensitive rolling-hash fingerprint of the token stream."""
     return rolling_fingerprint(tokens(text))

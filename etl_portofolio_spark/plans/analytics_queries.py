@@ -572,6 +572,120 @@ GROUP BY 1, 2, 3
 """
 
 
+_QTY_BANDS: tuple[tuple[str, int, int], ...] = tuple(
+    (f"band_{i}", 10 * i + 1, 10 * (i + 1)) for i in range(5)
+)
+
+
+def q_range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: lineitem quantity BETWEEN band bounds,
+    planned as a bucket-grid EQUI-join (operators/rangejoin.py) — never
+    a BroadcastNestedLoop/cartesian — then an exact integer aggregate
+    per band. The bucket width equals the band width, so the interval
+    side inflates at most 2x and the join is a broadcast hash join.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.rangejoin import bucketed_range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bands = spark.createDataFrame(
+        list(_QTY_BANDS), schema="band string, lo bigint, hi bigint"
+    )
+    joined = bucketed_range_join(
+        li, bands, point_col="l_quantity", lo_col="lo", hi_col="hi", bucket_width=10.0
+    )
+    return joined.groupBy("band", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {", ".join(f"('{b}', CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))" for b, lo, hi in _QTY_BANDS)}
+)
+SELECT band, lo, hi,
+       count(*) AS n_items,
+       CAST(sum({_sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_c
+FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+GROUP BY 1, 2, 3
+"""
+
+
+def q_scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 effective ranges: each (user, event_type) change row
+    gets [effective_from, effective_to) via lead() — the standard
+    "latest dimension snapshot + full history" construction for CDC
+    feeds. One shuffle (window partition on the key); ties broken on
+    event_id so reruns and the oracle agree. is_current marks open rows.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        cents("value").alias("value_c"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = f"""
+SELECT user_id, event_type, event_id,
+       {_sql_cents('value')} AS value_c,
+       ts AS effective_from,
+       lead(ts) OVER w AS effective_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (10-minute window, 5-minute slide):
+    every event lands in exactly 2 overlapping windows. Same
+    ``F.window`` operator Structured Streaming uses (§2.8), so the
+    batch result here is the streaming query's final state. The 2x
+    row inflation happens map-side (window explode before the partial
+    agg), so the only shuffle carries already-combined partials.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW = f"""
+SELECT time_bucket(INTERVAL '5 minutes', ts) - s.i * INTERVAL '5 minutes' AS w_start,
+       time_bucket(INTERVAL '5 minutes', ts) - s.i * INTERVAL '5 minutes'
+         + INTERVAL '10 minutes' AS w_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum({_sql_cents('value')}) AS BIGINT) AS value_cents
+FROM events CROSS JOIN (VALUES (0), (1)) AS s(i)
+GROUP BY 1, 2, 3
+"""
+
+
 #: name -> (query_fn, oracle_sql)
 ANALYTICS_QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_PRICING_SUMMARY),
@@ -594,4 +708,7 @@ ANALYTICS_QUERIES = {
     "skew_salted_agg": (q_skew_salted_agg, ORACLE_SKEW_SALTED),
     "window_rank_variants": (q_window_rank_variants, ORACLE_RANK_VARIANTS),
     "exists_subquery_shape": (q_exists_subquery_shape, ORACLE_EXISTS_SHAPE),
+    "range_join_quantity_bands": (q_range_join_quantity_bands, ORACLE_RANGE_JOIN),
+    "scd2_user_event_history": (q_scd2_user_event_history, ORACLE_SCD2),
+    "sliding_window_events": (q_sliding_window_events, ORACLE_SLIDING_WINDOW),
 }

@@ -975,6 +975,118 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# --- decontamination / quality filters --------------------------------------
+
+
+def _sql_shingles_k(t: str, k: int) -> str:
+    """Distinct k-shingle SQL — generalized twin of :data:`_SQL_SHINGLES`."""
+    concat = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({t}) - {k - 1}, 0)), i -> {concat}))"
+    )
+
+
+_DECON_K = 8
+_EVAL_MOD = 20  # doc_id % 20 == 0 -> the held-out "eval suite"
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 20 != 0) that
+    survive the "shares NO 8-gram with the eval set (doc_id % 20 == 0)"
+    rule. Eval grams are md5'd, deduped, and BROADCAST, so contamination
+    detection is a map-side semi-join — the corpus never shuffles to be
+    probed (operators/dedup.decontaminate).
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_df = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    out = dedup.decontaminate(train, eval_df, "doc_id", "text", k=_DECON_K)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_shingles_k('t', _DECON_K)} AS s FROM tok
+), eval_grams AS (
+  SELECT DISTINCT md5(g) AS gram_hash
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % {_EVAL_MOD} = 0)
+), train_grams AS (
+  SELECT doc_id, md5(g) AS gram_hash
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % {_EVAL_MOD} <> 0)
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM train_grams
+  WHERE gram_hash IN (SELECT gram_hash FROM eval_grams)
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % {_EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals: distinct-token ratio and
+    top-token share (text.repetition_features). Pure per-row array
+    expressions — zero shuffle, no Python; the filter threshold is the
+    caller's (here: emit the features for every doc).
+    """
+    apply_runtime_confs(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", text.tokens("text").alias("__toks"))
+    feats = text.repetition_features(F.col("__toks"))
+    return toked.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+             / CAST(greatest(len(t), 1) AS DOUBLE) AS repetition_ratio,
+       CAST(list_max(list_transform(list_distinct(t),
+                x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+             / CAST(greatest(len(t), 1) AS DOUBLE) AS top_token_ratio
+FROM tok
+"""
+
+
+def q_quantile_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trim: keep docs inside the exact per-language
+    [p05, p95] of n_chars, via percent_rank over (lang, n_chars) — the
+    deterministic, oracle-exact form. At 100 TB swap the global window
+    for a two-pass approx: per-lang approx_percentile thresholds
+    (tiny aggregate), broadcast, then a map-side range filter — same
+    output modulo sketch error, no per-lang global sort.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc())
+    ranked = docs.select(
+        "doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    return ranked.where((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+
+
+ORACLE_QUANTILE_OUTLIER = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS pr
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, pr
+FROM ranked WHERE pr >= 0.05 AND pr <= 0.95
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_connected_components": (q_dedup_connected_components, ORACLE_DEDUP_CC),
     "text_pii_redact": (q_text_pii_redact, ORACLE_PII),
@@ -1003,4 +1115,7 @@ PIPELINE_QUERIES = {
     "json_props_extract": (q_json_props_extract, ORACLE_JSON_PROPS),
     "knn_label_vote": (q_knn_label_vote, ORACLE_KNN_VOTE),
     "stratified_source_sample": (q_stratified_source_sample, ORACLE_STRATIFIED),
+    "decontaminate_ngram": (q_decontaminate_ngram, ORACLE_DECONTAMINATE),
+    "text_repetition_ratio": (q_text_repetition_ratio, ORACLE_REPETITION),
+    "quantile_outlier_filter": (q_quantile_outlier_filter, ORACLE_QUANTILE_OUTLIER),
 }

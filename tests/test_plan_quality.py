@@ -82,3 +82,25 @@ def test_near_dup_lsh_has_no_cartesian(spark):
     plan = _plan(similarity.embedding_near_dup_pairs(emb))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """BETWEEN joins must be planned as bucket equi-joins, not BNLJ."""
+    from etl_portofolio_spark.plans.analytics_queries import (
+        q_range_join_quantity_bands,
+    )
+
+    plan = _plan(q_range_join_quantity_bands(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The eval-gram probe must be a broadcast semi-join: the training
+    corpus never shuffles to discover contamination."""
+    docs = load_table(spark, SF_DIR, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    plan = _plan(dedup.decontaminate(train, ev, "doc_id", "text", k=8))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

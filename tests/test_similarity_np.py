@@ -27,6 +27,21 @@ def test_np_topk_matches_expression_topk(spark):
         assert abs(cos - cos2) < 1e-9
 
 
+def test_topk_facade_dispatches_to_np(spark):
+    """similarity.topk (the library default) is the numpy kernel."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = (0, 1, 2)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.topk(emb, query_ids=qids, k=3).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk_np(emb, query_ids=qids, k=3).collect()
+    }
+    assert got == want
+
+
 def test_near_dup_lsh_recall_vs_exact(spark):
     """LSH blocking is a strict subset of exact pairs with recall >= 0.9.
 
