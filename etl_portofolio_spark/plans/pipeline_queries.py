@@ -975,6 +975,49 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_multimodal_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container codec round-trip: build spec-valid PNG/GIF/BMP/WAV
+    files per doc (params derived from md5(text), format from doc_id%4),
+    then recover the params by actually parsing the bytes — signature
+    sniff + struct unpack + RIFF chunk walk (operators/codecs.py). Two
+    Arrow mapInPandas crossings (synthesize, decode) prove binary
+    columns survive the JVM<->Python boundary intact. The oracle
+    recomputes the embedded params from md5(text) in SQL: the parser
+    must agree from the bytes alone.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.multimodal import (
+        decode_container_metadata,
+        synthesize_containers,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    containers = synthesize_containers(docs, id_col="doc_id", text_col="text")
+    return decode_container_metadata(containers, id_col="doc_id", bin_col="content")
+
+
+_SQL_HEX = "CAST('0x' || substr(md5(text), {a}, {n}) AS BIGINT)"
+ORACLE_CONTAINER_ROUNDTRIP = f"""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 4 <= 2
+            THEN CAST(1 + {_SQL_HEX.format(a=1, n=4)} % 64 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 4 <= 2
+            THEN CAST(1 + {_SQL_HEX.format(a=5, n=4)} % 48 AS BIGINT) END AS height,
+       CASE doc_id % 4
+            WHEN 0 THEN CAST([1, 3, 4][1 + {_SQL_HEX.format(a=9, n=2)} % 3] AS BIGINT)
+            WHEN 1 THEN 3
+            WHEN 2 THEN 3
+            ELSE CAST(1 + {_SQL_HEX.format(a=9, n=2)} % 2 AS BIGINT) END AS channels,
+       CASE WHEN doc_id % 4 = 3
+            THEN CAST(8000 + ({_SQL_HEX.format(a=11, n=4)} % 8) * 4000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 4 = 3
+            THEN CAST(1 + {_SQL_HEX.format(a=15, n=4)} % 256 AS BIGINT) END AS n_samples
+FROM documents
+"""
+
+
 # --- decontamination / quality filters --------------------------------------
 
 
@@ -1118,4 +1161,8 @@ PIPELINE_QUERIES = {
     "decontaminate_ngram": (q_decontaminate_ngram, ORACLE_DECONTAMINATE),
     "text_repetition_ratio": (q_text_repetition_ratio, ORACLE_REPETITION),
     "quantile_outlier_filter": (q_quantile_outlier_filter, ORACLE_QUANTILE_OUTLIER),
+    "multimodal_container_roundtrip": (
+        q_multimodal_container_roundtrip,
+        ORACLE_CONTAINER_ROUNDTRIP,
+    ),
 }

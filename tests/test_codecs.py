@@ -1,0 +1,68 @@
+"""Container codec round-trips: the parser must recover exactly what
+the writers embedded, from the bytes alone — plus structural validity
+checks on the emitted files (magic numbers, CRCs, chunk sizes)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from etl_portofolio_spark.operators import codecs
+
+
+def test_png_roundtrip_and_crc():
+    for color_type, channels in ((0, 1), (2, 3), (6, 4)):
+        payload = codecs.make_png(13, 7, color_type)
+        meta = codecs.parse_container(payload)
+        assert meta["format"] == "png"
+        assert (meta["width"], meta["height"], meta["channels"]) == (13, 7, channels)
+        # IHDR CRC must be a real CRC32 over tag+data
+        ihdr_crc = struct.unpack(">I", payload[29:33])[0]
+        assert ihdr_crc == zlib.crc32(payload[12:29]) & 0xFFFFFFFF
+        # IDAT decompresses to height * (1 + width*channels) filter+pixel bytes
+        idat_len = struct.unpack(">I", payload[33:37])[0]
+        raw = zlib.decompress(payload[41 : 41 + idat_len])
+        assert len(raw) == 7 * (1 + 13 * channels)
+
+
+def test_gif_roundtrip():
+    payload = codecs.make_gif(640, 480)
+    assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3b"
+    meta = codecs.parse_container(payload)
+    assert (meta["format"], meta["width"], meta["height"]) == ("gif", 640, 480)
+
+
+def test_bmp_roundtrip_and_declared_size():
+    payload = codecs.make_bmp(31, 9)  # odd width exercises row padding
+    meta = codecs.parse_container(payload)
+    assert (meta["format"], meta["width"], meta["height"], meta["channels"]) == (
+        "bmp", 31, 9, 3,
+    )
+    declared = struct.unpack("<I", payload[2:6])[0]
+    assert declared == len(payload)
+
+
+def test_wav_roundtrip_chunk_walk():
+    payload = codecs.make_wav(16000, 2, 123)
+    meta = codecs.parse_container(payload)
+    assert meta["format"] == "wav"
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 2
+    assert meta["n_samples"] == 123
+    declared = struct.unpack("<I", payload[4:8])[0]
+    assert declared == len(payload) - 8
+
+
+def test_wav_parser_skips_foreign_chunks():
+    # a LIST chunk before fmt/data must be walked over, not break parsing
+    base = codecs.make_wav(8000, 1, 4)
+    injected = base[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + base[12:]
+    fixed = injected[:4] + struct.pack("<I", len(injected) - 8) + injected[8:]
+    meta = codecs.parse_container(fixed)
+    assert meta["format"] == "wav" and meta["n_samples"] == 4
+
+
+def test_unknown_bytes_are_unknown():
+    meta = codecs.parse_container(b"\x00\x01\x02not a container")
+    assert meta["format"] == "unknown"
+    assert meta["width"] is None and meta["sample_rate"] is None
