@@ -32,6 +32,23 @@ def h32_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+def h60(col: Column | str) -> Column:
+    """Deterministic unsigned-60-bit hash of a string, as a long.
+
+    15 md5 nibbles: the widest md5 prefix that stays strictly positive
+    in a SIGNED 64-bit integer in both engines (16 nibbles could set
+    the sign bit, and Spark's conv() and DuckDB's '0x' cast disagree on
+    overflow handling). Used where 32 bits collide too much — e.g. the
+    simhash fingerprint, where block keys must be discriminative.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB SQL text computing the same ``h60`` value."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 #: Mersenne prime 2^31-1: modulus for the affine minhash permutations.
 #: With h, a, b < 2^31, a*h + b < 2^62 — no 64-bit overflow in Spark or
 #: DuckDB BIGINT arithmetic.

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from etl_portofolio_spark.functions.hashing import (
     MINHASH_MOD,
     h32,
+    h60,
     minhash_perm,
 )
 from etl_portofolio_spark.operators.text import tokens
@@ -38,7 +39,14 @@ from etl_portofolio_spark.operators.util import spread
 
 NUM_MINHASHES = 16
 BAND_ROWS = 4  # 16 hashes / 4 rows = 4 bands
-SIMHASH_BITS = 32
+#: 60-bit simhash (the widest md5 prefix that stays positive in a signed
+#: 64-bit long in BOTH engines). Width matters for the pair search, not
+#: just fidelity: the pigeonhole blocks are bits/4 wide, and 15-bit keys
+#: (32k values) keep LSH buckets sparse where the original 8-bit keys
+#: (256 values) made every bucket a quadratic hotspot — measured 2.8M
+#: candidate pairs from 5k docs at 32 bits. Same scheme as the Manku et
+#: al. 64-bit simhash with 16-bit blocks.
+SIMHASH_BITS = 60
 
 
 def normalized_text(text: Column | str) -> Column:
@@ -235,36 +243,62 @@ def minhash_candidate_pairs(
     )
 
 
+#: Bit-counter packing for the simhash aggregation: 3 counters of 21
+#: bits per 64-bit accumulator. Bounds docs at 2^21-1 tokens (≈2M —
+#: ~10 MB of text) before a field overflows into its neighbor.
+_PACK_FIELDS = 3
+_PACK_WIDTH = 21
+_PACK_MASK = (1 << _PACK_WIDTH) - 1
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """SimHash: frequency-weighted bit votes over token h32 hashes.
+    """SimHash: frequency-weighted bit votes over token h60 hashes.
 
-    ONE shuffle: a ±1 vote per token INSTANCE summed per doc is
+    ONE shuffle: a vote per token INSTANCE summed per doc is
     algebraically identical to the per-(doc, token)-count weighting, so
     the intermediate (doc, token) count aggregation the textbook
     formulation uses is pure overhead (measured 2x at sf0.1 — it
     shuffled |doc×distinct-tok| rows AND hashed after a shuffle instead
-    of map-side). Partial aggregation collapses each input split to
-    |docs-in-split| 32-column partials before the only exchange.
-    (A broadcast token→h32 dictionary to dedupe the md5 work was
+    of map-side).
+
+    The per-bit ones-counts are PACKED 3-per-long (21-bit fields):
+    ``bits`` separate sum() columns would exceed
+    ``spark.sql.codegen.maxFields`` and knock the whole stage out of
+    codegen into interpreted mode (measured: the entire fingerprint
+    stage lost WholeStageCodegen at 60 columns, ~3x slower), and the
+    agg hash-map row shrinks 3x. The bit vote is recovered as
+    ``2*ones_b > n_tokens`` — identical to the ±1 sum being > 0.
+    (A broadcast token→hash dictionary to dedupe the md5 work was
     measured slower here — the distinct+join overhead exceeds the
-    hashing saved; revisit only if token instances ≫ vocabulary by
-    orders of magnitude more than natural text.)
+    hashing saved.)
     """
     tok = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    hashed = tok.withColumn("h", h32("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-        ).alias(f"bit{b:02d}")
-        for b in range(bits)
-    ]
-    per_doc = hashed.groupBy(id_col).agg(*votes)
+    hashed = tok.withColumn("h", h60("tok"))
+    n_acc = (bits + _PACK_FIELDS - 1) // _PACK_FIELDS
+    packs = []
+    for j in range(n_acc):
+        terms = None
+        for k in range(_PACK_FIELDS):
+            b = _PACK_FIELDS * j + k
+            if b >= bits:
+                break
+            t = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(1), _PACK_WIDTH * k
+            )
+            terms = t if terms is None else terms + t
+        packs.append(F.sum(terms).alias(f"acc{j:02d}"))
+    per_doc = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"), *packs
+    )
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"bit{b:02d}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        j, k = divmod(b, _PACK_FIELDS)
+        ones = F.shiftright(F.col(f"acc{j:02d}"), _PACK_WIDTH * k).bitwiseAND(
+            _PACK_MASK
+        )
+        term = F.when(ones * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
@@ -275,12 +309,12 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Blocked on half-fingerprint equality (a pair within hamming k of a
-    32-bit simhash shares at least one 16-bit half when k < 16 only if
-    all differing bits fall in one half — the classic pigeonhole split:
-    with 2 blocks, any pair with hamming <= max_hamming <= 15 shares a
-    half *only when* its diffs concentrate; to be exhaustive for
-    hamming <= 3 we use 4 blocks of 8 bits: >=1 block must be equal).
+    Pigeonhole blocking: 4 blocks of bits/4 bits — any pair with
+    hamming <= 3 must agree on >= 1 whole block, so the equi-join on
+    (block_id, block_val) is exhaustive for the radius. At 60 bits the
+    block keys are 15 bits wide (32k values), which keeps bucket sizes
+    — and therefore the join's quadratic fan-out — small even on
+    correlated corpora (see SIMHASH_BITS).
     """
     # Fingerprints are consumed by both sides of the block self-join;
     # persist so the two token-hash aggregations run once.

@@ -18,6 +18,7 @@ from etl_portofolio_spark.functions.hashing import (
     FINGERPRINT_MOD,
     MINHASH_MOD,
     h32_sql,
+    h60_sql,
     minhash_perm_sql,
 )
 from etl_portofolio_spark.operators import dedup, similarity, text
@@ -148,7 +149,7 @@ WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (frequency-weighted bit votes)."""
+    """60-bit SimHash fingerprints (frequency-weighted bit votes)."""
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_fingerprints(docs, "doc_id", "text")
@@ -167,7 +168,7 @@ def _sql_simhash_fingerprint() -> str:
 WITH tok AS (
   SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok FROM documents
 ), weighted AS (
-  SELECT doc_id, tok, count(*) AS cnt, {h32_sql('tok')} AS h
+  SELECT doc_id, tok, count(*) AS cnt, {h60_sql('tok')} AS h
   FROM tok GROUP BY doc_id, tok
 ), votes AS (
   SELECT doc_id,
@@ -182,17 +183,19 @@ ORACLE_SIMHASH = _sql_simhash_fingerprint()
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming <= 3 via 4x8-bit block LSH."""
+    """SimHash near-dup pairs at hamming <= 3 via 4x15-bit block LSH."""
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+_SIMHASH_BLOCK_W = dedup.SIMHASH_BITS // 4
 ORACLE_SIMHASH_PAIRS = f"""
 WITH fp AS ({_sql_simhash_fingerprint()}),
 blocks AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, simhash, {i} AS block_id, (simhash >> {i * 8}) & 255 AS block_val FROM fp"
+      f"SELECT doc_id, simhash, {i} AS block_id,"
+      f" (simhash >> {i * _SIMHASH_BLOCK_W}) & {(1 << _SIMHASH_BLOCK_W) - 1} AS block_val FROM fp"
       for i in range(4)
   )}
 )
