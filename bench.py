@@ -48,6 +48,8 @@ HEADLINE = (
     "text_quality",
     "flagship_throughput_pivot",
     "sessionize_events",
+    "range_join_quantity_bands",
+    "decontaminate_ngram",
 )
 
 

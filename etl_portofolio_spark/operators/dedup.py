@@ -263,12 +263,12 @@ def simhash_fingerprints(
     shuffled |doc×distinct-tok| rows AND hashed after a shuffle instead
     of map-side).
 
-    The per-bit ones-counts are PACKED 3-per-long (21-bit fields):
-    ``bits`` separate sum() columns would exceed
-    ``spark.sql.codegen.maxFields`` and knock the whole stage out of
-    codegen into interpreted mode (measured: the entire fingerprint
-    stage lost WholeStageCodegen at 60 columns, ~3x slower), and the
-    agg hash-map row shrinks 3x. The bit vote is recovered as
+    The per-bit ones-counts are PACKED 3-per-long (21-bit fields,
+    docs bounded at 2^21-1 tokens): 60 separate ±1 CASE sums stayed
+    inside codegen but carried a 60-long aggregation buffer and a
+    branch per bit per row — the packed form shrinks the hash-map row
+    3x and replaces the branches with shift/mask adds (measured 3.6x:
+    2.5s → 0.7s for sf0.1 fingerprints). The bit vote is recovered as
     ``2*ones_b > n_tokens`` — identical to the ±1 sum being > 0.
     (A broadcast token→hash dictionary to dedupe the md5 work was
     measured slower here — the distinct+join overhead exceeds the

@@ -686,6 +686,120 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows: ``F.session_window`` (10-minute
+    gap) — the built-in JVM counterpart of the custom
+    applyInPandasWithState sessionizer (streaming/stateful.py). Spark
+    merges events where the next timestamp is < previous end
+    (= ts + gap), so a session SPLITS when the gap is >= 10 minutes;
+    the oracle's islands flag uses the same >= convention. Window end
+    is last-event + gap, per Spark's definition. One shuffle on
+    user_id; the session assignment itself is a sort-based merge
+    inside the aggregation, no window-function pass.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+WITH flagged AS (
+  SELECT user_id, ts, {_sql_cents('value')} AS vc,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), islands AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '10 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS value_cents
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
+def q_agg_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with per-column grouping
+    flags: all 4 aggregation granularities in ONE pass — Catalyst
+    expands the grouping sets before the single shuffle, so the fact
+    table is scanned once, not 4 times. Exact integer money sums.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+        )
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       count(*) AS n_items,
+       CAST(sum({_sql_cents('l_extendedprice')}) AS BIGINT) AS sum_price_c
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_time_bounded_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution within 10 minutes per user — the
+    batch twin of the stream-stream interval join
+    (streaming/structured.time_bounded_join; the SAME function builds
+    both plans). Equi-join on user_id + time-range residual: hash
+    join, state-expirable in streaming mode.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.streaming.structured import time_bounded_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return time_bounded_join(clicks, purchases, window_minutes=10)
+
+
+ORACLE_TIME_BOUNDED_JOIN = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '10 minutes'
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 #: name -> (query_fn, oracle_sql)
 ANALYTICS_QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_PRICING_SUMMARY),
@@ -711,4 +825,7 @@ ANALYTICS_QUERIES = {
     "range_join_quantity_bands": (q_range_join_quantity_bands, ORACLE_RANGE_JOIN),
     "scd2_user_event_history": (q_scd2_user_event_history, ORACLE_SCD2),
     "sliding_window_events": (q_sliding_window_events, ORACLE_SLIDING_WINDOW),
+    "session_window_native": (q_session_window_native, ORACLE_SESSION_WINDOW),
+    "agg_cube_returns": (q_agg_cube_returns, ORACLE_CUBE),
+    "time_bounded_attribution": (q_time_bounded_attribution, ORACLE_TIME_BOUNDED_JOIN),
 }

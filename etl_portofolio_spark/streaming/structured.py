@@ -133,3 +133,55 @@ def start_dynamic_overwrite_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def time_bounded_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 10,
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``window_minutes``.
+
+    The same plan serves batch (the oracle-checked
+    ``time_bounded_attribution`` query) and streaming inputs. In
+    streaming mode BOTH sides get watermarks and the join condition
+    carries the time-range bound — that bound is what lets Spark
+    expire join state (clicks older than purchase-watermark -
+    window are dropped from the state store), so state stays
+    O(window), not O(stream). Without the range predicate a
+    stream-stream join would buffer forever.
+
+    Equi-join on user_id with a range residual: a hash join whose
+    extra predicate filters post-probe — never a nested-loop plan.
+    """
+    is_streaming = clicks.isStreaming
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if is_streaming:
+        c = c.withWatermark("click_ts", lateness)
+        p = p.withWatermark("purchase_ts", lateness)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

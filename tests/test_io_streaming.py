@@ -22,6 +22,7 @@ from etl_portofolio_spark.streaming.incremental import (
 )
 from etl_portofolio_spark.streaming.structured import (
     start_dynamic_overwrite_sink,
+    time_bounded_join,
     windowed_counts,
 )
 
@@ -151,6 +152,44 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         .where(F.col("w_end") <= F.lit(cutoff))
     )
     assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == its batch twin.
+
+    The same time_bounded_join function builds both plans; in streaming
+    mode it must plan a StreamingSymmetricHashJoin (stateful, range-
+    bounded), and an availableNow run over the full fixture must emit
+    exactly the batch join's rows.
+    """
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    joined = time_bounded_join(
+        s.where(F.col("event_type") == "click"),
+        s.where(F.col("event_type") == "purchase"),
+        window_minutes=10,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj")
+    expected = time_bounded_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        window_minutes=10,
+    )
+    assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
 
