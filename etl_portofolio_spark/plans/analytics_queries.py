@@ -800,6 +800,105 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide money columns to (measure, value_c) long form
+    — ``DataFrame.unpivot`` (SQL UNPIVOT/stack), the inverse of the
+    flagship pivot. Map-side only: no shuffle, the 3x row inflation
+    happens inside the scan's projection. Bounded to the first 2000
+    orders so the long-form result stays driver-collectable.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cents("l_quantity").alias("quantity_c"),
+        cents("l_extendedprice").alias("extendedprice_c"),
+        cents("l_discount").alias("discount_c"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity_c", "extendedprice_c", "discount_c"],
+        variableColumnName="measure",
+        valueColumnName="value_c",
+    )
+
+
+ORACLE_UNPIVOT = f"""
+WITH wide AS (
+  SELECT l_orderkey, l_linenumber,
+         {_sql_cents('l_quantity')} AS quantity_c,
+         {_sql_cents('l_extendedprice')} AS extendedprice_c,
+         {_sql_cents('l_discount')} AS discount_c
+  FROM lineitem WHERE l_orderkey <= 2000
+)
+SELECT l_orderkey, l_linenumber, 'quantity_c' AS measure, quantity_c AS value_c FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice_c', extendedprice_c FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount_c', discount_c FROM wide
+"""
+
+
+def q_upsert_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics on plain parquet: full-outer join of the
+    dimension with a CDC update batch, coalescing to the newest value
+    and tagging each row inserted/updated/unchanged. The update batch
+    is derived deterministically (every 7th customer gets a new
+    balance; 5 synthetic new keys). Full-outer joins cannot broadcast
+    in Spark, so this shuffles both sides on the key; at scale MERGE
+    engines split the work into an inner join (updates) plus a
+    left-anti (inserts) — both broadcastable for small CDC batches —
+    and rewrite only the touched files. This query keeps the canonical
+    single-plan form the split compiles from.
+    """
+    apply_runtime_confs(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", cents("c_acctbal").alias("acctbal_c")
+    )
+    updates = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("u_key"),
+            (F.col("acctbal_c") + F.lit(10000)).alias("u_acctbal_c"),
+        )
+        .unionAll(
+            spark.range(1, 6).select(
+                (F.col("id") + F.lit(10_000_000)).alias("u_key"),
+                F.lit(0).cast("long").alias("u_acctbal_c"),
+            )
+        )
+    )
+    merged = cust.join(updates, cust["c_custkey"] == updates["u_key"], "full_outer")
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("u_key")).alias("custkey"),
+        F.coalesce(F.col("u_acctbal_c"), F.col("acctbal_c")).alias("acctbal_c"),
+        F.when(F.col("c_custkey").isNull(), F.lit("inserted"))
+        .when(F.col("u_key").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+
+
+ORACLE_UPSERT_MERGE = f"""
+WITH cust AS (
+  SELECT c_custkey, c_name, {_sql_cents('c_acctbal')} AS acctbal_c FROM customer
+), updates AS (
+  SELECT c_custkey AS u_key, acctbal_c + 10000 AS u_acctbal_c
+  FROM cust WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT 10000000 + i AS u_key, CAST(0 AS BIGINT) AS u_acctbal_c
+  FROM generate_series(1, 5) AS t(i)
+)
+SELECT coalesce(c_custkey, u_key) AS custkey,
+       coalesce(u_acctbal_c, acctbal_c) AS acctbal_c,
+       CASE WHEN c_custkey IS NULL THEN 'inserted'
+            WHEN u_key IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS action
+FROM cust FULL OUTER JOIN updates ON c_custkey = u_key
+"""
+
+
 #: name -> (query_fn, oracle_sql)
 ANALYTICS_QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_PRICING_SUMMARY),
@@ -828,4 +927,6 @@ ANALYTICS_QUERIES = {
     "session_window_native": (q_session_window_native, ORACLE_SESSION_WINDOW),
     "agg_cube_returns": (q_agg_cube_returns, ORACLE_CUBE),
     "time_bounded_attribution": (q_time_bounded_attribution, ORACLE_TIME_BOUNDED_JOIN),
+    "unpivot_lineitem_measures": (q_unpivot_lineitem_measures, ORACLE_UNPIVOT),
+    "upsert_merge_customers": (q_upsert_merge_customers, ORACLE_UPSERT_MERGE),
 }
