@@ -1133,6 +1133,79 @@ FROM ranked WHERE pr >= 0.05 AND pr <= 0.95
 """
 
 
+def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: near-identical names
+    (Levenshtein <= 3) found WITHIN first-word blocks — distinct names
+    first (the match universe is 64 values, not 2000 rows), equi-join
+    on the block key, exact edit distance as the residual
+    (operators/er.py). Both engines' levenshtein is the classic
+    unit-cost DP, so the oracle mirrors blocking and threshold exactly.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.er import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part, "p_name", block=F.split(F.col("p_name"), " ")[0], max_dist=3
+    )
+
+
+ORACLE_FUZZY_MATCH = """
+WITH vals AS (
+  SELECT DISTINCT p_name AS name FROM part
+), blocked AS (
+  SELECT name, split_part(name, ' ', 1) AS block FROM vals
+)
+SELECT a.name AS name_a, b.name AS name_b, a.block AS block,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
+def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score normalization of doc length — the broadcast-
+    stats feature pattern: per-group stats as EXACT integer aggregates
+    (sum, sum of squares, count — order-independent, unlike a raw
+    double stddev), broadcast-joined back, and the float math applied
+    identically per row in both engines from those three integers.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    joined = docs.join(F.broadcast(stats), "lang")
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * mean
+    ) / (F.col("n") - F.lit(1)).cast("double")
+    return joined.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        ((F.col("n_chars").cast("double") - mean) / F.sqrt(var)).alias("z"),
+    )
+
+
+ORACLE_ZSCORE = """
+WITH stats AS (
+  SELECT lang, count(*) AS n, sum(n_chars) AS s1,
+         sum(n_chars * n_chars) AS s2
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars,
+       (CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                / CAST(n - 1 AS DOUBLE)) AS z
+FROM documents d JOIN stats USING (lang)
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_connected_components": (q_dedup_connected_components, ORACLE_DEDUP_CC),
     "text_pii_redact": (q_text_pii_redact, ORACLE_PII),
@@ -1168,4 +1241,6 @@ PIPELINE_QUERIES = {
         q_multimodal_container_roundtrip,
         ORACLE_CONTAINER_ROUNDTRIP,
     ),
+    "fuzzy_match_part_names": (q_fuzzy_match_part_names, ORACLE_FUZZY_MATCH),
+    "feature_zscore": (q_feature_zscore, ORACLE_ZSCORE),
 }

@@ -75,6 +75,24 @@ def test_decontaminate_drops_only_gram_sharers(spark):
     assert kept == [2, 3, 4]
 
 
+def test_blocked_fuzzy_pairs_semantics(spark):
+    from etl_portofolio_spark.operators.er import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("acme corp",), ("acme corp",), ("acme class",), ("acme co",), ("zenith co",)],
+        "name string",
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in blocked_fuzzy_pairs(
+            df, "name", block=F.split(F.col("name"), " ")[0], max_dist=3
+        ).collect()
+    }
+    # same block, within distance; duplicate rows deduped before pairing;
+    # zenith is in another block so never compared
+    assert got == {("acme co", "acme corp"): 2}
+
+
 def test_repetition_features_values(spark):
     df = spark.createDataFrame(
         [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
