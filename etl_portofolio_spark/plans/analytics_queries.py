@@ -899,6 +899,70 @@ FROM cust FULL OUTER JOIN updates ON c_custkey = u_key
 """
 
 
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window family over one ordered spec: first_value /
+    last_value (explicit full frame — the default growing frame is the
+    classic last_value foot-gun) / nth_value / lag-with-default, all
+    evaluated in a single Window operator (one sort per partition).
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.lag(cents("value"), 1, 0).over(w).alias("prev_value_c"),
+    )
+
+
+ORACLE_WINDOW_VALUES = f"""
+SELECT user_id, event_id, ts,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type,
+       lag({_sql_cents('value')}, 1, CAST(0 AS BIGINT)) OVER w AS prev_value_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group collection: collect_list is
+    order-nondeterministic under parallel execution, so the engine's
+    contract is sort-then-serialize (array_sort + concat_ws) — the only
+    reproducible form of "gather the group's values" on a cluster.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id") < 200)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("event_type"))).alias(
+                "types_sorted"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_COLLECT_SORTED = """
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY event_type ASC) AS types_sorted,
+       count(*) AS n_events
+FROM events
+WHERE user_id < 200
+GROUP BY user_id
+"""
+
+
 #: name -> (query_fn, oracle_sql)
 ANALYTICS_QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_PRICING_SUMMARY),
@@ -929,4 +993,6 @@ ANALYTICS_QUERIES = {
     "time_bounded_attribution": (q_time_bounded_attribution, ORACLE_TIME_BOUNDED_JOIN),
     "unpivot_lineitem_measures": (q_unpivot_lineitem_measures, ORACLE_UNPIVOT),
     "upsert_merge_customers": (q_upsert_merge_customers, ORACLE_UPSERT_MERGE),
+    "window_value_functions": (q_window_value_functions, ORACLE_WINDOW_VALUES),
+    "agg_collect_sorted": (q_agg_collect_sorted, ORACLE_COLLECT_SORTED),
 }

@@ -186,6 +186,29 @@ def truncate_table_partition(
     refresh_table(spark, table)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Bucketed (+sorted) catalog table: the 100 TB co-located-join lever.
+
+    Two facts bucketed by the same key into the same bucket count join
+    WITHOUT any Exchange — the shuffle was paid once at write time and
+    amortizes over every downstream join/aggregation on that key
+    (`sortBy` additionally removes the join's Sort). This is the
+    Spark-native analogue of the reference storing pre-partitioned
+    MySQL extracts. Bucket pruning also applies to equality filters on
+    the bucket column.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.format("parquet").saveAsTable(table)
+
+
 def refresh_table(spark: SparkSession, table: str) -> None:
     """K5: ``REFRESH TABLE`` (`Ingestion Data (MySQL).py:65`)."""
     try:

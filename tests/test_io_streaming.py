@@ -365,6 +365,42 @@ def catalog_db(spark, tmp_path):
     spark.sql(f"DROP DATABASE {name} CASCADE")
 
 
+def test_bucketed_tables_join_without_exchange(spark, catalog_db):
+    """Two facts bucketed by the join key co-locate: the join plan has
+    NO Exchange (the shuffle was paid at write time) and, with sortBy,
+    no Sort either — while producing exactly the plain-join result."""
+    from etl_portofolio_spark.sinks.writer import write_bucketed_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    write_bucketed_table(li, f"{catalog_db}.li_b", "l_orderkey", 8)
+    write_bucketed_table(orders, f"{catalog_db}.ord_b", "o_orderkey", 8)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table(f"{catalog_db}.li_b")
+        b = spark.table(f"{catalog_db}.ord_b")
+        joined = a.join(b, a["l_orderkey"] == b["o_orderkey"]).select(
+            "l_orderkey", "o_custkey", "l_quantity"
+        )
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        expected = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey", "o_custkey", "l_quantity"
+        )
+        assert joined.count() == expected.count()
+        assert joined.exceptAll(expected).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
 def test_table_sink_show_partitions_watermark_idempotent(spark, tmp_path, catalog_db):
     """The reference's catalog surface end-to-end: saveAsTable create,
     SHOW PARTITIONS watermark, dynamic-overwrite re-run (no dupes),
