@@ -17,6 +17,7 @@ from etl_portofolio_spark.catalog import load_table
 from etl_portofolio_spark.functions.hashing import (
     FINGERPRINT_MOD,
     MINHASH_MOD,
+    h32,
     h32_sql,
     h60_sql,
     minhash_perm_sql,
@@ -1206,6 +1207,85 @@ FROM documents d JOIN stats USING (lang)
 """
 
 
+#: Per-source sampling rates in basis points (of 10000) — the "domain
+#: mixing weights" of a pretraining recipe. Sources not listed keep
+#: the default rate.
+_MIX_RATES_BP: dict[str, int] = {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500}
+_MIX_DEFAULT_BP = 1250
+
+
+def q_corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: keep each doc iff
+    ``h32(doc_id) % 10000 < rate_bp(source)`` — hash-gated Bernoulli
+    sampling with per-source rates, the standard way to hit domain
+    mixing weights reproducibly (no RNG state, same result on any
+    cluster topology, rerun, or engine — which is exactly why the
+    oracle can check it). Pure map-side filter: the rate table is a
+    literal CASE, no join, no shuffle.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT_BP)
+    for src, bp in sorted(_MIX_RATES_BP.items()):
+        rate = F.when(F.col("source") == src, F.lit(bp)).otherwise(rate)
+    gate = h32(F.col("doc_id").cast("string")) % 10000
+    return docs.where(gate < rate).select("doc_id", "source", "lang", "n_chars")
+
+
+ORACLE_CORPUS_MIX = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+      < CASE {" ".join(f"WHEN source = '{s}' THEN {bp}" for s, bp in sorted(_MIX_RATES_BP.items()))}
+             ELSE {_MIX_DEFAULT_BP} END
+"""
+
+
+def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget shards via a
+    running total — ``shard = floor(cum_start / budget)`` over a
+    deterministic per-language order. This is the batch form of
+    packing documents into pretraining context windows. One window
+    sort per lang partition; at scale the order key would be a
+    precomputed shuffle-once sort key, and packing runs per partition.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text.token_count_ws("text").cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(2048)
+    with_cum = docs.select(
+        "doc_id", "lang", n_tok.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget).alias("shard"),
+    )
+
+
+ORACLE_TOKEN_SHARDS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS shard
+FROM cum
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_connected_components": (q_dedup_connected_components, ORACLE_DEDUP_CC),
     "text_pii_redact": (q_text_pii_redact, ORACLE_PII),
@@ -1243,4 +1323,6 @@ PIPELINE_QUERIES = {
     ),
     "fuzzy_match_part_names": (q_fuzzy_match_part_names, ORACLE_FUZZY_MATCH),
     "feature_zscore": (q_feature_zscore, ORACLE_ZSCORE),
+    "corpus_mix_resample": (q_corpus_mix_resample, ORACLE_CORPUS_MIX),
+    "token_budget_shards": (q_token_budget_shards, ORACLE_TOKEN_SHARDS),
 }
