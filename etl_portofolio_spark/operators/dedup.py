@@ -416,7 +416,12 @@ def decontaminate(
     outgrows broadcast, remove the hint and Spark falls back to a
     shuffle semi-join on the 32-char gram hash — same semantics.
     Hashing the gram (md5) keeps shuffle/broadcast rows fixed-width
-    instead of k-word strings.
+    instead of k-word strings. (A rolling-arithmetic gram hash over
+    per-token h32s was measured 5x SLOWER despite doing less hashing:
+    interpreted HOF cost scales with expression NODE COUNT per
+    element, and the 8-term fold is ~35 nodes vs 3 for
+    slice+concat+md5.) When train and eval come from the same table,
+    prefer :func:`decontaminate_corpus` — it shingles the corpus once.
     """
     eval_grams = (
         shingled_docs(eval_df, id_col, text_col, k)
@@ -435,6 +440,40 @@ def decontaminate(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def decontaminate_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pred: Column,
+    k: int = 8,
+) -> DataFrame:
+    """Single-pass :func:`decontaminate` for the common case where the
+    eval set is a predicate over the SAME corpus table: shingle once,
+    split the gram stream by the predicate, persist it for the two
+    consumers (eval-gram build + train-side probe). Same output as
+    ``decontaminate(docs.where(~p), docs.where(p), ...)`` with half
+    the shingling work; the join shape (broadcast semi + anti) is
+    identical.
+    """
+    grams = (
+        shingled_docs(
+            docs.withColumn("__is_eval", eval_pred), id_col, text_col, k,
+            extra_cols=("__is_eval",),
+        )
+        .select(F.col(id_col), "__is_eval", F.explode("sh_set").alias("gram"))
+        .select(F.col(id_col), "__is_eval", F.md5("gram").alias("gram_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    eval_grams = grams.where(F.col("__is_eval")).select("gram_hash").distinct()
+    contaminated = (
+        grams.where(~F.col("__is_eval"))
+        .join(F.broadcast(eval_grams), "gram_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.where(~eval_pred).join(contaminated, id_col, "left_anti")
 
 
 def connected_components(

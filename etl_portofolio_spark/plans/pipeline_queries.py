@@ -1033,7 +1033,6 @@ def _sql_shingles_k(t: str, k: int) -> str:
         f"generate_series(1, greatest(len({t}) - {k - 1}, 0)), i -> {concat}))"
     )
 
-
 _DECON_K = 8
 _EVAL_MOD = 20  # doc_id % 20 == 0 -> the held-out "eval suite"
 
@@ -1043,13 +1042,16 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive the "shares NO 8-gram with the eval set (doc_id % 20 == 0)"
     rule. Eval grams are md5'd, deduped, and BROADCAST, so contamination
     detection is a map-side semi-join — the corpus never shuffles to be
-    probed (operators/dedup.decontaminate).
+    probed. Single-pass corpus form: train and eval come from the same
+    table, so the gram stream is built once and split by the predicate
+    (operators/dedup.decontaminate_corpus).
     """
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
-    eval_df = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
-    out = dedup.decontaminate(train, eval_df, "doc_id", "text", k=_DECON_K)
+    out = dedup.decontaminate_corpus(
+        docs, "doc_id", "text", eval_pred=F.col("doc_id") % _EVAL_MOD == 0,
+        k=_DECON_K,
+    )
     return out.select("doc_id", "lang", "source", "n_chars")
 
 

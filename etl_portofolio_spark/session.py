@@ -39,6 +39,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # without this, reading a partitioned table back infers ds=20240101
     # as an int and silently changes the schema contract.
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
+    # explode(arr) and pushes it through projections/exchanges to the
+    # scan. All of this engine's explodes are over COMPUTED arrays
+    # (shingles, LSH keys, token splits), so the inferred filter can
+    # never prune storage — it only re-inlines the full array
+    # expression into the scan stage, re-running it serially per input
+    # split (measured: 7x on the decontamination gram pipeline, whose
+    # shingle work was duplicated below the parallelizing exchange).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 #: Builder-time confs (only applied when *we* create the session).
