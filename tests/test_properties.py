@@ -129,3 +129,60 @@ def test_sessionize_batch_properties(spark, events):
             assert (s2 - e1).total_seconds() > gap_min * 60
         for s, e in spans:
             assert s <= e
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=90),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_range_join_matches_naive_between(spark, points, spans):
+    """bucketed_range_join == the naive BETWEEN theta-join on any input."""
+    from etl_portofolio_spark.operators.rangejoin import bucketed_range_join
+
+    p = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)], "pid long, x double"
+    )
+    iv = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(spans)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(p, iv, "x", "lo", "hi", bucket_width=7.0).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in p.join(
+            iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))
+        ).collect()
+    )
+    assert got == naive
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texts, min_size=2, max_size=10))
+def test_decontaminate_corpus_matches_two_pass(spark, texts):
+    """The single-pass corpus form == decontaminate(train, eval)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pred = F.col("doc_id") % 2 == 0
+    single = sorted(
+        r["doc_id"]
+        for r in dedup.decontaminate_corpus(df, "doc_id", "text", pred, k=2).collect()
+    )
+    two_pass = sorted(
+        r["doc_id"]
+        for r in dedup.decontaminate(
+            df.where(~pred), df.where(pred), "doc_id", "text", k=2
+        ).collect()
+    )
+    assert single == two_pass
