@@ -1209,6 +1209,86 @@ FROM documents d JOIN stats USING (lang)
 """
 
 
+def q_dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: which docs of a NEW batch (odd doc_id) are
+    novel against the HISTORICAL corpus (even doc_id)? The daily-ingest
+    production shape — the history side is a precomputed index (here
+    rebuilt; in production stored bands), the new batch is small.
+    Two screens, both equi-joins: exact content-hash anti-join, then
+    MinHash LSH band anti-join (any shared (band, hash) bucket with
+    history disqualifies). New-batch bands would broadcast at real
+    scale; history never recomputes per batch.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+
+    new_hash = new.select(
+        "doc_id", F.md5(dedup.normalized_text("text")).alias("content_hash")
+    )
+    hist_hash = hist.select(F.md5(dedup.normalized_text("text")).alias("content_hash"))
+    survivors = new_hash.join(hist_hash, "content_hash", "left_anti")
+
+    new_bands = dedup.minhash_bands(
+        dedup.minhash_signatures(new, "doc_id", "text"), "doc_id"
+    )
+    hist_bands = dedup.minhash_bands(
+        dedup.minhash_signatures(hist, "doc_id", "text"), "doc_id"
+    ).select("band_id", "band_hash")
+    near_dup_ids = (
+        new_bands.join(hist_bands, ["band_id", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        survivors.join(near_dup_ids, "doc_id", "left_anti")
+        .select("doc_id", "content_hash")
+    )
+
+
+_ORACLE_SIG_CTE = f"""
+tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs(dedup.NUM_MINHASHES)}
+  FROM ex GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {_sql_band_hash(b, dedup.BAND_ROWS)} AS band_hash FROM sig"
+      for b in range(_N_BANDS)
+  )}
+)"""
+
+ORACLE_INCREMENTAL_NOVEL = rf"""
+WITH {_ORACLE_SIG_CTE},
+hashes AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+  FROM documents
+),
+exact_novel AS (
+  SELECT n.doc_id, n.content_hash FROM hashes n
+  WHERE n.doc_id % 2 = 1
+    AND n.content_hash NOT IN (SELECT content_hash FROM hashes WHERE doc_id % 2 = 0)
+),
+near_dup AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb
+  WHERE nb.doc_id % 2 = 1
+    AND EXISTS (SELECT 1 FROM bands hb
+                WHERE hb.doc_id % 2 = 0
+                  AND hb.band_id = nb.band_id AND hb.band_hash = nb.band_hash)
+)
+SELECT doc_id, content_hash FROM exact_novel
+WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
+"""
+
+
 #: Per-source sampling rates in basis points (of 10000) — the "domain
 #: mixing weights" of a pretraining recipe. Sources not listed keep
 #: the default rate.
@@ -1327,4 +1407,5 @@ PIPELINE_QUERIES = {
     "feature_zscore": (q_feature_zscore, ORACLE_ZSCORE),
     "corpus_mix_resample": (q_corpus_mix_resample, ORACLE_CORPUS_MIX),
     "token_budget_shards": (q_token_budget_shards, ORACLE_TOKEN_SHARDS),
+    "dedup_incremental_novel": (q_dedup_incremental_novel, ORACLE_INCREMENTAL_NOVEL),
 }

@@ -365,6 +365,41 @@ def catalog_db(spark, tmp_path):
     spark.sql(f"DROP DATABASE {name} CASCADE")
 
 
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """ORC sink/source parity with parquet: same schema, same rows."""
+    ev = load_table(spark, SF_DIR, "events").limit(500)
+    path = str(tmp_path / "orc")
+    ev.write.format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == ev.schema
+    assert back.count() == 500
+    assert back.exceptAll(ev).count() == 0
+
+
+def test_json_source_permissive_corrupt_records(spark, tmp_path):
+    """JSON-lines read with PERMISSIVE mode: malformed rows land in
+    _corrupt_record instead of failing the scan — corrupt blobs are
+    data, not errors, at corpus scale."""
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "not a long", "v": "bad type"}\n'
+    )
+    df = (
+        spark.read.schema("id long, v string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line and the type-mismatched row
+
+
 def test_bucketed_tables_join_without_exchange(spark, catalog_db):
     """Two facts bucketed by the join key co-locate: the join plan has
     NO Exchange (the shuffle was paid at write time) and, with sortBy,
