@@ -45,18 +45,20 @@ def test_region_revenue_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_minhash_signatures_are_shuffle_free(spark):
+def test_minhash_signatures_partial_agg_single_shuffle(spark):
     # other tests may have left the shingled-docs persist() populated;
     # a cache hit would splice InMemoryTableScan internals into the plan
     spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     sig = dedup.minhash_signatures(docs, "doc_id", "text")
     plan = _plan(sig)
-    # one round-robin spread of the single-split fixture scan is allowed;
-    # there must be NO hash/aggregate exchange (the map-only claim)
-    n_exchanges = plan.count("Exchange ")
-    assert n_exchanges <= 1, f"expected <=1 exchange (spread only), got {n_exchanges}"
-    assert "HashAggregate" not in plan
+    # shingle hashes are computed BEFORE the exchange and partial-
+    # aggregated map-side: exactly one hash exchange (on doc_id,
+    # carrying |docs| x 16 longs), plus the round-robin fixture spread
+    n_hash = plan.count("Arguments: hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}\n{plan}"
+    # partial + final aggregate pair => map-side combine is in place
+    assert "partial_min" in plan, plan
 
 
 def test_exact_dedup_single_shuffle(spark):
