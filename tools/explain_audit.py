@@ -22,8 +22,12 @@ DEFAULT_QUERIES = (
     "direction_pivot_groupby",
     "flagship_throughput_pivot",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "ann_lsh_topk",
     "sessionize_events",
+    "range_join_quantity_bands",
+    "decontaminate_ngram",
+    "dedup_incremental_novel",
 )
 
 
