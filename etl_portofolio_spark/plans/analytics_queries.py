@@ -963,6 +963,62 @@ GROUP BY user_id
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: first view → first click AFTER that
+    view → first purchase AFTER that click. Each stage is a conditional
+    min() aggregation joined back broadcast (stage results are
+    per-user scalars — tiny), so the event table is scanned per stage
+    but never self-joined row-to-row; the sequential dependency between
+    stages is inherent to funnel semantics.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    s2 = (
+        ev.join(F.broadcast(s1), "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    s3 = (
+        ev.join(F.broadcast(s2), "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_click"))
+        )
+        .groupBy("user_id", "first_view", "first_click")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        s1.join(s2.select("user_id", "first_click"), "user_id", "left")
+        .join(s3.select("user_id", "first_purchase"), "user_id", "left")
+        .select("user_id", "first_view", "first_click", "first_purchase")
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.first_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.first_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, first_view, first_click, first_purchase
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 #: name -> (query_fn, oracle_sql)
 ANALYTICS_QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, ORACLE_PRICING_SUMMARY),
@@ -995,4 +1051,5 @@ ANALYTICS_QUERIES = {
     "upsert_merge_customers": (q_upsert_merge_customers, ORACLE_UPSERT_MERGE),
     "window_value_functions": (q_window_value_functions, ORACLE_WINDOW_VALUES),
     "agg_collect_sorted": (q_agg_collect_sorted, ORACLE_COLLECT_SORTED),
+    "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL),
 }
