@@ -39,6 +39,66 @@ except ImportError:
     pass
 
 
+# The driver's correctness gate checks the FIRST 50 registry entries
+# (CORRECTNESS_r01/r02 each cover exactly the first 50 in dict order),
+# so ordering is rotation: queries with the least driver evidence go
+# first. NEW_THIS_ROUND names are spliced in right after NEVER_CHECKED;
+# everything else follows in registration order (checked-once before
+# checked-twice). All queries stay registered regardless.
+_NEVER_CHECKED = (
+    "json_props_extract", "knn_label_vote", "stratified_source_sample",
+    "decontaminate_ngram", "text_repetition_ratio", "quantile_outlier_filter",
+    "multimodal_container_roundtrip", "fuzzy_match_part_names",
+    "feature_zscore", "corpus_mix_resample", "token_budget_shards",
+    "dedup_incremental_novel",
+)
+_CHECKED_ONCE = (
+    "range_join_quantity_bands", "scd2_user_event_history",
+    "sliding_window_events", "session_window_native", "agg_cube_returns",
+    "time_bounded_attribution", "unpivot_lineitem_measures",
+    "upsert_merge_customers", "window_value_functions", "agg_collect_sorted",
+    "funnel_conversion", "dedup_connected_components", "text_pii_redact",
+    "text_tfidf_topk", "text_langid", "text_fingerprint",
+    "ann_brute_force_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_brute_force_topk_np", "embedding_near_dup", "multimodal_metadata",
+    "multimodal_resize", "multimodal_frame_sample", "sessionize_events",
+    "dedup_keep_first", "text_corpus_stats", "pipeline_end_to_end",
+)
+
+
+def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    rest = [n for n in _ALL if n not in _NEVER_CHECKED and n not in _CHECKED_ONCE]
+    new_this_round = [
+        n for n in rest
+        if n not in _R1_R2_CHECKED_TWICE  # added after the r2 gate ran
+    ]
+    twice = [n for n in rest if n in _R1_R2_CHECKED_TWICE]
+    names = (
+        [n for n in _NEVER_CHECKED if n in _ALL]
+        + new_this_round
+        + [n for n in _CHECKED_ONCE if n in _ALL]
+        + twice
+    )
+    return {n: _ALL[n] for n in names}
+
+
+_R1_R2_CHECKED_TWICE = frozenset((
+    "flagship_throughput_pivot", "dim_chain_join", "ingest_hour_window",
+    "ingest_dateparts", "epoch_clock_ingest", "allowlist_semi_join",
+    "regex_item_features", "watermark_max_ds", "direction_pivot_groupby",
+    "empty_gate_counts", "topn_latest", "deterministic_sample",
+    "agg_pricing_summary", "join_shipping_priority", "join_region_revenue",
+    "window_top_orders", "window_running_total",
+    "asof_last_click_before_signup", "agg_rollup_sales", "set_ops_customers",
+    "agg_distinct_users", "cross_join_matrix", "agg_decimal_revenue_by_ds",
+    "tumbling_window_events", "anti_join_inactive_customers",
+    "agg_type_revenue_share", "skew_salted_agg", "window_rank_variants",
+    "exists_subquery_shape", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "text_quality",
+))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from etl_portofolio_spark.plans.reference_queries import (
@@ -50,9 +110,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return {name: fn for name, (fn, _oracle) in _ALL.items()}
+    return {name: fn for name, (fn, _oracle) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted => rows-only check)."""
-    return {name: oracle for name, (_fn, oracle) in _ALL.items() if oracle is not None}
+    return {
+        name: oracle for name, (_fn, oracle) in _ordered().items() if oracle is not None
+    }

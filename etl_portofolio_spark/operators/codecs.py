@@ -116,6 +116,24 @@ def parse_container(payload: bytes) -> dict:
         "sample_rate": None,
         "n_samples": None,
     }
+    try:
+        return _parse_container_strict(payload, out)
+    except (struct.error, IndexError):
+        # Truncated payload that passed the signature sniff (bare
+        # b"GIF89a", a PNG cut before IHDR byte 24, a WAV fmt chunk
+        # shorter than its declared size): corrupt bytes must yield
+        # format='unknown', never kill the surrounding Arrow batch.
+        return {
+            "format": "unknown",
+            "width": None,
+            "height": None,
+            "channels": None,
+            "sample_rate": None,
+            "n_samples": None,
+        }
+
+
+def _parse_container_strict(payload: bytes, out: dict) -> dict:
     if payload.startswith(PNG_SIG) and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
         color_type = payload[25]

@@ -295,7 +295,23 @@ def simhash_fingerprints(
         )
         term = F.when(ones * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    # Overflow guard: a doc with >= 2^21 tokens would carry into the
+    # neighboring packed counter and silently corrupt the fingerprint.
+    # assert_true is codegen'd per row and returns NULL on success, so
+    # coalesce(guard, 0) adds nothing to the fingerprint on the happy
+    # path and fails the job loudly instead of corrupting (ADVICE r2).
+    guard = F.assert_true(
+        F.col("__n") < F.lit(1 << _PACK_WIDTH),
+        F.concat(
+            F.lit("simhash counter overflow: doc "),
+            F.col(id_col).cast("string"),
+            F.lit(" has >= 2^21 tokens — pre-truncate the input"),
+        ),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        (fp + F.coalesce(guard.cast("long"), F.lit(0))).cast("long").alias("simhash"),
+    )
 
 
 def simhash_near_pairs(
@@ -468,6 +484,12 @@ def decontaminate_corpus(
         .select(id_col)
         .distinct()
     )
+    # Materialize the (small) contaminated-id set now so the gram cache
+    # can be released immediately — otherwise every call leaks a cached
+    # frame for the rest of the session (ADVICE r2). localCheckpoint
+    # keeps the ids on executors; both gram consumers have run by then.
+    contaminated = contaminated.localCheckpoint()
+    grams.unpersist()
     return docs.where(~eval_pred).join(contaminated, id_col, "left_anti")
 
 
@@ -502,6 +524,7 @@ def connected_components(
         "component", F.col("id")
     )
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -524,4 +547,13 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # Labels are still moving: a component with diameter >
+        # max_iterations would get silently split, and downstream
+        # keep-one-per-cluster dedup would keep extras (ADVICE r2).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iterations for graphs with long duplicate chains"
+        )
     return labels

@@ -143,8 +143,15 @@ def write_partitioned_table(
     spark = df.sparkSession
     cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Scratch on the table's own filesystem (its location, else the
+    # warehouse dir) — a driver-local tempfile would be unreachable by
+    # executors on a real cluster (ADVICE r2).
     rows_per_file = (
-        _estimate_rows_per_file(df, target_file_bytes) if target_file_bytes else None
+        _estimate_rows_per_file(
+            df, target_file_bytes, scratch_dir=_table_scratch_root(spark, table)
+        )
+        if target_file_bytes
+        else None
     )
     if not spark.catalog.tableExists(table):
         writer = df.write.partitionBy(*cols).format("parquet")
@@ -158,6 +165,19 @@ def write_partitioned_table(
             writer = writer.option("maxRecordsPerFile", rows_per_file)
         writer.insertInto(table)
     refresh_table(spark, table)
+
+
+def _table_scratch_root(spark: SparkSession, table: str) -> str:
+    """Filesystem root for the sizing scratch dir: the table's own
+    storage location when it exists (same filesystem the real write
+    lands on), else the session warehouse dir (where ``saveAsTable``
+    will create it). Either way the scratch sample is written somewhere
+    every executor can reach."""
+    if spark.catalog.tableExists(table):
+        for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if (row[0] or "").strip() == "Location":
+                return row[1].strip()
+    return spark.conf.get("spark.sql.warehouse.dir")
 
 
 def latest_table_partition(

@@ -66,3 +66,23 @@ def test_unknown_bytes_are_unknown():
     meta = codecs.parse_container(b"\x00\x01\x02not a container")
     assert meta["format"] == "unknown"
     assert meta["width"] is None and meta["sample_rate"] is None
+
+
+def test_truncated_payloads_parse_as_unknown():
+    """Bytes that pass the signature sniff but are cut short must yield
+    format='unknown', not raise — one bad blob must never kill a whole
+    mapInPandas batch (ADVICE r2)."""
+    full_wav = codecs.make_wav(8000, 1, 4)
+    truncated = [
+        b"GIF89a",                      # bare GIF signature, no descriptor
+        b"GIF89a\x10",                  # half a screen descriptor
+        codecs.make_png(4, 4)[:20],     # PNG sig + IHDR tag, cut before w/h
+        codecs.make_png(4, 4)[:25],     # cut mid-IHDR (w/h ok, no color type)
+        full_wav[:20],                  # RIFF/WAVE + fmt tag, truncated body
+        # fmt chunk whose declared size exceeds the remaining buffer
+        full_wav[:12] + b"fmt " + struct.pack("<I", 64) + b"\x00" * 8,
+    ]
+    for payload in truncated:
+        meta = codecs.parse_container(payload)
+        assert meta["format"] == "unknown", payload[:16]
+        assert meta["width"] is None and meta["n_samples"] is None

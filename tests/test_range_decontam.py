@@ -75,6 +75,25 @@ def test_decontaminate_drops_only_gram_sharers(spark):
     assert kept == [2, 3, 4]
 
 
+def test_decontaminate_corpus_releases_gram_cache(spark):
+    # The single-pass form persists the gram stream internally; that
+    # cache must be dropped before the call returns, not leak for the
+    # rest of the session (ADVICE r2). localCheckpoint RDDs are not in
+    # the cache manager, so an empty manager proves the unpersist ran.
+    from pyspark.sql import functions as F
+
+    from etl_portofolio_spark.operators.dedup import decontaminate_corpus
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = decontaminate_corpus(docs, "doc_id", "text", F.col("doc_id") >= 18, k=2)
+    assert out.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_blocked_fuzzy_pairs_semantics(spark):
     from etl_portofolio_spark.operators.er import blocked_fuzzy_pairs
 

@@ -37,6 +37,35 @@ def test_connected_components_converges_under_iteration_cap(spark):
     assert len(rows) == 6
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 12-node path needs ~11 min-propagation rounds; a 3-round cap
+    # must fail loudly, not return silently-split components (ADVICE r2)
+    import pytest
+
+    edges = [(i, i + 1) for i in range(1, 12)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=3)
+
+
+def test_simhash_overflow_guard_fires(spark, monkeypatch):
+    # Shrink the packed-counter width so the 2^width token bound is
+    # testable without a 2M-token doc; the guard must fail the job
+    # instead of letting a counter carry into its neighbor (ADVICE r2).
+    import pytest
+
+    from etl_portofolio_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_PACK_WIDTH", 4)
+    monkeypatch.setattr(dedup, "_PACK_MASK", (1 << 4) - 1)
+    df = spark.createDataFrame(
+        [(1, " ".join("tok%d" % (i % 3) for i in range(40)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="simhash counter overflow"):
+        dedup.simhash_fingerprints(df, "doc_id", "text").collect()
+
+
 def test_redact_pii_all_kinds(spark):
     df = spark.createDataFrame(
         [("mail a.b@x.co.id from 192.168.0.1 call +62 811-555-1234 now",)],
