@@ -38,6 +38,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from etl_portofolio_spark.plans.advanced_queries import ADVANCED_QUERIES
+
+    _ALL.update(ADVANCED_QUERIES)
+except ImportError:
+    pass
+
 
 # The driver's correctness gate checks the FIRST 50 registry entries
 # (CORRECTNESS_r01/r02 each cover exactly the first 50 in dict order),

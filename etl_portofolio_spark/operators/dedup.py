@@ -25,7 +25,7 @@ an exact DuckDB oracle.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_portofolio_spark.functions.hashing import (
@@ -557,3 +557,83 @@ def connected_components(
             "max_iterations for graphs with long duplicate chains"
         )
     return labels
+
+
+def chunk_dedup_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 12,
+) -> DataFrame:
+    """Sub-document (paragraph-level) dedup: drop repeated chunks
+    corpus-wide, keep each chunk's FIRST occurrence, rebuild the docs.
+
+    The fixture corpus has no paragraph breaks, so "paragraph" here is
+    a fixed window of ``chunk_words`` whitespace tokens — the operator
+    shape (explode to chunk grain, global first-occurrence election,
+    reassembly) is exactly the one used for newline-split paragraphs on
+    real corpora (swap the chunker expression).
+
+    Scale (100 TB): two key-partitioned shuffles — a window over
+    chunk_hash (first-occurrence election; the hash key is uniform, no
+    skew) and the groupBy(doc) reassembly. No all-pairs work anywhere;
+    per-doc arrays are bounded by doc length. First-occurrence order is
+    (doc_id, chunk_idx) — total and deterministic.
+
+    Output: one row per doc — chunk counts plus an md5 of the rebuilt
+    text (NULL when every chunk of the doc was seen earlier).
+    """
+    toks = tokens(text_col)
+    docs = spread(df).select(
+        F.col(id_col),
+        F.col(text_col),
+        toks.alias("__toks"),
+    )
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_words)).cast("int")
+    exploded = docs.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__toks"),
+            F.col("chunk_idx") * chunk_words + 1,
+            chunk_words,
+        ),
+    )
+    chunked = exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+    w = Window.partitionBy("chunk_hash").orderBy(F.col(id_col), F.col("chunk_idx"))
+    elected = chunked.withColumn(
+        "__keep", F.row_number().over(w) == F.lit(1)
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )
+    return (
+        elected.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("__kept"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            "n_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                F.md5(
+                    F.array_join(
+                        F.transform(F.col("__kept"), lambda s: s["chunk"]), " "
+                    )
+                ),
+            ).alias("kept_hash"),
+        )
+    )

@@ -1,0 +1,403 @@
+"""Round-3 extension queries: sub-document dedup, calendar gap-fill,
+exact statistics, grouping sets, histograms, trailing range windows.
+
+Same contract as the sibling plan modules: every query is a pure
+DataFrame plan over ``catalog.load_table`` with an exact DuckDB oracle.
+Cross-engine determinism rules applied throughout:
+
+- money/measures as integer cents (``cents()``), sums cast to BIGINT;
+- double outputs only when both engines evaluate the IDENTICAL
+  expression tree over exact integers (IEEE ops are deterministic), and
+  still rounded as a belt;
+- window frames are RANGE over integer day numbers so tie handling is
+  frame-defined, not order-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.operators import dedup, timeseries
+from etl_portofolio_spark.plans.analytics_queries import cents, _sql_cents
+from etl_portofolio_spark.session import apply_runtime_confs
+
+# --- sub-document (paragraph/chunk) dedup -----------------------------------
+
+_CHUNK_WORDS = 12
+
+
+def q_dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-level dedup: repeated 12-token windows are
+    dropped (first occurrence kept), docs rebuilt from surviving
+    chunks. The paragraph-dedup shape used on real corpora (explode →
+    global first-occurrence election → reassembly), with a fixed-width
+    chunker standing in for newline paragraph splits."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_docs(docs, "doc_id", "text", _CHUNK_WORDS)
+
+
+ORACLE_PARAGRAPH_CHUNKS = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / {_CHUNK_WORDS}.0) AS INT))) AS chunk_idx
+  FROM tok
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(
+           list_slice(t, chunk_idx * {_CHUNK_WORDS} + 1,
+                         chunk_idx * {_CHUNK_WORDS} + {_CHUNK_WORDS}), ' ') AS chunk
+  FROM idx
+), elected AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (
+           PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM ch
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+            THEN md5(string_agg(CASE WHEN keep THEN chunk END, ' '
+                                ORDER BY chunk_idx))
+       END AS kept_hash
+FROM elected
+GROUP BY doc_id
+"""
+
+
+# --- calendar spine gap-fill -------------------------------------------------
+
+_SPINE_MIN_VALUE = 300
+
+
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily high-value purchase rollup on a COMPLETE calendar spine:
+    days with no qualifying events appear with explicit zeros and a
+    was_gap flag. The spine is a single-row min/max aggregate exploded
+    into |days| rows and broadcast — the fact side shuffles once."""
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    purch = events.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > _SPINE_MIN_VALUE)
+    ).select(F.to_date("ts").alias("d"), cents("value").alias("vc"))
+    daily = purch.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("vc").alias("revenue_c"),
+    )
+    spine = timeseries.date_spine(purch, "d")
+    return timeseries.gapfill_daily(
+        daily, spine, "d", ["n_purchases", "revenue_c"]
+    )
+
+
+ORACLE_DATE_SPINE = f"""
+WITH p AS (
+  SELECT CAST(ts AS DATE) AS d, {_sql_cents("value")} AS vc
+  FROM events
+  WHERE event_type = 'purchase' AND value > {_SPINE_MIN_VALUE}
+), daily AS (
+  SELECT d, count(*) AS n_purchases, CAST(sum(vc) AS BIGINT) AS revenue_c
+  FROM p GROUP BY d
+), b AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM p
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b WHERE lo IS NOT NULL
+)
+SELECT s.d,
+       coalesce(daily.n_purchases, 0) AS n_purchases,
+       coalesce(daily.revenue_c, 0) AS revenue_c,
+       daily.n_purchases IS NULL AS was_gap
+FROM spine s LEFT JOIN daily USING (d)
+"""
+
+
+# --- exact percentile bands --------------------------------------------------
+
+
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles of quantity per return flag.
+
+    ``percentile`` is Spark's exact sort-based aggregate — the right
+    tool when the group count is tiny and the groups are large; the
+    sketch-based ``percentile_approx`` is the 100 TB default when the
+    group count explodes (see quantile_outlier_filter, which uses it).
+    Values interpolate between small integers, so doubles are exact;
+    rounded to 6 dp as a cross-engine belt anyway."""
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    q = lambda p: F.round(F.percentile("l_quantity", F.lit(p)), 6)  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            q(0.25).alias("p25"),
+            q(0.5).alias("p50"),
+            q(0.75).alias("p75"),
+            q(0.99).alias("p99"),
+        )
+    )
+
+
+ORACLE_PERCENTILE_BANDS = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- exact-integer correlation / covariance ----------------------------------
+
+
+def q_stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of (quantity, price) per
+    return flag — computed from EXACT integer sums (decimal(38,0)
+    accumulators over cents), with the closed-form double arithmetic
+    applied once per group. Both engines fold identical integers and
+    then evaluate the identical IEEE expression tree, so the doubles
+    match bit-for-bit (rounded as a belt). The naive streaming
+    ``corr()`` aggregate is order-dependent in floating point — this
+    formulation is the scale-safe, deterministic variant: partial sums
+    merge algebraically across any partitioning."""
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = cents("l_quantity")
+    y = cents("l_extendedprice")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(x)).alias("__sx"),
+        F.sum(dec(y)).alias("__sy"),
+        F.sum(dec(x * x)).alias("__sxx"),
+        F.sum(dec(y * y)).alias("__syy"),
+        F.sum(dec(x * y)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        F.col("__n").alias("n_items"),
+        F.round(corr, 9).alias("corr_qty_price"),
+        F.round(covar, 4).alias("covar_c"),
+    )
+
+
+_SQL_X = _sql_cents("l_quantity")
+_SQL_Y = _sql_cents("l_extendedprice")
+ORACLE_STATS_CORR = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST({_SQL_X} AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST({_SQL_Y} AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST({_SQL_X} * {_SQL_X} AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST({_SQL_Y} * {_SQL_Y} AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST({_SQL_X} * {_SQL_Y} AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_items,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr_qty_price,
+       round((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)
+         AS covar_c
+FROM s
+"""
+
+
+# --- approximate distinct with tolerance gate --------------------------------
+
+
+def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs HLL distinct-user counts per event type. The hashed
+    output carries the EXACT count plus a boolean 'sketch within 10%'
+    gate — the sketch value itself is engine-specific (different HLL
+    implementations), the accuracy contract is not. At 100 TB the
+    approx variant is one map-side-mergeable pass where exact distinct
+    is two shuffles."""
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("__approx") - F.col("n_users"))
+                <= 0.1 * F.col("n_users")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.1 * count(DISTINCT user_id) AS approx_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- grouping sets -----------------------------------------------------------
+
+
+def q_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (priority, status), (priority), () —
+    with per-column grouping flags (per-column flags agree across
+    engines; combined grouping_id bitmasks do not). One pass: Spark
+    expands the sets via a single Expand node, not three scans."""
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    pr, st = F.col("o_orderpriority"), F.col("o_orderstatus")
+    return (
+        orders.groupingSets([[pr, st], [pr], []], pr, st)
+        .agg(
+            # grouping() is only resolvable inside the grouping-sets
+            # aggregate itself, not a downstream projection
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_c"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "g_priority",
+            "g_status",
+            "n_orders",
+            "total_c",
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum({_sql_cents("o_totalprice")}) AS BIGINT) AS total_c
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- fixed-width histogram ---------------------------------------------------
+
+_HIST_WIDTH_C = 1_000_000  # $10k buckets over integer cents
+_HIST_BUCKETS = 12
+
+
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price: bucket index computed
+    with identical floor-divide arithmetic in both engines (exact —
+    cents are integers far below 2^53), top bucket clamps the tail.
+    One map-side-combinable aggregation on a 12-value key."""
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = cents("l_extendedprice")
+    bucket = F.least(
+        F.floor(pc.cast("double") / float(_HIST_WIDTH_C)),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        li.select(bucket.alias("bucket_id"), pc.alias("pc"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("pc").alias("sum_price_c"),
+        )
+        .withColumn(
+            "lo_dollars", F.col("bucket_id") * F.lit(_HIST_WIDTH_C // 100)
+        )
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT least(CAST(floor(CAST({_sql_cents("l_extendedprice")} AS DOUBLE)
+                          / {_HIST_WIDTH_C}.0) AS BIGINT),
+               {_HIST_BUCKETS - 1}) AS bucket_id,
+         {_sql_cents("l_extendedprice")} AS pc
+  FROM lineitem
+)
+SELECT bucket_id,
+       count(*) AS n_items,
+       CAST(sum(pc) AS BIGINT) AS sum_price_c,
+       bucket_id * {_HIST_WIDTH_C // 100} AS lo_dollars
+FROM b
+GROUP BY bucket_id
+"""
+
+
+# --- trailing range-frame window ---------------------------------------------
+
+
+def q_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing 7-day order revenue via a RANGE frame over
+    an integer day number — all same-day peers are in frame, so the
+    result is deterministic under intra-day ties (a ROWS frame would
+    not be). One shuffle on o_custkey."""
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        cents("o_totalprice").alias("tc"),
+    )
+    day = F.datediff(F.col("od"), F.lit("1970-01-01").cast("date"))
+    return timeseries.trailing_range_sum(
+        o, "o_custkey", day, F.col("tc"), 7, "trail7_c"
+    ).select("o_custkey", "o_orderkey", "od", "trail7_c")
+
+
+ORACLE_TRAILING_7D = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS od,
+       CAST(sum({_sql_cents("o_totalprice")}) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trail7_c
+FROM orders
+"""
+
+
+ADVANCED_QUERIES = {
+    "dedup_paragraph_chunks": (q_dedup_paragraph_chunks, ORACLE_PARAGRAPH_CHUNKS),
+    "date_spine_gapfill": (q_date_spine_gapfill, ORACLE_DATE_SPINE),
+    "percentile_bands": (q_percentile_bands, ORACLE_PERCENTILE_BANDS),
+    "stats_corr_exact": (q_stats_corr_exact, ORACLE_STATS_CORR),
+    "approx_distinct_gate": (q_approx_distinct_gate, ORACLE_APPROX_DISTINCT),
+    "grouping_sets_priority": (q_grouping_sets_priority, ORACLE_GROUPING_SETS),
+    "histogram_price": (q_histogram_price, ORACLE_HISTOGRAM),
+    "trailing_7d_revenue": (q_trailing_7d_revenue, ORACLE_TRAILING_7D),
+}
