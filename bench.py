@@ -50,6 +50,8 @@ HEADLINE = (
     "sessionize_events",
     "range_join_quantity_bands",
     "decontaminate_ngram",
+    "dedup_paragraph_chunks",
+    "trailing_7d_revenue",
 )
 
 

@@ -391,6 +391,119 @@ FROM orders
 """
 
 
+# --- retention cohorts -------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen WEEK, counted per
+    activity-week offset. Week index = floor(epoch-days / 7) — pure
+    integer arithmetic, identical in both engines (calendar month/week
+    truncation conventions are avoided entirely). Two key-partitioned
+    aggregations plus one join; the per-user first-seen frame is the
+    small side and is broadcast."""
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    wk = lambda c: F.floor(F.datediff(c, epoch) / F.lit(7.0))  # noqa: E731
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__first_d")
+    )
+    cohorts = first.select(
+        "user_id",
+        wk(F.col("__first_d")).alias("cohort_week"),
+    )
+    activity = (
+        events.select("user_id", wk(F.to_date("ts")).alias("__act_w")).distinct()
+    )
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_week",
+            (F.col("__act_w") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+  FROM events GROUP BY user_id
+), cohorts AS (
+  SELECT user_id,
+         CAST(floor((first_d - DATE '1970-01-01') / 7.0) AS BIGINT) AS cohort_week
+  FROM first
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7.0) AS BIGINT) AS act_w
+  FROM events
+)
+SELECT c.cohort_week,
+       a.act_w - c.cohort_week AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_week, a.act_w - c.cohort_week
+"""
+
+
+# --- event transition matrix -------------------------------------------------
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts + probabilities per
+    user journey (lag over (ts, event_id) — the id tiebreak makes the
+    sequence total). The probability divide happens once per (prev,
+    cur) pair on exact BIGINT counts, identically in both engines.
+    One shuffle for the window, one for the pair count."""
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W2
+
+    total = F.sum("n").over(W2.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 9).alias("p"),
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_type,
+         event_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 9) AS p
+FROM pairs
+"""
+
+
 ADVANCED_QUERIES = {
     "dedup_paragraph_chunks": (q_dedup_paragraph_chunks, ORACLE_PARAGRAPH_CHUNKS),
     "date_spine_gapfill": (q_date_spine_gapfill, ORACLE_DATE_SPINE),
@@ -400,4 +513,6 @@ ADVANCED_QUERIES = {
     "grouping_sets_priority": (q_grouping_sets_priority, ORACLE_GROUPING_SETS),
     "histogram_price": (q_histogram_price, ORACLE_HISTOGRAM),
     "trailing_7d_revenue": (q_trailing_7d_revenue, ORACLE_TRAILING_7D),
+    "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION),
+    "event_transition_matrix": (q_event_transition_matrix, ORACLE_TRANSITIONS),
 }

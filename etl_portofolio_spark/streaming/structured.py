@@ -71,6 +71,27 @@ def windowed_counts(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS it once the watermark passes the key's event time + lateness
+    — the state-TTL contract that makes streaming dedup viable at scale
+    (a plain ``dropDuplicates`` on a stream grows state forever). A
+    replayed/duplicated record arriving within the horizon is dropped;
+    one arriving after the horizon is treated as new, which is the
+    documented at-least-once → effectively-once tradeoff.
+    """
+    return events.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def make_batch_sink(
     target_path: str,
     partition_col: str = "ds",

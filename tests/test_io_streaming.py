@@ -21,6 +21,7 @@ from etl_portofolio_spark.streaming.incremental import (
     time_windows,
 )
 from etl_portofolio_spark.streaming.structured import (
+    deduped_stream,
     start_dynamic_overwrite_sink,
     time_bounded_join,
     windowed_counts,
@@ -154,6 +155,45 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed keys across micro-batches are dropped; state is bounded
+    by the watermark (dropDuplicatesWithinWatermark)."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, v string"
+    # file 1: e1, e2 — file 2 (a later micro-batch): e1 replayed + e3
+    b1 = spark.createDataFrame(
+        [(1, base, "a"), (2, base + timedelta(minutes=1), "b")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, base, "a-replay"), (3, base + timedelta(minutes=2), "c")], schema
+    )
+    b1.coalesce(1).write.parquet(str(src_dir / "f1"))
+    b2.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*/")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        deduped_stream(stream, key_cols=("event_id",), lateness="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]  # e1 exactly once despite the replay
+    assert got.where(F.col("v") == "a-replay").count() == 0  # first won
 
 
 def test_stream_stream_join_matches_batch(spark, tmp_path):
