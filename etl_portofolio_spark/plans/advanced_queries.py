@@ -504,6 +504,163 @@ FROM pairs
 """
 
 
+# --- TPC-H Q7 shape: nation-pair trade volume --------------------------------
+
+
+def q_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nation-pair revenue (TPC-H Q7 shape): one dim
+    chain per side (orders→customer→nation and supplier→nation).
+
+    Broadcast hints go ONLY on the constant-size dims (nation: 25
+    rows; supplier: small per SF). orders/customer grow with the fact
+    table — forcing broadcast there would be a 100 TB scale-killer, so
+    their joins are left to AQE: broadcast at small SF, shuffle-hash on
+    the join key at scale (both sides key-partitioned, no skew on
+    orderkey/custkey)."""
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_c4"),
+        )
+    )
+
+
+ORACLE_NATION_VOLUME = f"""
+SELECT n2.n_name AS supp_nation,
+       n1.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       count(*) AS n_items,
+       CAST(sum({_sql_cents("l_extendedprice * (1 - l_discount)", 4)}) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n2.n_name, n1.n_name, year(l_shipdate)
+"""
+
+
+# --- TPC-H Q19 shape: disjunction of conjunctions -----------------------------
+
+
+def q_disjunctive_pred_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across a join (TPC-H Q19 shape). Catalyst
+    extracts the common join key, pushes the shared conjuncts into both
+    scans, and evaluates the residual disjunction post-join — the probe
+    for 'does a messy business predicate still prune at the scan'."""
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_c4"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE = f"""
+SELECT count(*) AS n_items,
+       CAST(sum({_sql_cents("l_extendedprice * (1 - l_discount)", 4)}) AS BIGINT)
+         AS revenue_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_type = 'ECONOMY' AND p_size BETWEEN 5 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# --- corpus vocabulary -------------------------------------------------------
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary: token frequencies with doc frequency,
+    top 100 by (count desc, token asc — total order, so the LIMIT is
+    deterministic). One explode + one map-side-combinable aggregation
+    + TakeOrdered; the classic vocab-build pass over a corpus."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_portofolio_spark.operators.text import tokens
+    from etl_portofolio_spark.operators.util import spread
+
+    tok = spread(docs).select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+ORACLE_VOCAB = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM tok
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
+"""
+
+
 ADVANCED_QUERIES = {
     "dedup_paragraph_chunks": (q_dedup_paragraph_chunks, ORACLE_PARAGRAPH_CHUNKS),
     "date_spine_gapfill": (q_date_spine_gapfill, ORACLE_DATE_SPINE),
@@ -515,4 +672,7 @@ ADVANCED_QUERIES = {
     "trailing_7d_revenue": (q_trailing_7d_revenue, ORACLE_TRAILING_7D),
     "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION),
     "event_transition_matrix": (q_event_transition_matrix, ORACLE_TRANSITIONS),
+    "nation_volume_pairs": (q_nation_volume_pairs, ORACLE_NATION_VOLUME),
+    "disjunctive_pred_revenue": (q_disjunctive_pred_revenue, ORACLE_DISJUNCTIVE),
+    "vocab_top_terms": (q_vocab_top_terms, ORACLE_VOCAB),
 }
