@@ -98,6 +98,29 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: JPEG SOFn markers that carry frame dimensions (C4=DHT, C8=JPG ext,
+#: CC=DAC are NOT frame headers and are excluded per ITU T.81)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def make_jpeg(width: int, height: int, channels: int = 3) -> bytes:
+    """Structurally valid JPEG header stream: SOI + JFIF APP0 + SOF0 +
+    EOI. Carries real frame dimensions in a spec-correct segment walk;
+    contains no entropy-coded data (header-level validity only — this
+    repo's codec layer parses containers, it does not decode pixels)."""
+    app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    sof_comps = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(channels)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, channels) + sof_comps
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+
+
 def parse_container(payload: bytes) -> dict:
     """Sniff + parse a PNG/GIF/BMP/WAV payload's real header fields.
 
@@ -148,6 +171,24 @@ def _parse_container_strict(payload: bytes, out: dict) -> dict:
         w, h = struct.unpack("<ii", payload[18:26])
         bpp = struct.unpack("<H", payload[28:30])[0]
         out.update(format="bmp", width=w, height=abs(h), channels=bpp // 8)
+    elif payload[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOFn frame header.
+        # Big-endian lengths INCLUDE the 2 length bytes; SOS/EOI end
+        # the metadata region (entropy data follows SOS).
+        pos = 2
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker in (0xD9, 0xDA):  # EOI / SOS
+                break
+            seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            if marker in _JPEG_SOF_MARKERS:
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                out.update(
+                    format="jpeg", width=w, height=h,
+                    channels=payload[pos + 9],
+                )
+                break
+            pos += 2 + seg_len
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos = 12
         channels = rate = bits = data_len = None

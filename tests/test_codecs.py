@@ -62,6 +62,24 @@ def test_wav_parser_skips_foreign_chunks():
     assert meta["format"] == "wav" and meta["n_samples"] == 4
 
 
+def test_jpeg_roundtrip_and_segment_walk():
+    for channels in (1, 3):
+        payload = codecs.make_jpeg(320, 200, channels)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        meta = codecs.parse_container(payload)
+        assert (meta["format"], meta["width"], meta["height"], meta["channels"]) == (
+            "jpeg", 320, 200, channels,
+        )
+    # a COM segment before SOF0 must be walked over, not break parsing
+    base = codecs.make_jpeg(64, 48)
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 5) + b"hello"
+    injected = base[:2] + com + base[2:]
+    meta = codecs.parse_container(injected)
+    assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", 64, 48)
+    # truncated: SOI + APP0 marker only -> unknown, no raise
+    assert codecs.parse_container(base[:4])["format"] == "unknown"
+
+
 def test_unknown_bytes_are_unknown():
     meta = codecs.parse_container(b"\x00\x01\x02not a container")
     assert meta["format"] == "unknown"

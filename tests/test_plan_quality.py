@@ -106,3 +106,52 @@ def test_decontaminate_probe_is_broadcast(spark):
     ev = docs.where(F.col("doc_id") % 20 == 0)
     plan = _plan(dedup.decontaminate(train, ev, "doc_id", "text", k=8))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_disjunctive_predicate_pushed_to_both_scans(spark):
+    """Q19-shape OR-of-ANDs: Catalyst must decompose the disjunction and
+    push the per-table envelopes into BOTH parquet scans."""
+    from etl_portofolio_spark.plans.advanced_queries import (
+        q_disjunctive_pred_revenue,
+    )
+
+    plan = _plan(q_disjunctive_pred_revenue(spark, SF_DIR))
+    pushed = [
+        seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    li_pushed = [p for p in pushed if "l_quantity" in p]
+    part_pushed = [p for p in pushed if "p_size" in p]
+    assert li_pushed and "Or(" in li_pushed[0]
+    assert part_pushed and "Or(" in part_pushed[0]
+
+
+def test_date_spine_join_is_broadcast(spark):
+    """The calendar spine (|days| rows) must broadcast; the daily
+    aggregate side must never shuffle for the gap-fill join."""
+    from etl_portofolio_spark.plans.advanced_queries import q_date_spine_gapfill
+
+    plan = _plan(q_date_spine_gapfill(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_no_allpairs_and_pruned_scan(spark):
+    """Chunk dedup: key-partitioned shuffles only, no join at all, and
+    the documents scan reads just (doc_id, text)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.chunk_dedup_docs(docs, "doc_id", "text"))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_nation_volume_small_dims_broadcast(spark):
+    """Q7 shape: nation/supplier joins broadcast; no forced broadcast
+    on the fact-scale sides (AQE may still choose one at tiny SF, but a
+    CartesianProduct/BNLJ must never appear)."""
+    from etl_portofolio_spark.plans.advanced_queries import q_nation_volume_pairs
+
+    plan = _plan(q_nation_volume_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
