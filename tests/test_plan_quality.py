@@ -155,3 +155,63 @@ def test_nation_volume_small_dims_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning_on_ds_layout(spark, tmp_path):
+    """A ds= equality filter over a partitioned layout must become a
+    PartitionFilter (metadata pruning), never a data Filter — the read
+    side of the reference's daily-partition contract."""
+    from etl_portofolio_spark.sinks.writer import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2024010{1 + i % 3}") for i in range(60)], "k long, ds string"
+    )
+    path = str(tmp_path / "pt")
+    write_partitioned(df, path, "ds", target_file_bytes=None)
+    scan = spark.read.parquet(path).where(F.col("ds") == "20240102")
+    plan = _plan(scan)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "ds" in pf and "20240102" in pf
+    # the pruned column must NOT appear as a post-scan data filter
+    assert scan.count() == 20
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling must engage on a pathological key: with
+    local thresholds lowered, the executed plan marks the sort-merge
+    join as skew=true and splits the hot partition instead of letting
+    one task carry ~all rows. (This is the runtime half of the skew
+    story; operators/skew.py's deterministic salting is the plan-time
+    half for aggregations.)"""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            (F.when(F.col("id") % 3 == 0, 0).otherwise(F.col("id"))).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.col("id").alias("r")
+        )
+        joined = left.join(right, "k")
+        # drive THIS Dataset's own query execution: a sink write builds a
+        # separate QueryExecution and would leave this plan unfinalized
+        expected = 60_000 // 3 + sum(1 for k in range(1, 50) if k % 3 != 0)
+        assert len(joined.collect()) == expected
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
