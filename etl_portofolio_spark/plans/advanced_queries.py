@@ -661,6 +661,54 @@ LIMIT 100
 """
 
 
+# --- latest row per key via max_by (aggregate, not window) -------------------
+
+
+def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer via ``max_by`` over a packed sort key
+    (epoch-day * 2^20 + orderkey — exact, total, tie-free).
+
+    This is the scale-preferred shape for "latest row per key": ONE
+    algebraic aggregation with map-side partials, versus the window
+    row_number pattern's full sort of every partition. At 100 TB the
+    sort is the bottleneck; max_by never sorts."""
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    sortkey = (day.cast("long") * F.lit(1 << 20)) + F.col("o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            sortkey.alias("__sk"),
+            cents("o_totalprice").alias("tc"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", F.col("__sk")).alias("last_orderkey"),
+            F.max_by("tc", F.col("__sk")).alias("last_total_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_LATEST_MAXBY = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           * {1 << 20} + o_orderkey AS sk,
+         {_sql_cents("o_totalprice")} AS tc
+  FROM orders
+)
+SELECT o_custkey,
+       max_by(o_orderkey, sk) AS last_orderkey,
+       max_by(tc, sk) AS last_total_c,
+       count(*) AS n_orders
+FROM o
+GROUP BY o_custkey
+"""
+
+
 ADVANCED_QUERIES = {
     "dedup_paragraph_chunks": (q_dedup_paragraph_chunks, ORACLE_PARAGRAPH_CHUNKS),
     "date_spine_gapfill": (q_date_spine_gapfill, ORACLE_DATE_SPINE),
@@ -675,4 +723,5 @@ ADVANCED_QUERIES = {
     "nation_volume_pairs": (q_nation_volume_pairs, ORACLE_NATION_VOLUME),
     "disjunctive_pred_revenue": (q_disjunctive_pred_revenue, ORACLE_DISJUNCTIVE),
     "vocab_top_terms": (q_vocab_top_terms, ORACLE_VOCAB),
+    "latest_order_maxby": (q_latest_order_maxby, ORACLE_LATEST_MAXBY),
 }
