@@ -416,6 +416,29 @@ def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
     assert back.exceptAll(ev).count() == 0
 
 
+def test_xml_file_roundtrip_native_format(spark, tmp_path):
+    """Spark 4 native XML file source round-trip (rowTag contract) —
+    complements the HTTP XML-query DataSource (S2): the same payload
+    shape as files on disk survives write→read with declared schema."""
+    path = str(tmp_path / "xml")
+    df = spark.createDataFrame(
+        [(1, "host-a", 12.5), (2, "host-b", None)],
+        "id long, host string, delay double",
+    )
+    df.write.format("xml").option("rowTag", "row").mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("id long, host string, delay double")
+        .load(path)
+    )
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    assert [(r["id"], r["host"], r["delay"]) for r in got] == [
+        (1, "host-a", 12.5),
+        (2, "host-b", None),
+    ]
+
+
 def test_json_source_permissive_corrupt_records(spark, tmp_path):
     """JSON-lines read with PERMISSIVE mode: malformed rows land in
     _corrupt_record instead of failing the scan — corrupt blobs are

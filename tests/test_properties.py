@@ -186,3 +186,50 @@ def test_decontaminate_corpus_matches_two_pass(spark, texts):
         ).collect()
     )
     assert single == two_pass
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "aa"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunk_dedup_matches_python_reference(spark, word_lists):
+    """chunk_dedup_docs == a plain-Python first-occurrence election.
+    The tiny vocabulary forces cross-doc chunk collisions; the reference
+    reproduces the (doc_id, chunk_idx) ordering contract exactly."""
+    cw = 2
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+
+    chunks_by_doc: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        toks = text.strip().lower().split() or [""]
+        n = (len(toks) + cw - 1) // cw
+        chunks_by_doc[doc_id] = [
+            " ".join(toks[i * cw : (i + 1) * cw]) for i in range(max(n, 1))
+        ]
+    first: dict[str, tuple[int, int]] = {}
+    for doc_id in sorted(chunks_by_doc):
+        for idx, ch in enumerate(chunks_by_doc[doc_id]):
+            first.setdefault(ch, (doc_id, idx))
+    expected = {}
+    for doc_id in sorted(chunks_by_doc):
+        kept = [
+            ch
+            for idx, ch in enumerate(chunks_by_doc[doc_id])
+            if first[ch] == (doc_id, idx)
+        ]
+        expected[doc_id] = (
+            len(chunks_by_doc[doc_id]),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest() if kept else None,
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_hash"])
+        for r in dedup.chunk_dedup_docs(df, "doc_id", "text", cw).collect()
+    }
+    assert got == expected
