@@ -233,3 +233,55 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(F.col(id_col), "tok", "tf", "df", "score", "rank")
     )
+
+
+#: Quality-funnel rule order: each doc is charged to the FIRST rule it
+#: fails. Every rule compares exact integers (ratios expressed by
+#: cross-multiplication), so the report is bit-identical across engines
+#: and the single-pass aggregation is map-side combinable.
+FUNNEL_RULES = ("too_short", "punct_heavy", "low_stopword", "repetitive")
+
+
+def quality_funnel_verdict(text_col: Column | str) -> Column:
+    """Per-doc funnel verdict: first failing rule name, or 'pass'."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    p_cnt = punct_count(c)
+    stop_hits = stopword_hits(toks, "en")
+    n_distinct = F.size(F.array_distinct(toks))
+    return (
+        F.when(n_toks < 8, F.lit("too_short"))
+        .when(p_cnt * 10 >= n_chars, F.lit("punct_heavy"))
+        .when(stop_hits * 50 < n_toks, F.lit("low_stopword"))
+        .when(n_distinct * 2 < n_toks, F.lit("repetitive"))
+        .otherwise(F.lit("pass"))
+    )
+
+
+def quality_funnel_report(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Data-quality funnel per group: how many docs each rule rejects
+    (first-failure attribution) and how many survive. The pipeline
+    observability report every corpus-cleaning run needs — one pass,
+    one shuffle on the (small) group key, conditional-sum aggregates."""
+    verdict = quality_funnel_verdict(text_col).alias("__verdict")
+    counts = [
+        F.sum(F.when(F.col("__verdict") == r, 1).otherwise(0))
+        .cast("long")
+        .alias(f"r_{r}")
+        for r in FUNNEL_RULES
+    ]
+    return (
+        df.select(F.col(group_col), verdict)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *counts,
+            F.sum(F.when(F.col("__verdict") == "pass", 1).otherwise(0))
+            .cast("long")
+            .alias("n_survivors"),
+        )
+    )

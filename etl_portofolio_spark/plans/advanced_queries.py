@@ -709,6 +709,62 @@ GROUP BY o_custkey
 """
 
 
+# --- data-quality funnel -----------------------------------------------------
+
+
+def q_quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-cleaning funnel: docs charged to the first
+    quality rule they fail, survivors counted — the observability
+    report of a filtering pipeline. All rules are exact-integer
+    comparisons (cross-multiplied ratios), single map-side-combinable
+    pass."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.text import quality_funnel_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_funnel_report(docs, "text", "source")
+
+
+def _oracle_quality_funnel() -> str:
+    from etl_portofolio_spark.operators.text import FUNNEL_RULES, LANG_STOPWORDS
+
+    sql_tokens = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    rule_counts = ",\n       ".join(
+        f"CAST(sum(CASE WHEN verdict = '{r}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS r_{r}"
+        for r in FUNNEL_RULES
+    )
+    return rf"""
+WITH f AS (
+  SELECT source, length(text) AS n_chars, {sql_tokens} AS t,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+           AS p_cnt
+  FROM documents
+), g AS (
+  SELECT source, n_chars, len(t) AS n_toks, p_cnt,
+         len(list_filter(t, x -> list_contains({list(LANG_STOPWORDS["en"])}, x)))
+           AS stop_hits,
+         len(list_distinct(t)) AS n_distinct
+  FROM f
+), v AS (
+  SELECT source,
+         CASE WHEN n_toks < 8 THEN 'too_short'
+              WHEN p_cnt * 10 >= n_chars THEN 'punct_heavy'
+              WHEN stop_hits * 50 < n_toks THEN 'low_stopword'
+              WHEN n_distinct * 2 < n_toks THEN 'repetitive'
+              ELSE 'pass' END AS verdict
+  FROM g
+)
+SELECT source,
+       count(*) AS n_docs,
+       {rule_counts},
+       CAST(sum(CASE WHEN verdict = 'pass' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors
+FROM v
+GROUP BY source
+"""
+
+
 ADVANCED_QUERIES = {
     "dedup_paragraph_chunks": (q_dedup_paragraph_chunks, ORACLE_PARAGRAPH_CHUNKS),
     "date_spine_gapfill": (q_date_spine_gapfill, ORACLE_DATE_SPINE),
@@ -724,4 +780,5 @@ ADVANCED_QUERIES = {
     "disjunctive_pred_revenue": (q_disjunctive_pred_revenue, ORACLE_DISJUNCTIVE),
     "vocab_top_terms": (q_vocab_top_terms, ORACLE_VOCAB),
     "latest_order_maxby": (q_latest_order_maxby, ORACLE_LATEST_MAXBY),
+    "quality_funnel_report": (q_quality_funnel_report, _oracle_quality_funnel()),
 }
