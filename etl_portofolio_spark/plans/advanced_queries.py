@@ -709,6 +709,45 @@ GROUP BY o_custkey
 """
 
 
+# --- distribution window functions -------------------------------------------
+
+
+def q_window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over one ordered spec — the
+    distribution third of the window-function family (ranking and value
+    families are covered elsewhere). The (price, orderkey) tiebreak
+    makes the order total, so every output is deterministic. One
+    shuffle + one sort per partition, all three functions in a single
+    Window operator."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents("o_totalprice").alias("total_c"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+ORACLE_DISTRIBUTION_RANKS = f"""
+SELECT o_orderpriority, o_orderkey,
+       {_sql_cents("o_totalprice")} AS total_c,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY {_sql_cents("o_totalprice")} ASC, o_orderkey ASC)
+"""
+
+
 # --- data-quality funnel -----------------------------------------------------
 
 
@@ -781,4 +820,8 @@ ADVANCED_QUERIES = {
     "vocab_top_terms": (q_vocab_top_terms, ORACLE_VOCAB),
     "latest_order_maxby": (q_latest_order_maxby, ORACLE_LATEST_MAXBY),
     "quality_funnel_report": (q_quality_funnel_report, _oracle_quality_funnel()),
+    "window_distribution_ranks": (
+        q_window_distribution_ranks,
+        ORACLE_DISTRIBUTION_RANKS,
+    ),
 }
