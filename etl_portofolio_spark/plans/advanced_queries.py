@@ -709,6 +709,37 @@ GROUP BY o_custkey
 """
 
 
+# --- SQL-string interface ----------------------------------------------------
+
+#: Dialect-neutral SQL run VERBATIM on both engines — the reference's
+#: registerTempTable + embedded-SQL surface (`Processing Data.py:188`)
+#: re-expressed: same text is the Spark query AND the DuckDB oracle.
+_SQL_INTERFACE_TEXT = """
+SELECT n_name AS nation,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderpriority
+"""
+
+
+def q_sql_interface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-string surface: temp views + ``spark.sql`` —
+    the reference's embedded-SQL interaction model. The statement is
+    dialect-neutral and doubles, unmodified, as its own oracle; Catalyst
+    plans it identically to the DataFrame equivalent (same pushdown,
+    same broadcasts)."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(_SQL_INTERFACE_TEXT)
+
+
 # --- distribution window functions -------------------------------------------
 
 
@@ -824,4 +855,5 @@ ADVANCED_QUERIES = {
         q_window_distribution_ranks,
         ORACLE_DISTRIBUTION_RANKS,
     ),
+    "sql_interface_report": (q_sql_interface_report, _SQL_INTERFACE_TEXT),
 }
