@@ -102,3 +102,30 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     assert top == {1: "apple", 2: "cherry", 3: "durian"}
     ranks = [r["rank"] for r in out.collect()]
     assert ranks == [1, 1, 1]
+
+
+def test_quality_funnel_first_failure_attribution(spark):
+    from etl_portofolio_spark.operators.text import quality_funnel_report
+
+    docs = spark.createDataFrame(
+        [
+            # too short (< 8 tokens) — even though it is also punct-heavy
+            ("s1", "a! b! c!"),
+            # long enough, punct-heavy (>= 10% punct chars)
+            ("s1", "a! b! c! d! e! f! g! h! i!"),
+            # long enough, clean, but zero stopwords -> low_stopword
+            ("s1", "alpha beta gamma delta epsilon zeta eta theta iota"),
+            # stopworded and varied -> pass
+            ("s2", "the quick brown fox and the lazy dog ran with a friend"),
+            # stopworded but one token repeated -> repetitive
+            ("s2", "the go go go go go go go go go go go go go go go go go"),
+        ],
+        "source string, text string",
+    )
+    rows = {
+        r["source"]: r for r in quality_funnel_report(docs, "text", "source").collect()
+    }
+    s1, s2 = rows["s1"], rows["s2"]
+    assert (s1["n_docs"], s1["r_too_short"], s1["r_punct_heavy"]) == (3, 1, 1)
+    assert s1["r_low_stopword"] == 1 and s1["n_survivors"] == 0
+    assert (s2["n_docs"], s2["r_repetitive"], s2["n_survivors"]) == (2, 1, 1)

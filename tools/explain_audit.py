@@ -28,6 +28,10 @@ DEFAULT_QUERIES = (
     "range_join_quantity_bands",
     "decontaminate_ngram",
     "dedup_incremental_novel",
+    "nation_volume_pairs",
+    "disjunctive_pred_revenue",
+    "dedup_paragraph_chunks",
+    "date_spine_gapfill",
 )
 
 
