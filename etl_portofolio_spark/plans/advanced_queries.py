@@ -709,6 +709,63 @@ GROUP BY o_custkey
 """
 
 
+# --- day-over-day deltas on an aggregated series -----------------------------
+
+
+def q_nation_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue per customer nation with day-over-day delta: a
+    window (lag) over an ALREADY-AGGREGATED series — the aggregation
+    shrinks the data to |nations|×|days| rows first, so the window sort
+    is over a tiny frame regardless of fact size. Ordering this the
+    other way (window over the fact) is the classic scale mistake."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    daily = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum(rev).alias("revenue_c4"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("d").asc())
+    prev = F.lag("revenue_c4").over(w)
+    return daily.select(
+        "nation",
+        "d",
+        "revenue_c4",
+        (F.col("revenue_c4") - prev).alias("delta_c4"),
+    )
+
+
+ORACLE_NATION_DOD = f"""
+WITH daily AS (
+  SELECT n_name AS nation,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST(sum({_sql_cents("l_extendedprice * (1 - l_discount)", 4)}) AS BIGINT)
+           AS revenue_c4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(l_shipdate AS DATE)
+)
+SELECT nation, d, revenue_c4,
+       revenue_c4 - lag(revenue_c4) OVER (
+         PARTITION BY nation ORDER BY d ASC) AS delta_c4
+FROM daily
+"""
+
+
 # --- SQL-string interface ----------------------------------------------------
 
 #: Dialect-neutral SQL run VERBATIM on both engines — the reference's
@@ -856,4 +913,5 @@ ADVANCED_QUERIES = {
         ORACLE_DISTRIBUTION_RANKS,
     ),
     "sql_interface_report": (q_sql_interface_report, _SQL_INTERFACE_TEXT),
+    "nation_day_over_day": (q_nation_day_over_day, ORACLE_NATION_DOD),
 }
