@@ -164,6 +164,13 @@ def minhash_bands(
     sig: DataFrame, id_col: str, num_hashes: int = NUM_MINHASHES, rows: int = BAND_ROWS
 ) -> DataFrame:
     """Explode a signature frame to (id, band_id, band_hash) rows."""
+    if rows < 1 or num_hashes % rows != 0:
+        # floor division would silently DROP trailing hashes from the
+        # banding — an invisible LSH recall loss, not a crash
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"rows ({rows})"
+        )
     n_bands = num_hashes // rows
     bands = F.array(
         *[
@@ -583,6 +590,8 @@ def chunk_dedup_docs(
     Output: one row per doc — chunk counts plus an md5 of the rebuilt
     text (NULL when every chunk of the doc was seen earlier).
     """
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
     toks = tokens(text_col)
     docs = spread(df).select(
         F.col(id_col),

@@ -43,6 +43,8 @@ def bucketed_range_join(
     Inner join only: an outer variant would need a row-identity key to
     re-attach unmatched points, which belongs to the caller.
     """
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     p = points.withColumn(
         BUCKET_COL, F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )

@@ -37,6 +37,8 @@ _MERGE = {
 
 def salt_column(unique_col: Column | str, num_salts: int = DEFAULT_SALTS) -> Column:
     """Deterministic salt in [0, num_salts): hash-mod of a row-unique col."""
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     c = F.col(unique_col) if isinstance(unique_col, str) else unique_col
     return F.pmod(F.hash(c), F.lit(num_salts))
 

@@ -77,6 +77,8 @@ def trailing_range_sum(
     number. One shuffle on the partition key; the frame is evaluated
     in a single pass over each partition's sorted run.
     """
+    if days < 1:
+        raise ValueError(f"days must be >= 1, got {days}")
     w = (
         Window.partitionBy(partition_col)
         .orderBy(F.col("__day"))

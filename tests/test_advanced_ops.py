@@ -80,3 +80,26 @@ def test_trailing_range_sum_includes_same_day_peers(spark):
     assert by[10] == [150, 150]
     assert by[16] == [160]  # day 10 within 7-day window of day 16
     assert by[17] == [11]  # day 10 fell out; day 16 still in
+
+
+def test_operator_argument_guards(spark):
+    """Degenerate arguments fail loudly at plan-build time instead of
+    silently corrupting results (dropped LSH bands, empty chunk grids,
+    inverted window frames)."""
+    import pytest
+
+    from etl_portofolio_spark.operators.dedup import minhash_bands
+    from etl_portofolio_spark.operators.rangejoin import bucketed_range_join
+    from etl_portofolio_spark.operators.skew import salt_column
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_words"):
+        chunk_dedup_docs(df, "doc_id", "text", chunk_words=0)
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_bands(df, "doc_id", num_hashes=16, rows=5)
+    with pytest.raises(ValueError, match="bucket_width"):
+        bucketed_range_join(df, df, "doc_id", "doc_id", "doc_id", 0.0)
+    with pytest.raises(ValueError, match="days"):
+        trailing_range_sum(df, "doc_id", F.col("doc_id"), F.col("doc_id"), 0, "x")
+    with pytest.raises(ValueError, match="num_salts"):
+        salt_column("doc_id", 0)
