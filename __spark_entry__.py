@@ -46,9 +46,11 @@ except ImportError:
     pass
 
 
-# The driver's correctness gate checks the FIRST 50 registry entries
-# (CORRECTNESS_r01/r02 each cover exactly the first 50 in dict order),
-# so ordering is rotation: queries with the least driver evidence go
+# MAINTENANCE (next round): refresh _NEVER_CHECKED/_CHECKED_ONCE from
+# CORRECTNESS_r{latest}.json before adding queries — the driver's
+# correctness gate checks the FIRST 50 registry entries
+# (CORRECTNESS_r01/r02 each cover exactly the first 50 in dict order):
+# ordering is rotation — queries with the least driver evidence go
 # first. NEW_THIS_ROUND names are spliced in right after NEVER_CHECKED;
 # everything else follows in registration order (checked-once before
 # checked-twice). All queries stay registered regardless.

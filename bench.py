@@ -76,16 +76,24 @@ def main() -> None:
         if fn is not None:
             _force(fn(spark, SF_DIR))
 
-    # Pass 2 (measured): warm JIT, cold data cache.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Passes 2..N+1 (measured): warm JIT, cold data cache. Per-query
+    # MEDIAN over N passes — single-pass numbers on this machine swing
+    # with background load; the median is what round-over-round
+    # comparisons should read.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {}
+    for _ in range(n_passes):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+    timings = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
 
     print(
         json.dumps(
