@@ -709,6 +709,50 @@ GROUP BY o_custkey
 """
 
 
+# --- multiset set operations -------------------------------------------------
+
+
+def q_multiset_ops_orderdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiset halves of the set-op
+    family (the distinct halves live in set_ops_customers). Operand:
+    (custkey, order day) bags from two priority classes; duplicate
+    rows carry multiplicity through both operators. Spark plans these
+    as aggregate+generate over counts — one shuffle per operand, no
+    join explosion."""
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate").alias("d")
+    urgent = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey", day)
+    slow = orders.where(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey", day)
+    both = urgent.intersectAll(slow).select(
+        "o_custkey", "d", F.lit("both").alias("leg")
+    )
+    only_urgent = urgent.exceptAll(slow).select(
+        "o_custkey", "d", F.lit("urgent_only").alias("leg")
+    )
+    return both.unionAll(only_urgent)
+
+
+ORACLE_MULTISET_OPS = """
+WITH urgent AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), slow AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+)
+SELECT o_custkey, d, 'both' AS leg
+FROM (SELECT * FROM urgent INTERSECT ALL SELECT * FROM slow)
+UNION ALL
+SELECT o_custkey, d, 'urgent_only' AS leg
+FROM (SELECT * FROM urgent EXCEPT ALL SELECT * FROM slow)
+"""
+
+
 # --- day-over-day deltas on an aggregated series -----------------------------
 
 
@@ -914,4 +958,5 @@ ADVANCED_QUERIES = {
     ),
     "sql_interface_report": (q_sql_interface_report, _SQL_INTERFACE_TEXT),
     "nation_day_over_day": (q_nation_day_over_day, ORACLE_NATION_DOD),
+    "multiset_ops_orderdays": (q_multiset_ops_orderdays, ORACLE_MULTISET_OPS),
 }
