@@ -235,3 +235,98 @@ def refresh_table(spark: SparkSession, table: str) -> None:
         spark.sql(f"REFRESH TABLE {table}")
     except Exception:
         pass  # table dropped concurrently — refresh is best-effort
+
+
+# --- maintenance: compaction / retention / statistics -------------------------
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    value: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite ONE partition's small files into ~target-sized files.
+
+    The small-files problem is the classic side effect of frequent
+    incremental appends (every reference micro-batch adds files). The
+    rewrite is scoped to a single partition — read partition, rewrite
+    via dynamic overwrite — so it is safe to run per-day behind the
+    ingest watermark and touches nothing else. Returns the file count
+    after compaction. Atomicity note: dynamic partition overwrite
+    replaces the partition in one commit; a crashed compaction leaves
+    the old files in place.
+    """
+    from pyspark.sql import functions as F
+
+    part_df = spark.read.parquet(path).where(F.col(partition_col) == value)
+    rows_per_file = _estimate_rows_per_file(
+        part_df, target_file_bytes, scratch_dir=path
+    )
+    n_rows = part_df.count()
+    # coalesce (no shuffle) to exactly the file count the size target
+    # implies — reading N small files otherwise yields N output tasks
+    n_files = (
+        max(1, -(-n_rows // rows_per_file)) if rows_per_file and n_rows else 1
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = (
+        part_df.coalesce(n_files)
+        .write.partitionBy(partition_col)
+        .format("parquet")
+        .mode("overwrite")
+    )
+    if rows_per_file:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.save(path)
+    refresh_path(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{partition_col}={value}"
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for f in fs.listStatus(jpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+
+
+def retention_sweep(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Drop partitions strictly older than ``keep_from`` (lexicographic
+    on the partition value — the reference's `ds=yyyyMMdd` strings sort
+    chronologically). Metadata + file-system only: O(#partitions), no
+    data scan. Returns the dropped partition values."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    dropped = []
+    prefix = f"{partition_col}="
+    for entry in fs.listStatus(jpath):
+        name = entry.getPath().getName()
+        if entry.isDirectory() and name.startswith(prefix):
+            value = name[len(prefix):]
+            if value < keep_from:
+                fs.delete(entry.getPath(), True)
+                dropped.append(value)
+    refresh_path(spark, path)
+    return sorted(dropped)
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: tuple[str, ...] = ()
+) -> None:
+    """ANALYZE TABLE (+ optional column stats): feeds the cost-based
+    optimizer the row counts / NDVs that drive join reordering and
+    build-side selection — on a real warehouse this runs after every
+    large write, same cadence as the reference's REFRESH."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")

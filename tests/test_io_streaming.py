@@ -667,3 +667,60 @@ def test_file_sizing_tracks_parquet_bytes(spark, tmp_path):
         assert os.path.getsize(f) < 4 * 64 * 1024
     assert not [d for d in os.listdir(target) if d.startswith(".sizing-")]
     assert spark.read.parquet(target).count() == ev.count()
+
+
+def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
+    from etl_portofolio_spark.sinks.writer import compact_partition
+
+    path = str(tmp_path / "cp")
+    # simulate many micro-batch appends: 8 tiny files in one partition
+    for i in range(8):
+        spark.createDataFrame(
+            [(i * 10 + j, "20240101") for j in range(10)], "k long, ds string"
+        ).coalesce(1).write.partitionBy("ds").mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    n_before_files = len(
+        [f for f in os.listdir(f"{path}/ds=20240101") if f.endswith(".parquet")]
+    )
+    assert n_before_files == 8
+    before_rows = sorted(r["k"] for r in before.collect())
+
+    n_after_files = compact_partition(spark, path, "ds", "20240101")
+    assert n_after_files < n_before_files
+    after_rows = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+    # idempotent: compacting a compacted partition is a no-op-ish rewrite
+    assert compact_partition(spark, path, "ds", "20240101") == n_after_files
+
+
+def test_retention_sweep_drops_only_old_partitions(spark, tmp_path):
+    from etl_portofolio_spark.sinks.writer import retention_sweep, write_partitioned
+
+    path = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [(1, "20240101"), (2, "20240102"), (3, "20240103")], "k long, ds string"
+    )
+    write_partitioned(df, path, "ds", target_file_bytes=None)
+    dropped = retention_sweep(spark, path, "ds", keep_from="20240102")
+    assert dropped == ["20240101"]
+    left = sorted(r["ds"] for r in spark.read.parquet(path).collect())
+    assert left == ["20240102", "20240103"]
+    # second sweep: nothing older remains
+    assert retention_sweep(spark, path, "ds", keep_from="20240102") == []
+
+
+def test_analyze_table_feeds_cbo_stats(spark, catalog_db, tmp_path):
+    from etl_portofolio_spark.sinks.writer import analyze_table, write_partitioned_table
+
+    table = f"{catalog_db}.stats_t"
+    df = spark.createDataFrame(
+        [(i, f"2024010{1 + i % 2}") for i in range(40)], "k long, ds string"
+    )
+    write_partitioned_table(df, table, "ds", target_file_bytes=None)
+    analyze_table(spark, table, columns=("k",))
+    detail = {
+        (r[0] or "").strip(): (r[1] or "")
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    stats = detail.get("Statistics", "")
+    assert "40 rows" in stats, detail
