@@ -66,23 +66,36 @@ def make_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + screen + gct + image + b"\x3b"
 
 
-def make_bmp(width: int, height: int) -> bytes:
-    """Valid 24bpp bottom-up BMP (BITMAPINFOHEADER), zeroed pixels."""
-    row = (width * 3 + 3) & ~3
+def make_bmp(width: int, height: int, fill: int = 0) -> bytes:
+    """Valid 24bpp bottom-up BMP (BITMAPINFOHEADER). Pixel bytes carry
+    ``fill``; the per-row alignment padding stays zero — a correct
+    pixel decoder must skip the padding, so a non-zero fill makes
+    stride bugs measurable."""
+    row_px = width * 3
+    row = (row_px + 3) & ~3
     data_size = row * height
     header = b"BM" + struct.pack("<IHHI", 14 + 40 + data_size, 0, 0, 14 + 40)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
     )
-    return header + info + bytes(data_size)
+    scanline = bytes([fill & 0xFF]) * row_px + bytes(row - row_px)
+    return header + info + scanline * height
 
 
 def make_wav(
-    sample_rate: int, channels: int, n_samples: int, bits: int = 16
+    sample_rate: int,
+    channels: int,
+    n_samples: int,
+    bits: int = 16,
+    sample_value: int = 0,
 ) -> bytes:
-    """Valid PCM WAV: RIFF/WAVE + fmt + data (silence)."""
+    """Valid PCM WAV: RIFF/WAVE + fmt + data. Every sample carries
+    ``sample_value`` (16-bit signed LE) — silence by default."""
     block = channels * bits // 8
-    data = bytes(n_samples * block)
+    if sample_value and bits == 16:
+        data = struct.pack("<h", sample_value) * (n_samples * channels)
+    else:
+        data = bytes(n_samples * block)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
     )
@@ -210,3 +223,56 @@ def _parse_container_strict(payload: bytes, out: dict) -> dict:
                 n_samples=data_len // (channels * (bits // 8)),
             )
     return out
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL pixel decode for uncompressed 24bpp BMP: honor the header's
+    data offset, per-row 4-byte alignment stride, and bottom-up row
+    order. Returns (width, height, pixel_bytes) where pixel_bytes is
+    the h*w*3 BGR bytes in top-down row order, padding stripped.
+    Raises ValueError on non-BMP / compressed / non-24bpp input."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_px = w * 3
+    stride = (row_px + 3) & ~3
+    rows = []
+    for r in range(h):
+        src_row = (h - 1 - r) if bottom_up else r
+        start = data_offset + src_row * stride
+        row = payload[start : start + row_px]
+        if len(row) != row_px:
+            raise ValueError("truncated BMP pixel data")
+        rows.append(row)
+    return w, h, b"".join(rows)
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL sample decode for 16-bit PCM WAV: chunk-walk to ``data``,
+    unpack little-endian int16 frames. Returns (sample_rate, channels,
+    samples) with samples a flat tuple of ints (frame-major). Raises
+    ValueError on non-WAV / non-16-bit input."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, channels, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and size >= 16:
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if not channels or bits != 16 or data is None:
+        raise ValueError("unsupported WAV (need fmt + data, 16-bit PCM)")
+    n = len(data) // 2
+    return rate, channels, struct.unpack(f"<{n}h", data[: n * 2])

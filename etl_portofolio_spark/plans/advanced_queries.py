@@ -709,6 +709,47 @@ GROUP BY o_custkey
 """
 
 
+# --- real media-content decode ------------------------------------------------
+
+
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL content-level media decode: BMP payloads whose every pixel
+    byte — and WAV payloads whose every PCM sample — carry an
+    md5-derived value; the decoder recovers mean pixel level / RMS
+    from the raw bytes (through the BMP row stride and the WAV chunk
+    walk). The oracle recomputes the embedded values from md5(text) in
+    SQL: a stride or chunk-walk bug shifts the decoded statistics and
+    fails the hash. Two Arrow mapInPandas crossings, numpy kernels."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.multimodal import (
+        pixel_sample_stats,
+        synthesize_filled_media,
+    )
+    from etl_portofolio_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    media = synthesize_filled_media(docs, id_col="doc_id", text_col="text")
+    return pixel_sample_stats(media, id_col="doc_id", bin_col="content")
+
+
+_MD5_INT = "CAST('0x' || substr(md5(text), {a}, {n}) AS BIGINT)"
+ORACLE_PIXEL_STATS = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN (1 + {_MD5_INT.format(a=1, n=4)} % 64)
+                 * (1 + {_MD5_INT.format(a=5, n=4)} % 48) * 3
+            ELSE (1 + {_MD5_INT.format(a=15, n=4)} % 256)
+                 * (1 + {_MD5_INT.format(a=9, n=2)} % 2)
+       END AS BIGINT) AS n_units,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN {_MD5_INT.format(a=19, n=2)}
+            ELSE abs({_MD5_INT.format(a=19, n=4)} % 2001 - 1000)
+       END AS DOUBLE) AS level
+FROM documents
+"""
+
+
 # --- multiset set operations -------------------------------------------------
 
 
@@ -959,4 +1000,5 @@ ADVANCED_QUERIES = {
     "sql_interface_report": (q_sql_interface_report, _SQL_INTERFACE_TEXT),
     "nation_day_over_day": (q_nation_day_over_day, ORACLE_NATION_DOD),
     "multiset_ops_orderdays": (q_multiset_ops_orderdays, ORACLE_MULTISET_OPS),
+    "multimodal_pixel_stats": (q_multimodal_pixel_stats, ORACLE_PIXEL_STATS),
 }

@@ -7,6 +7,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import pytest
+
 from etl_portofolio_spark.operators import codecs
 
 
@@ -104,3 +106,25 @@ def test_truncated_payloads_parse_as_unknown():
         meta = codecs.parse_container(payload)
         assert meta["format"] == "unknown", payload[:16]
         assert meta["width"] is None and meta["n_samples"] is None
+
+
+def test_bmp_pixel_decode_strips_stride_padding():
+    # odd width -> 1-byte row padding; fill must survive, padding must not
+    payload = codecs.make_bmp(5, 3, fill=201)
+    w, h, px = codecs.decode_bmp_pixels(payload)
+    assert (w, h) == (5, 3)
+    assert len(px) == 5 * 3 * 3
+    assert set(px) == {201}  # any 0 here means padding leaked into pixels
+    with pytest.raises(ValueError):
+        codecs.decode_bmp_pixels(payload[:40])  # truncated pixel data
+    with pytest.raises(ValueError):
+        codecs.decode_bmp_pixels(b"\x00" * 60)  # not a BMP
+
+
+def test_wav_sample_decode_recovers_signed_values():
+    payload = codecs.make_wav(16000, 2, 7, sample_value=-12345)
+    rate, ch, samples = codecs.decode_wav_samples(payload)
+    assert (rate, ch) == (16000, 2)
+    assert len(samples) == 14 and set(samples) == {-12345}
+    with pytest.raises(ValueError):
+        codecs.decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
