@@ -276,3 +276,31 @@ def decode_wav_samples(payload: bytes):
         raise ValueError("unsupported WAV (need fmt + data, 16-bit PCM)")
     n = len(data) // 2
     return rate, channels, struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor resample of a 24bpp BMP: decode the pixel
+    rows (stride/orientation-aware), index-sample into the new grid,
+    re-encode a spec-valid BMP. Pure stdlib byte work — the resize
+    path for uncompressed images needs no codec library."""
+    if new_w < 1 or new_h < 1:
+        raise ValueError("target dimensions must be >= 1")
+    w, h, px = decode_bmp_pixels(payload)
+    src_rows = [px[r * w * 3 : (r + 1) * w * 3] for r in range(h)]
+    out_rows = []
+    for r in range(new_h):
+        sr = src_rows[r * h // new_h]
+        row = bytearray()
+        for c in range(new_w):
+            sc = c * w // new_w
+            row += sr[sc * 3 : sc * 3 + 3]
+        out_rows.append(bytes(row))
+    # re-encode: reuse the writer's header layout, bottom-up rows
+    stride = (new_w * 3 + 3) & ~3
+    pad = bytes(stride - new_w * 3)
+    data = b"".join(row + pad for row in reversed(out_rows))
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, new_w, new_h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data

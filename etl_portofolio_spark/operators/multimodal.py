@@ -45,15 +45,20 @@ METADATA_SCHEMA = T.StructType(
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real codec hook (image/audio decode). Not available here.
+    """Real COMPRESSED-codec hook (JPEG entropy / video / lossy audio).
 
-    In production: PIL/av/soundfile decode, dimension extraction,
-    resizing, frame sampling. The container ships none of these, so the
-    engine exposes the seam and fails loudly if invoked.
+    Uncompressed formats ARE decoded for real in this repo —
+    `codecs.decode_bmp_pixels` (stride-aware pixel rows),
+    `codecs.decode_wav_samples` (16-bit PCM), `codecs.resize_bmp`
+    (nearest-neighbor resample), and header parsing for
+    PNG/GIF/BMP/WAV/JPEG. This seam covers only what genuinely needs
+    external codec libraries (PIL/av/soundfile): compressed bitstream
+    decode. It fails loudly if invoked in this environment.
     """
     raise NotImplementedError(
-        "codec libraries (PIL/av) are not installed in this environment; "
-        "use decode_binary_metadata's deterministic fake decode instead"
+        "compressed-codec libraries (PIL/av) are not installed here; "
+        "uncompressed decode is real — see operators/codecs.py "
+        "(decode_bmp_pixels / decode_wav_samples / resize_bmp)"
     )
 
 

@@ -128,3 +128,18 @@ def test_wav_sample_decode_recovers_signed_values():
     assert len(samples) == 14 and set(samples) == {-12345}
     with pytest.raises(ValueError):
         codecs.decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+
+
+def test_resize_bmp_real_nearest_neighbor():
+    src = codecs.make_bmp(8, 4, fill=90)
+    out = codecs.resize_bmp(src, 3, 2)
+    meta = codecs.parse_container(out)
+    assert (meta["format"], meta["width"], meta["height"]) == ("bmp", 3, 2)
+    w, h, px = codecs.decode_bmp_pixels(out)
+    assert (w, h) == (3, 2) and set(px) == {90}
+    # upscale round-trip preserves the constant fill too
+    up = codecs.resize_bmp(out, 10, 10)
+    _, _, px_up = codecs.decode_bmp_pixels(up)
+    assert set(px_up) == {90} and len(px_up) == 300
+    with pytest.raises(ValueError):
+        codecs.resize_bmp(src, 0, 5)
