@@ -52,6 +52,7 @@ HEADLINE = (
     "decontaminate_ngram",
     "dedup_paragraph_chunks",
     "trailing_7d_revenue",
+    "multimodal_pixel_stats",
 )
 
 

@@ -1,0 +1,52 @@
+"""The driver harness imports __spark_entry__ in a FRESH process with a
+plain SparkSession — none of build_session's runtime confs. Any query
+that silently depends on our session factory (nanos-timestamp conf,
+partition-inference conf, excluded optimizer rules) passes the normal
+suite but dies at the gate. This test reproduces the driver's setup in
+a subprocess (two SparkSessions cannot share one JVM)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = """
+import json
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as m
+names = list(m.queries())
+# first registry entry + one per heavy family (events-ts handling,
+# pandas boundary, SQL interface, flagship)
+sample = [names[0], "flagship_throughput_pivot", "tumbling_window_events",
+          "multimodal_pixel_stats", "sql_interface_report"]
+out = {}
+for n in sample:
+    out[n] = m.queries()[n](spark, "/root/testdata/sf0.001").count()
+out["entry"] = len(m.entry(spark).collect())
+out["n_queries"] = len(m.queries())
+out["n_oracles"] = len(m.oracle_sql())
+print("RESULT " + json.dumps(out))
+"""
+
+
+def test_registry_runs_under_plain_driver_session():
+    r = subprocess.run(
+        [sys.executable, "-c", _PROBE],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert lines, r.stdout[-2000:]
+    vals = json.loads(lines[0][len("RESULT "):])
+    assert vals["entry"] > 0
+    assert vals["n_queries"] == vals["n_oracles"] >= 96
+    assert all(v >= 0 for v in vals.values())
