@@ -709,6 +709,106 @@ GROUP BY o_custkey
 """
 
 
+# --- incremental aggregate maintenance ---------------------------------------
+
+
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's rollup + today's
+    delta, merged ALGEBRAICALLY (sum/count/min/max partials), must
+    equal the full recompute. This is the daily-job contract the
+    reference's incremental pipelines imply — at 100 TB the merge
+    touches |groups| rows of state + one day of data instead of the
+    whole history. The query outputs the MERGED result; the oracle
+    recomputes from scratch, so any non-mergeable aggregate sneaking in
+    fails the hash."""
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    last_day = events.agg(F.max(F.to_date("ts"))).first()[0]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+            F.min(cents("value")).alias("min_c"),
+            F.max(cents("value")).alias("max_c"),
+        )
+
+    history = rollup(events.where(F.to_date("ts") < F.lit(last_day)))
+    delta = rollup(events.where(F.to_date("ts") == F.lit(last_day)))
+    merged = (
+        history.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_c").alias("value_c"),
+            F.min("min_c").alias("min_c"),
+            F.max("max_c").alias("max_c"),
+        )
+    )
+    return merged
+
+
+ORACLE_INCREMENTAL_ROLLUP = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum({_sql_cents("value")}) AS BIGINT) AS value_c,
+       min({_sql_cents("value")}) AS min_c,
+       max({_sql_cents("value")}) AS max_c
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- bitmap day-mask encoding ------------------------------------------------
+
+
+def q_user_day_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity as a BITMAP over day indexes (bit i = active on
+    min_date + i): one bit_or-style aggregation replaces a distinct-
+    count (bit_or is idempotent — no pre-dedup shuffle) AND keeps
+    set-algebra cheap downstream (AND/OR of masks for
+    co-activity, popcount for counts). Fits 64-bit longs because the
+    fixture spans < 64 days; the same shape shards into (user, epoch
+    week) masks at scale. bit_count agrees across engines."""
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    lo = events.agg(F.min(F.to_date("ts"))).first()[0]
+    day_idx = F.datediff(F.to_date("ts"), F.lit(lo))
+    # python-side F.shiftleft takes a literal bit count; the SQL form
+    # accepts a column operand
+    masks = (
+        events.select("user_id", day_idx.alias("__di"))
+        .select(
+            "user_id",
+            F.expr("shiftleft(CAST(1 AS BIGINT), __di)").alias("__bit"),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("__bit").alias("day_mask"))
+    )
+    return masks.select(
+        "user_id",
+        "day_mask",
+        F.bit_count("day_mask").cast("int").alias("n_active_days"),
+    )
+
+
+def _oracle_user_day_bitmap() -> str:
+    return """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS lo FROM events
+), bits AS (
+  SELECT user_id,
+         CAST(1 AS BIGINT) << (CAST(ts AS DATE) - (SELECT lo FROM b)) AS bit
+  FROM events
+)
+SELECT user_id,
+       CAST(bit_or(bit) AS BIGINT) AS day_mask,
+       CAST(bit_count(CAST(bit_or(bit) AS BIGINT)) AS INT) AS n_active_days
+FROM bits
+GROUP BY user_id
+"""
+
+
 # --- real media-content decode ------------------------------------------------
 
 
@@ -1001,4 +1101,9 @@ ADVANCED_QUERIES = {
     "nation_day_over_day": (q_nation_day_over_day, ORACLE_NATION_DOD),
     "multiset_ops_orderdays": (q_multiset_ops_orderdays, ORACLE_MULTISET_OPS),
     "multimodal_pixel_stats": (q_multimodal_pixel_stats, ORACLE_PIXEL_STATS),
+    "incremental_rollup_merge": (
+        q_incremental_rollup_merge,
+        ORACLE_INCREMENTAL_ROLLUP,
+    ),
+    "user_day_bitmap": (q_user_day_bitmap, _oracle_user_day_bitmap()),
 }
