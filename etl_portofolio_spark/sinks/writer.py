@@ -246,6 +246,7 @@ def compact_partition(
     partition_col: str,
     value: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    sort_cols: tuple[str, ...] = (),
 ) -> int:
     """Rewrite ONE partition's small files into ~target-sized files.
 
@@ -253,7 +254,8 @@ def compact_partition(
     incremental appends (every reference micro-batch adds files). The
     rewrite is scoped to a single partition — read partition, rewrite
     via dynamic overwrite — so it is safe to run per-day behind the
-    ingest watermark and touches nothing else. Returns the file count
+    ingest watermark and touches nothing else. ``sort_cols`` clusters
+    rows within files for parquet min/max skipping. Returns the file count
     after compaction. Atomicity note: dynamic partition overwrite
     replaces the partition in one commit; a crashed compaction leaves
     the old files in place.
@@ -271,8 +273,19 @@ def compact_partition(
         max(1, -(-n_rows // rows_per_file)) if rows_per_file and n_rows else 1
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if sort_cols:
+        # cluster rows ACROSS files: range-repartition gives each output
+        # file a disjoint key range (coalesce would leave interleaved
+        # keys in every file), then sort within for row-group stats —
+        # parquet min/max skipping then prunes whole files. One shuffle,
+        # paid once at compaction time: the Z-ORDER-lite lever.
+        compacted = part_df.repartitionByRange(
+            n_files, *sort_cols
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        compacted = part_df.coalesce(n_files)
     writer = (
-        part_df.coalesce(n_files)
+        compacted
         .write.partitionBy(partition_col)
         .format("parquet")
         .mode("overwrite")

@@ -724,3 +724,31 @@ def test_analyze_table_feeds_cbo_stats(spark, catalog_db, tmp_path):
     }
     stats = detail.get("Statistics", "")
     assert "40 rows" in stats, detail
+
+
+def test_compact_partition_sort_cols_cluster_files(spark, tmp_path):
+    """Compaction with sort_cols yields files whose key ranges are
+    DISJOINT — the precondition for parquet min/max file skipping."""
+    from etl_portofolio_spark.sinks.writer import compact_partition
+
+    path = str(tmp_path / "cl")
+    # interleaved keys across many small appends
+    for i in range(6):
+        spark.createDataFrame(
+            [((j * 6 + i) % 60, "20240101") for j in range(10)],
+            "k long, ds string",
+        ).coalesce(1).write.partitionBy("ds").mode("append").parquet(path)
+    compact_partition(
+        spark, path, "ds", "20240101", target_file_bytes=400, sort_cols=("k",)
+    )
+    per_file = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) > 1  # the tiny size target forces a split
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # overlapping ranges = no skipping
