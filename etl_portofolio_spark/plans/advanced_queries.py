@@ -759,6 +759,63 @@ GROUP BY event_type
 """
 
 
+# --- gaps and islands --------------------------------------------------------
+
+
+def q_user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the classic ``day_index - row_number`` island key (constant within
+    a run of consecutive days, jumps at every gap). Two key-partitioned
+    window/agg passes over the DISTINCT (user, day) frame — which is
+    |users|×|days| at most, tiny relative to the event fact."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    days = (
+        events.select(
+            "user_id", F.datediff(F.to_date("ts"), epoch).alias("day_n")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day_n").asc())
+    isl = days.withColumn(
+        "__island", F.col("day_n") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "__island").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("__len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("__len").alias("max_streak_days"),
+    )
+
+
+ORACLE_ACTIVE_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS day_n
+  FROM events
+), isl AS (
+  SELECT user_id, day_n,
+         day_n - row_number() OVER (PARTITION BY user_id
+                                    ORDER BY day_n ASC) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, count(*) AS len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak_days
+FROM streaks
+GROUP BY user_id
+"""
+
+
 # --- bitmap day-mask encoding ------------------------------------------------
 
 
@@ -1106,4 +1163,5 @@ ADVANCED_QUERIES = {
         ORACLE_INCREMENTAL_ROLLUP,
     ),
     "user_day_bitmap": (q_user_day_bitmap, _oracle_user_day_bitmap()),
+    "user_active_streaks": (q_user_active_streaks, ORACLE_ACTIVE_STREAKS),
 }
