@@ -759,6 +759,52 @@ GROUP BY event_type
 """
 
 
+# --- recursive CTE -----------------------------------------------------------
+
+
+def q_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) walking each customer's order chain in
+    date order, accumulating revenue step by step — the linked-list
+    traversal shape (successor edges form an acyclic path, so UNION ALL
+    recursion terminates at the longest per-customer chain). The oracle
+    is the INDEPENDENT non-recursive formulation (window running sum):
+    two different algorithms must produce identical rows."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(f"""
+    WITH RECURSIVE o AS (
+      SELECT o_custkey, o_orderkey,
+             {_sql_cents("o_totalprice")} AS tc,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ), chain AS (
+      SELECT o_custkey, o_orderkey, rn, tc AS cum_c FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.o_custkey, o.o_orderkey, o.rn, c.cum_c + o.tc AS cum_c
+      FROM chain c JOIN o ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(rn AS INT) AS step_idx,
+           CAST(cum_c AS BIGINT) AS cum_c
+    FROM chain
+    """)
+
+
+ORACLE_RECURSIVE_CHAIN = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS step_idx,
+       CAST(sum({_sql_cents("o_totalprice")}) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 # --- gaps and islands --------------------------------------------------------
 
 
@@ -1164,4 +1210,5 @@ ADVANCED_QUERIES = {
     ),
     "user_day_bitmap": (q_user_day_bitmap, _oracle_user_day_bitmap()),
     "user_active_streaks": (q_user_active_streaks, ORACLE_ACTIVE_STREAKS),
+    "recursive_order_chain": (q_recursive_order_chain, ORACLE_RECURSIVE_CHAIN),
 }

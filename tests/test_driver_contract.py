@@ -48,5 +48,5 @@ def test_registry_runs_under_plain_driver_session():
     assert lines, r.stdout[-2000:]
     vals = json.loads(lines[0][len("RESULT "):])
     assert vals["entry"] > 0
-    assert vals["n_queries"] == vals["n_oracles"] >= 99
+    assert vals["n_queries"] == vals["n_oracles"] >= 100
     assert all(v >= 0 for v in vals.values())
