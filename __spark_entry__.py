@@ -45,6 +45,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from etl_portofolio_spark.plans.extension_queries import EXTENSION_QUERIES
+
+    _ALL.update(EXTENSION_QUERIES)
+except ImportError:
+    pass
+
 
 # MAINTENANCE (next round): refresh _NEVER_CHECKED/_CHECKED_ONCE from
 # CORRECTNESS_r{latest}.json before adding queries — the driver's

@@ -215,3 +215,41 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cdc_diff_is_equi_join_with_pushed_snapshots(spark):
+    """The snapshot diff must be one equi-join on the key (full outer —
+    sort-merge or shuffled-hash, never nested-loop) with each
+    snapshot's date cut pushed into its parquet scan."""
+    from etl_portofolio_spark.plans.extension_queries import q_cdc_snapshot_diff
+
+    plan = _plan(q_cdc_snapshot_diff(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters")[1:]]
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_normalize_and_vector_qc_are_map_only(spark):
+    """Row-per-row scans: zero exchanges, no Python evaluation."""
+    from etl_portofolio_spark.plans.extension_queries import (
+        q_embedding_quality_check,
+        q_text_normalize,
+    )
+
+    for q in (q_text_normalize, q_embedding_quality_check):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange " not in plan, q.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_manifest_single_shuffle_with_partial_agg(spark):
+    """Split bucketing is computed map-side; one hash exchange on
+    (split, source) with map-side combine."""
+    from etl_portofolio_spark.plans.extension_queries import (
+        q_dataset_split_manifest,
+    )
+
+    plan = _plan(q_dataset_split_manifest(spark, SF_DIR))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
