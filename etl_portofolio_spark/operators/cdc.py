@@ -79,3 +79,106 @@ def snapshot_diff(
         *[F.col(f"{c}_old") for c in tracked],
         *[F.col(f"{c}_new") for c in tracked],
     )
+
+
+def collapse_changelog(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+) -> DataFrame:
+    """Latest change per key: ``max_by`` every payload column over the
+    sequence number — one algebraic aggregation, no window sort. Ties
+    on ``seq_col`` within a key are resolved arbitrarily, so upstream
+    sequence numbers must be unique per key (a DB LSN / binlog offset
+    is)."""
+    payload = [c for c in changes.columns if c not in keys]
+    return changes.groupBy(*keys).agg(
+        *[F.max_by(c, F.col(seq_col)).alias(c) for c in payload]
+    )
+
+
+def apply_changes(
+    spark,
+    changes: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    n_buckets: int = 16,
+) -> None:
+    """Apply a CDC micro-batch (insert/update/delete rows) to keyed
+    parquet state with BUCKET-SCOPED merges.
+
+    State layout: parquet partitioned by ``kb = h32(key) % n_buckets``.
+    Per batch: collapse the changelog to the latest change per key,
+    find the affected buckets (distinct kb of the batch — tiny), read
+    ONLY those bucket partitions, anti-join out changed keys, union the
+    surviving inserts/updates, and dynamic-partition-overwrite just
+    those buckets. Cost is O(affected buckets), not O(state) — at
+    100 TB with enough buckets a batch touching 1% of keys rewrites
+    ~1% of the table (the merge-on-write compromise a real deployment
+    makes below a Delta/Iceberg MERGE).
+
+    Replay-safe: applying the same collapsed batch twice is a no-op
+    (delete of a missing key does nothing; re-upserting identical rows
+    overwrites the same buckets with the same content). The merged
+    bucket data is staged to ``<target>/.staging`` before the target
+    partitions are overwritten — the read-own-state overwrite hazard —
+    and both writes are proportional to the affected buckets only.
+    """
+    from etl_portofolio_spark.functions.hashing import h32
+    from etl_portofolio_spark.sinks.writer import write_partitioned
+
+    key_expr = F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys])
+    latest = collapse_changelog(changes, keys, seq_col).withColumn(
+        "kb", h32(key_expr) % n_buckets
+    )
+    latest = latest.persist()
+    try:
+        buckets = [r["kb"] for r in latest.select("kb").distinct().collect()]
+        if not buckets:
+            return
+        try:
+            # partition-column read-back is string under disabled type
+            # inference — restore the long the merge arithmetic uses
+            cur = (
+                spark.read.parquet(target_path)
+                .withColumn("kb", F.col("kb").cast("long"))
+                .where(F.col("kb").isin(buckets))
+            )
+        except Exception:  # first batch: no state yet
+            cur = None
+        upserts = latest.where(F.col(op_col) != "delete").drop(op_col, seq_col)
+        if cur is not None:
+            survivors = cur.join(
+                latest.select(*keys).hint("broadcast"), list(keys), "left_anti"
+            )
+            merged = survivors.unionByName(upserts)
+        else:
+            merged = upserts
+        staging = f"{target_path.rstrip('/')}/.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        write_partitioned(staged, target_path, "kb", target_file_bytes=None)
+        # dynamic overwrite only touches partitions PRESENT in the
+        # output: a bucket whose last key was deleted ends empty and
+        # must be cleared explicitly or its dead rows would survive
+        kept = {int(r["kb"]) for r in staged.select("kb").distinct().collect()}
+        jvm = spark._jvm
+        for b in set(buckets) - kept:
+            p = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/kb={b}")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+    finally:
+        latest.unpersist()
+
+
+def cdc_apply_sink(spark, target_path: str, keys: Sequence[str], **kw):
+    """``foreachBatch`` closure applying a CDC stream via
+    :func:`apply_changes` — the streaming half of the snapshot-diff /
+    change-apply pair."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        apply_changes(spark, batch, target_path, keys, **kw)
+
+    return _sink
