@@ -299,10 +299,66 @@ GROUP BY l_returnflag
 """
 
 
+
+# --- data-contract validation -------------------------------------------------
+
+
+def q_contract_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract check on lineitem, reported per line
+    status: total rows, per-rule violation counts, rows failing any
+    rule. Thresholds are deliberately tighter than the data's envelope
+    so the report is non-trivial. One combinable pass — see
+    operators/contracts.py for the 100 TB notes."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.contracts import violations_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_range": F.col("l_quantity").between(1, 45),
+        "discount_max": F.col("l_discount") <= 0.08,
+        "tax_max": F.col("l_tax") <= 0.06,
+        "price_positive": F.col("l_extendedprice") > 0,
+        "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "key_nonnull": F.col("l_orderkey").isNotNull(),
+    }
+    return violations_report(li, rules, group_by=("l_linestatus",))
+
+
+ORACLE_CONTRACT_REPORT = """
+WITH r AS (
+  SELECT l_linestatus,
+         COALESCE(l_quantity BETWEEN 1 AND 45, FALSE) AS ok_qty,
+         COALESCE(l_discount <= 0.08, FALSE) AS ok_disc,
+         COALESCE(l_tax <= 0.06, FALSE) AS ok_tax,
+         COALESCE(l_extendedprice > 0, FALSE) AS ok_price,
+         COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE) AS ok_flag,
+         COALESCE(l_orderkey IS NOT NULL, FALSE) AS ok_key
+  FROM lineitem
+)
+SELECT l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN NOT ok_qty THEN 1 ELSE 0 END) AS BIGINT) AS v_qty_range,
+       CAST(sum(CASE WHEN NOT ok_disc THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_max,
+       CAST(sum(CASE WHEN NOT ok_tax THEN 1 ELSE 0 END) AS BIGINT) AS v_tax_max,
+       CAST(sum(CASE WHEN NOT ok_price THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+       CAST(sum(CASE WHEN NOT ok_flag THEN 1 ELSE 0 END) AS BIGINT) AS v_flag_domain,
+       CAST(sum(CASE WHEN NOT ok_key THEN 1 ELSE 0 END) AS BIGINT) AS v_key_nonnull,
+       CAST(sum(CASE WHEN NOT (ok_qty AND ok_disc AND ok_tax AND ok_price
+                               AND ok_flag AND ok_key) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad
+FROM r
+GROUP BY l_linestatus
+"""
+
+
 EXTENSION_QUERIES = {
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, ORACLE_CDC_DIFF),
     "dataset_split_manifest": (q_dataset_split_manifest, ORACLE_SPLIT_MANIFEST),
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
     "embedding_quality_check": (q_embedding_quality_check, ORACLE_EMBEDDING_QC),
     "quantile_sketch_gate": (q_quantile_sketch_gate, ORACLE_QUANTILE_GATE),
+    "contract_violations_report": (
+        q_contract_violations_report,
+        ORACLE_CONTRACT_REPORT,
+    ),
 }

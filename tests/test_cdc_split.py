@@ -191,3 +191,31 @@ def test_cdc_stream_apply_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _state(spark, tgt) == {1: (11, "a"), 3: (30, "c")}
+
+
+def test_violations_report_counts_and_null_hostility(spark):
+    from etl_portofolio_spark.operators.contracts import violations_report
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (2, 60, "a"), (3, None, "b"), (4, 7, "b")],
+        "k long, q long, g string",
+    )
+    rules = {
+        "q_small": F.col("q") < 50,  # row 2 violates; row 3 NULL -> violates
+        "k_pos": F.col("k") > 0,  # nobody violates
+    }
+    rows = {
+        r["g"]: r for r in violations_report(df, rules, group_by=("g",)).collect()
+    }
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["v_q_small"] == 1
+    assert rows["a"]["v_k_pos"] == 0 and rows["a"]["n_bad"] == 1
+    assert rows["b"]["v_q_small"] == 1 and rows["b"]["n_bad"] == 1
+    # global (ungrouped) variant
+    g = violations_report(df, rules).collect()[0]
+    assert g["n_rows"] == 4 and g["n_bad"] == 2
+    try:
+        violations_report(df, {})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError for empty rules")

@@ -253,3 +253,17 @@ def test_split_manifest_single_shuffle_with_partial_agg(spark):
     plan = _plan(q_dataset_split_manifest(spark, SF_DIR))
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_contract_report_single_pass(spark):
+    """All contract rules fold into one combinable aggregation: one
+    exchange, no Python, narrow scan."""
+    from etl_portofolio_spark.plans.extension_queries import (
+        q_contract_violations_report,
+    )
+
+    plan = _plan(q_contract_violations_report(spark, SF_DIR))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_shipdate" not in read_schema and "l_partkey" not in read_schema
