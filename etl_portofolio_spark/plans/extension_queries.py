@@ -351,6 +351,72 @@ GROUP BY l_linestatus
 """
 
 
+
+
+# --- robust outlier detection -------------------------------------------------
+
+
+def q_robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier report via median absolute deviation:
+    median and MAD of event value (integer cents), and how many rows
+    sit more than 3 MADs from the median — the outlier filter that
+    survives heavy tails where mean/stddev break. Two grouped passes
+    (median, then deviations) joined back on the group key; the second
+    pass reuses the first as a broadcast (|groups| rows). Exact
+    interpolated medians agree across engines over integer inputs
+    (same contract as quantile_sketch_gate), rounded 4 dp as a belt."""
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", cents("value").alias("c"))
+    med = rows.groupBy("event_type").agg(
+        F.round(F.percentile("c", F.lit(0.5)), 4).alias("med_c")
+    )
+    dev = (
+        rows.join(F.broadcast(med), "event_type")
+        .select("event_type", "c", "med_c", F.abs(F.col("c") - F.col("med_c")).alias("d"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("d", F.lit(0.5)), 4).alias("mad_c"),
+        F.first("med_c").alias("med_keep"),
+    )
+    out = (
+        dev.join(F.broadcast(mad.select("event_type", "mad_c")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("d") > 3 * F.col("mad_c")).cast("long")).alias("n_outliers"),
+        )
+    )
+    return out.join(
+        mad.select("event_type", F.col("med_keep").alias("med_c"), "mad_c"),
+        "event_type",
+    ).select("event_type", "n", "med_c", "mad_c", "n_outliers")
+
+
+ORACLE_ROBUST_MAD = f"""
+WITH r AS (
+  SELECT event_type, {_sql_cents("value")} AS c FROM events
+), m AS (
+  SELECT event_type, round(quantile_cont(c, 0.5), 4) AS med_c
+  FROM r GROUP BY event_type
+), d AS (
+  SELECT r.event_type, r.c, m.med_c, abs(r.c - m.med_c) AS dv
+  FROM r JOIN m ON r.event_type = m.event_type
+), md AS (
+  SELECT event_type, round(quantile_cont(dv, 0.5), 4) AS mad_c
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       any_value(d.med_c) AS med_c,
+       any_value(md.mad_c) AS mad_c,
+       CAST(sum(CASE WHEN d.dv > 3 * md.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md ON d.event_type = md.event_type
+GROUP BY d.event_type
+"""
+
+
 EXTENSION_QUERIES = {
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, ORACLE_CDC_DIFF),
     "dataset_split_manifest": (q_dataset_split_manifest, ORACLE_SPLIT_MANIFEST),
@@ -361,4 +427,5 @@ EXTENSION_QUERIES = {
         q_contract_violations_report,
         ORACLE_CONTRACT_REPORT,
     ),
+    "robust_outlier_mad": (q_robust_outlier_mad, ORACLE_ROBUST_MAD),
 }

@@ -267,3 +267,37 @@ def test_contract_report_single_pass(spark):
     assert "BatchEvalPython" not in plan
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "l_shipdate" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """When the dim side is selectively filtered but too big to
+    broadcast, Spark's runtime bloom filter must be injected on the
+    fact side — at 100 TB this drops non-matching fact rows at the
+    scan, before the join shuffle moves them."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
