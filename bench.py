@@ -53,6 +53,8 @@ HEADLINE = (
     "dedup_paragraph_chunks",
     "trailing_7d_revenue",
     "multimodal_pixel_stats",
+    "cdc_snapshot_diff",
+    "dataset_split_manifest",
 )
 
 

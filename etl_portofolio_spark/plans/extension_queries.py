@@ -416,6 +416,35 @@ FROM d JOIN md ON d.event_type = md.event_type
 GROUP BY d.event_type
 """
 
+# --- NOT IN three-valued logic ------------------------------------------------
+
+#: Dialect-neutral: runs unmodified on Spark AND DuckDB (its own oracle).
+_NOT_IN_TEXT = """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_no_orders,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                       ELSE o_custkey END
+                           FROM orders)) AS n_with_null_probe
+"""
+
+
+def q_not_in_three_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under SQL three-valued logic, both branches in one
+    statement: against a null-free subquery it is the anti-join count
+    (customers without orders); with a single NULL injected into the
+    subquery the predicate can never be TRUE and the count collapses
+    to 0 — the classic footgun, pinned identically on both engines.
+    Spark plans the null-aware branch as a null-aware anti join
+    (broadcast single-column NAAJ), not a per-row subquery."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_NOT_IN_TEXT)
+
+
 
 EXTENSION_QUERIES = {
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, ORACLE_CDC_DIFF),
@@ -428,4 +457,5 @@ EXTENSION_QUERIES = {
         ORACLE_CONTRACT_REPORT,
     ),
     "robust_outlier_mad": (q_robust_outlier_mad, ORACLE_ROBUST_MAD),
+    "not_in_three_valued": (q_not_in_three_valued, _NOT_IN_TEXT),
 }

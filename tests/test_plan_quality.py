@@ -301,3 +301,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_not_in_plans_as_hash_anti_join(spark):
+    """Both NOT IN branches (null-free and null-probing) must plan as
+    broadcast hash anti joins — never a nested-loop per-row subquery."""
+    from etl_portofolio_spark.plans.extension_queries import q_not_in_three_valued
+
+    plan = _plan(q_not_in_three_valued(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4  # tree + detail, 2 branches
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

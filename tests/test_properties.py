@@ -233,3 +233,56 @@ def test_chunk_dedup_matches_python_reference(spark, word_lists):
         for r in dedup.chunk_dedup_docs(df, "doc_id", "text", cw).collect()
     }
     assert got == expected
+
+
+# --- CDC apply vs dict fold --------------------------------------------------
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # key
+        st.integers(min_value=0, max_value=99),  # value
+        st.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(changes=_cdc_ops, batch_size=st.integers(min_value=1, max_value=5))
+def test_cdc_apply_matches_sequential_dict_fold(spark, changes, batch_size):
+    """Applying an arbitrary change sequence in arbitrary micro-batch
+    boundaries must equal the sequential one-at-a-time fold."""
+    import shutil
+    import tempfile
+
+    from etl_portofolio_spark.operators.cdc import apply_changes
+
+    expected: dict[int, int] = {}
+    for k, v, op in changes:
+        if op == "delete":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+
+    tgt = tempfile.mkdtemp(prefix="cdc-prop-")
+    shutil.rmtree(tgt)  # apply_changes expects a fresh/absent path
+    try:
+        rows = [
+            (k, v, op, seq) for seq, (k, v, op) in enumerate(changes)
+        ]
+        for i in range(0, len(rows), batch_size):
+            batch = spark.createDataFrame(
+                rows[i : i + batch_size], "k long, v long, op string, seq long"
+            )
+            apply_changes(spark, batch, tgt, ("k",), n_buckets=3)
+        try:
+            got = {
+                r["k"]: r["v"]
+                for r in spark.read.parquet(tgt).select("k", "v").collect()
+            }
+        except Exception:
+            got = {}
+        assert got == expected
+    finally:
+        shutil.rmtree(tgt, ignore_errors=True)
