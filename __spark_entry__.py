@@ -53,66 +53,66 @@ except ImportError:
     pass
 
 
-# MAINTENANCE (next round): refresh _NEVER_CHECKED/_CHECKED_ONCE from
-# CORRECTNESS_r{latest}.json before adding queries — the driver's
-# correctness gate checks the FIRST 50 registry entries
-# (CORRECTNESS_r01/r02 each cover exactly the first 50 in dict order):
-# ordering is rotation — queries with the least driver evidence go
-# first. NEW_THIS_ROUND names are spliced in right after NEVER_CHECKED;
-# everything else follows in registration order (checked-once before
-# checked-twice). All queries stay registered regardless.
-_NEVER_CHECKED = (
-    "json_props_extract", "knn_label_vote", "stratified_source_sample",
-    "decontaminate_ngram", "text_repetition_ratio", "quantile_outlier_filter",
-    "multimodal_container_roundtrip", "fuzzy_match_part_names",
-    "feature_zscore", "corpus_mix_resample", "token_budget_shards",
-    "dedup_incremental_novel",
-)
-_CHECKED_ONCE = (
-    "range_join_quantity_bands", "scd2_user_event_history",
-    "sliding_window_events", "session_window_native", "agg_cube_returns",
-    "time_bounded_attribution", "unpivot_lineitem_measures",
-    "upsert_merge_customers", "window_value_functions", "agg_collect_sorted",
-    "funnel_conversion", "dedup_connected_components", "text_pii_redact",
-    "text_tfidf_topk", "text_langid", "text_fingerprint",
-    "ann_brute_force_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_brute_force_topk_np", "embedding_near_dup", "multimodal_metadata",
-    "multimodal_resize", "multimodal_frame_sample", "sessionize_events",
-    "dedup_keep_first", "text_corpus_stats", "pipeline_end_to_end",
+# Registry rotation: the driver's correctness gate checks only the
+# FIRST 50 registry entries each round, so ordering IS evidence
+# allocation. Instead of hand-maintained lists (which went stale in
+# r3), the order is computed from the CORRECTNESS_r*.json evidence
+# files committed at the repo root: queries sort by
+# (times hash-green, times checked, registration order) ascending —
+# red/never-checked queries always lead, brand-new queries (0 checks)
+# go first, and twice-green queries rotate to the back. All queries
+# stay registered regardless of position.
+def _evidence_scores() -> dict[str, tuple[int, int]]:
+    """name -> (n_green, n_checked) across all CORRECTNESS_r*.json."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scores: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, r in rec.items():
+            green, checked = scores.get(name, (0, 0))
+            ok = (
+                isinstance(r, dict)
+                and r.get("err") is None
+                and r.get("rows_match") is True
+                and r.get("schema_match") is True
+                and r.get("hash_match") is True
+            )
+            scores[name] = (green + (1 if ok else 0), checked + 1)
+    return scores
+
+
+# VERDICT r3 #6 asked for these single-checked r3 greens to get their
+# second check in r4; the single-checked pool (63) exceeds the 50-slot
+# window, so they are spliced in right after the zero-green group.
+# Refresh (or empty) this tuple each round from the latest VERDICT.md.
+_JUDGE_RECHECK = (
+    "cdc_snapshot_diff", "dataset_split_manifest", "text_normalize",
+    "embedding_quality_check", "robust_outlier_mad",
 )
 
 
 def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    rest = [n for n in _ALL if n not in _NEVER_CHECKED and n not in _CHECKED_ONCE]
-    new_this_round = [
-        n for n in rest
-        if n not in _R1_R2_CHECKED_TWICE  # added after the r2 gate ran
-    ]
-    twice = [n for n in rest if n in _R1_R2_CHECKED_TWICE]
-    names = (
-        [n for n in _NEVER_CHECKED if n in _ALL]
-        + new_this_round
-        + [n for n in _CHECKED_ONCE if n in _ALL]
-        + twice
+    scores = _evidence_scores()
+    reg_index = {n: i for i, n in enumerate(_ALL)}
+    recheck_rank = {n: i for i, n in enumerate(_JUDGE_RECHECK)}
+    names = sorted(
+        _ALL,
+        key=lambda n: (
+            scores.get(n, (0, 0))[0],                      # times green asc
+            0 if n in recheck_rank else 1,                 # judge recheck list
+            recheck_rank.get(n, 0),
+            scores.get(n, (0, 0))[1],                      # times checked asc
+            reg_index[n],                                  # stable registration order
+        ),
     )
     return {n: _ALL[n] for n in names}
-
-
-_R1_R2_CHECKED_TWICE = frozenset((
-    "flagship_throughput_pivot", "dim_chain_join", "ingest_hour_window",
-    "ingest_dateparts", "epoch_clock_ingest", "allowlist_semi_join",
-    "regex_item_features", "watermark_max_ds", "direction_pivot_groupby",
-    "empty_gate_counts", "topn_latest", "deterministic_sample",
-    "agg_pricing_summary", "join_shipping_priority", "join_region_revenue",
-    "window_top_orders", "window_running_total",
-    "asof_last_click_before_signup", "agg_rollup_sales", "set_ops_customers",
-    "agg_distinct_users", "cross_join_matrix", "agg_decimal_revenue_by_ds",
-    "tumbling_window_events", "anti_join_inactive_customers",
-    "agg_type_revenue_share", "skew_salted_agg", "window_rank_variants",
-    "exists_subquery_shape", "dedup_exact", "dedup_minhash_signatures",
-    "dedup_minhash_pairs", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard", "text_quality",
-))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1358,8 +1358,8 @@ WITH toks AS (
   FROM documents
 ), cum AS (
   SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM toks
 )
 SELECT doc_id, lang, n_tokens, cum_tokens,
