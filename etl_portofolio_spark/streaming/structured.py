@@ -28,6 +28,18 @@ from pyspark.sql.streaming import StreamingQuery
 from etl_portofolio_spark.sinks.writer import write_partitioned
 
 
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) for watermarks.
+
+    Parquet written with ``TIMESTAMP_NTZ`` reads back as NTZ, which
+    ``withWatermark`` rejects (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``).
+    The session timezone is pinned UTC (session.py), so the cast is a
+    pure retag — wall-clock values are unchanged — and a no-op when the
+    column is already LTZ.
+    """
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,
@@ -55,7 +67,8 @@ def windowed_counts(
     the same plan also runs in batch mode (tests compare the two).
     """
     return (
-        events.withWatermark(ts_col, lateness)
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, lateness)
         .groupBy(F.window(ts_col, window).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -87,8 +100,10 @@ def deduped_stream(
     one arriving after the horizon is treated as new, which is the
     documented at-least-once → effectively-once tradeoff.
     """
-    return events.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
-        list(key_cols)
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, lateness)
+        .dropDuplicatesWithinWatermark(list(key_cols))
     )
 
 
@@ -180,12 +195,12 @@ def time_bounded_join(
     is_streaming = clicks.isStreaming
     c = clicks.select(
         F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
         F.col("event_id").alias("click_id"),
     )
     p = purchases.select(
         F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
     )
     if is_streaming:
