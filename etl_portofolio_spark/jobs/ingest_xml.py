@@ -58,9 +58,17 @@ def run(
     url: str = "",
     fetcher: str = "etl_portofolio_spark.jobs.ingest_xml:http_fetch",
     window_minutes: int = 5,
+    allowlist_csv: str | None = None,
 ) -> int:
     """Fetch [start, end) in parallel 5-minute windows and write one
-    idempotent partitioned batch. Returns rows written."""
+    idempotent partitioned batch. Returns rows written.
+
+    The allowlist is applied as a broadcast left-semi join either way;
+    ``allowlist_csv`` keeps the CSV entirely on the cluster (first
+    column = allowed app id) — the reference collected it into a driver
+    pandas list (`Ingestion Data (XML).py`), which caps the allowlist
+    at driver memory and serializes it into every task closure.
+    """
     register_xml_api(spark)
     raw = (
         spark.read.format("xmlapi")
@@ -71,8 +79,15 @@ def run(
         .option("windowminutes", str(window_minutes))
         .load()
     )
-    if allowlist:
+    allow = None
+    if allowlist_csv:
+        allow_raw = spark.read.option("header", "true").csv(allowlist_csv)
+        allow = allow_raw.select(
+            F.col(allow_raw.columns[0]).alias("appId_allow")
+        ).distinct()
+    elif allowlist:
         allow = spark.createDataFrame([(a,) for a in allowlist], ["appId_allow"])
+    if allow is not None:
         raw = raw.join(
             F.broadcast(allow), raw["appId_String"] == allow["appId_allow"], "left_semi"
         )
@@ -122,21 +137,13 @@ def main() -> None:
     p.add_argument("--allowlist-csv", default=None)
     args = p.parse_args()
     spark = build_session("ingest-xml")
-    allow = None
-    if args.allowlist_csv:
-        allow = [
-            r[0]
-            for r in spark.read.option("header", "true")
-            .csv(args.allowlist_csv)
-            .collect()
-        ]
     n = run(
         spark,
         datetime.strptime(args.start, TIME_FMT),
         datetime.strptime(args.end, TIME_FMT),
         args.target,
-        allowlist=allow,
         url=args.url,
+        allowlist_csv=args.allowlist_csv,
     )
     print(f"rows written: {n}")
 

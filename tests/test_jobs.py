@@ -56,6 +56,35 @@ def test_ingest_xml_job_end_to_end(spark, tmp_path):
     assert spark.read.parquet(target).count() == 8
 
 
+def test_ingest_xml_allowlist_csv_stays_distributed(spark, tmp_path, monkeypatch):
+    """--allowlist-csv filters via broadcast semi-join, never a driver list.
+
+    collect() is poisoned for the duration: the scale-unsafe shape
+    (read CSV -> collect -> isin) would trip it; the semi-join must not.
+    """
+    csv = tmp_path / "allow.csv"
+    csv.write_text("appid\napp0\napp1\n")
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("allowlist must not be collected to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    target = str(tmp_path / "xml_tbl_csv")
+    n = ingest_xml.run(
+        spark,
+        datetime(2024, 1, 1, 0, 0),
+        datetime(2024, 1, 1, 0, 10),
+        target,
+        allowlist_csv=str(csv),
+        fetcher="tests.test_jobs:fake_api",
+    )
+    monkeypatch.undo()
+    assert n == spark.read.parquet(target).count() == 2 * 4
+    got = {r[0] for r in spark.read.parquet(target).select("aplikasi").distinct().collect()}
+    assert got == {"app0", "app1"}
+
+
 def test_ingest_jdbc_transform_contract(spark):
     """The JDBC job's transform: decimal(20,0) counter + ds from clock+7h."""
     df = spark.createDataFrame(
