@@ -68,6 +68,40 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cdc_apply_once(spark, workdir: str) -> float:
+    """One timed CDC merge: rebuild keyed state (unmeasured), then apply
+    an update/delete/insert batch touching ~16% of keys (measured).
+
+    The write path has no queries() twin (it mutates state), so it gets
+    its own bench entry here for round-over-round tracking."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators.cdc import apply_changes
+
+    tgt = os.path.join(workdir, "cdc_state")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    base = cust.withColumn("op", F.lit("insert")).withColumn("seq", F.lit(1))
+    apply_changes(spark, base, tgt, ("c_custkey",), n_buckets=32)
+    batch = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1)
+        .withColumn("op", F.lit("update"))
+        .unionByName(
+            cust.where(F.col("c_custkey") % 17 == 0).withColumn("op", F.lit("delete"))
+        )
+        .withColumn("seq", F.lit(2))
+    )
+    t0 = time.perf_counter()
+    apply_changes(spark, batch, tgt, ("c_custkey",), n_buckets=32)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +128,16 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             samples.setdefault(name, []).append(time.perf_counter() - t0)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as workdir:
+        _cdc_apply_once(spark, workdir)  # warmup
+        for _ in range(n_passes):
+            spark.catalog.clearCache()
+            samples.setdefault("cdc_apply_changes", []).append(
+                _cdc_apply_once(spark, workdir)
+            )
+
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }

@@ -157,17 +157,36 @@ def apply_changes(
         else:
             merged = upserts
         staging = f"{target_path.rstrip('/')}/.staging"
-        merged.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        write_partitioned(staged, target_path, "kb", target_file_bytes=None)
+        # repartition on kb first: every task then writes exactly one
+        # bucket directory instead of (tasks x buckets) small files.
+        # static overwrite: the session default (dynamic) would leave a
+        # previous batch's staging partitions in place and resurrect them
+        merged.repartition("kb").write.partitionBy("kb").option(
+            "partitionOverwriteMode", "static"
+        ).mode("overwrite").parquet(staging)
         # dynamic overwrite only touches partitions PRESENT in the
         # output: a bucket whose last key was deleted ends empty and
-        # must be cleared explicitly or its dead rows would survive
-        kept = {int(r["kb"]) for r in staged.select("kb").distinct().collect()}
+        # must be cleared explicitly or its dead rows would survive.
+        # The kept set comes from the staging directory listing — a
+        # metadata operation, not a second scan + driver round-trip.
         jvm = spark._jvm
+        fs_conf = spark._jsc.hadoopConfiguration()
+        staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = staging_path.getFileSystem(fs_conf)
+        kept = set()
+        for st in fs.listStatus(staging_path):
+            name = st.getPath().getName()
+            if name.startswith("kb="):
+                kept.add(int(name[3:]))
+        if kept:
+            # partition-column read-back is string under disabled type
+            # inference — restore the long the partition layout uses
+            staged = spark.read.parquet(staging).withColumn(
+                "kb", F.col("kb").cast("long")
+            )
+            write_partitioned(staged, target_path, "kb", target_file_bytes=None)
         for b in set(buckets) - kept:
             p = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/kb={b}")
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
             fs.delete(p, True)
     finally:
         latest.unpersist()
