@@ -52,6 +52,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from etl_portofolio_spark.plans.round4_queries import ROUND4_QUERIES
+
+    _ALL.update(ROUND4_QUERIES)
+except ImportError:
+    pass
+
 
 # Registry rotation: the driver's correctness gate checks only the
 # FIRST 50 registry entries each round, so ordering IS evidence

@@ -1,0 +1,443 @@
+"""Round-4 wave: multi-way join-order stress, equi-depth histogram,
+token entropy, event throttling, closed-form regression, zone-map
+stats, and canonical-doc election for dedup groups.
+
+Same contract as the sibling plan modules: pure DataFrame plans over
+``catalog.load_table`` with exact DuckDB oracles, cross-engine
+determinism rules throughout (integer cents, md5-based hashing,
+DuckDB sums cast to BIGINT to avoid HUGEINT, double outputs only from
+identical expression trees over exact integers, or rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.operators import text
+from etl_portofolio_spark.operators.dedup import normalized_text
+from etl_portofolio_spark.plans.analytics_queries import _sql_cents, cents
+from etl_portofolio_spark.session import apply_runtime_confs
+
+#: DuckDB twin of text.tokens() — whitespace tokens of lowercased text.
+_SQL_TOKENS = r"regexp_split_to_array(lower(trim({col})), '\s+')"
+
+
+# --- TPC-H Q8 shape: market share across a 7-table join ----------------------
+
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "PROMO"
+_Q8_NATION = "NATION_3"
+
+
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share inside a regional market.
+
+    Seven-table join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈
+    part ⋈ supplier ⋈ supplier-nation) — the join-ORDER stress query:
+    Catalyst must broadcast every dimension chain and keep the single
+    shuffle on the lineitem⋈orders key. The share is a ratio of two
+    exact cents sums computed in one pass via a conditional aggregate
+    (no second join, no self-union); the division is the only double.
+    Broadcast hints only on the constant-size nation/region dims —
+    part/supplier/customer scale with SF, so AQE picks their strategy
+    from runtime sizes (at sf0.01 it broadcasts all seven; at 100 TB
+    lineitem⋈orders becomes the one real exchange). The p_type filter
+    prunes the probe side at the scan.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == _Q8_REGION)
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == _Q8_TYPE)
+    supp = load_table(spark, sf_dir, "supplier")
+    s_nat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(s_nat), supp["s_nationkey"] == F.col("sn_key"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            rev_c4.alias("rev_c4"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("rev_c4").alias("total_c4"),
+            F.sum(
+                F.when(F.col("supp_nation") == _Q8_NATION, F.col("rev_c4")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_c4"),
+        )
+        .select(
+            "o_year",
+            "total_c4",
+            "nation_c4",
+            F.round(F.col("nation_c4").cast("double") / F.col("total_c4"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = f"""
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         {_sql_cents('l.l_extendedprice * (1 - l.l_discount)', 4)} AS rev_c4,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p      ON l.l_partkey = p.p_partkey AND p.p_type = '{_Q8_TYPE}'
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN nation n    ON c.c_nationkey = n.n_nationkey
+  JOIN region r    ON n.n_regionkey = r.r_regionkey AND r.r_name = '{_Q8_REGION}'
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(sum(rev_c4) AS BIGINT) AS total_c4,
+       CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_c4 ELSE 0 END)
+            AS BIGINT) AS nation_c4,
+       round(CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_c4 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(rev_c4) AS BIGINT), 6) AS mkt_share
+FROM j
+GROUP BY o_year
+"""
+
+
+# --- equi-depth histogram ----------------------------------------------------
+
+_N_DEPTH_BUCKETS = 8
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order prices via ntile.
+
+    The planner-statistics twin of the equi-WIDTH ``histogram_price``:
+    bucket boundaries adapt to the distribution, so every bucket holds
+    ~the same row count — what an optimizer's column histogram stores.
+    ntile needs a total order; the (price, key) compound key makes the
+    bucket assignment deterministic under ties. This is a reporting
+    query: the global sort is the cost, and the scale path for stats
+    collection is ``approx_percentile`` (see quantile_sketch_gate) —
+    this exact form is for when bucket counts must be exact.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("price_c")
+    )
+    w = Window.orderBy(F.col("price_c").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("bucket", F.ntile(_N_DEPTH_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price_c").alias("lo_c"),
+            F.max("price_c").alias("hi_c"),
+            F.sum("price_c").alias("sum_c"),
+        )
+    )
+
+
+ORACLE_EQUI_DEPTH = f"""
+WITH priced AS (
+  SELECT o_orderkey, {_sql_cents('o_totalprice')} AS price_c FROM orders
+), tiled AS (
+  SELECT price_c,
+         ntile({_N_DEPTH_BUCKETS})
+           OVER (ORDER BY price_c ASC, o_orderkey ASC) AS bucket
+  FROM priced
+)
+SELECT bucket, count(*) AS n_rows,
+       min(price_c) AS lo_c, max(price_c) AS hi_c,
+       CAST(sum(price_c) AS BIGINT) AS sum_c
+FROM tiled GROUP BY bucket
+"""
+
+
+# --- token entropy (text quality signal) -------------------------------------
+
+
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats).
+
+    Low entropy = repetitive/templated text (the information-theoretic
+    sibling of ``text_repetition_ratio``); a standard pretraining
+    quality filter. Identity used on BOTH engines so the expression
+    trees match: H = ln(n) - sum(c·ln c)/n over per-token counts c —
+    one explode + two aggregations, all codegen. Shuffle keys are
+    (doc_id, token) then doc_id: uniform, salting-free. Rounded to 6
+    decimals (the sum over distinct tokens is order-sensitive in the
+    last double ulp).
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+                "clogc"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("clogc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+ORACLE_TOKEN_ENTROPY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok FROM documents
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS entropy
+FROM per_tok GROUP BY doc_id
+"""
+
+
+# --- event throttling (gap-based rate limit) ---------------------------------
+
+_THROTTLE_SECONDS = 300
+
+
+def q_event_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based event throttle: drop an event that follows its
+    predecessor (same user, same type) within 300 s.
+
+    The batch twin of a streaming rate limiter / duplicate-click
+    suppressor, and the near-time analogue of exact dedup. Gap is
+    measured to the previous RAW event (lag window — one shuffle on
+    (user, type), no iteration); the previous-KEPT variant is
+    sessionization, covered by ``sessionize_events``. Tie order under
+    equal timestamps is pinned by event_id.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_s", gap)
+        .where(F.col("gap_s").isNull() | (F.col("gap_s") > _THROTTLE_SECONDS))
+        .select("event_id", "user_id", "event_type", "gap_s")
+    )
+
+
+ORACLE_THROTTLE = f"""
+WITH gapped AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap_s
+  FROM events
+)
+SELECT event_id, user_id, event_type, gap_s
+FROM gapped WHERE gap_s IS NULL OR gap_s > {_THROTTLE_SECONDS}
+"""
+
+
+# --- closed-form per-group linear regression ---------------------------------
+
+
+def q_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand least-squares slope of line price (cents) on quantity.
+
+    Closed form from exact integer power sums — n, Σx, Σy, Σxy, Σx² as
+    longs (quantities are integral, prices exact cents), so both
+    engines derive the SAME rational number and the final double
+    division is bit-identical; no regr_slope() float accumulation
+    order to disagree on. One map-side-combinable aggregation after a
+    broadcast part join — the shape that lets a 100 TB fact table
+    stream through without a second pass.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.col("l_quantity").cast("long")
+    y = cents("l_extendedprice")
+    d = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand", x.alias("x"), y.alias("y")
+    )
+    agg = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "p_brand",
+        "n",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope_c_per_unit"),
+    )
+
+
+ORACLE_PRICE_REGRESSION = f"""
+WITH d AS (
+  SELECT p.p_brand,
+         CAST(l.l_quantity AS BIGINT) AS x,
+         {_sql_cents('l.l_extendedprice')} AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), s AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_c_per_unit
+FROM s
+"""
+
+
+# --- zone-map / data-skipping statistics -------------------------------------
+
+
+def q_partition_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day zone-map over events: row count, ts min/max, value
+    min/max (cents), distinct users.
+
+    The metadata a data-skipping layer (parquet row-group stats, Delta
+    file stats, an Iceberg manifest) keeps per partition — computed as
+    a single map-side-combinable pass, so refreshing the zone map after
+    a backfill costs one scan. min/max/count fold per-file at 100 TB;
+    the distinct-user count is the only true shuffle and is exact here
+    (the sketch variant is ``approx_distinct_gate``).
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyyMMdd").alias("ds"),
+            F.unix_timestamp("ts").alias("epoch_s"),
+            cents("value").alias("value_c"),
+            "user_id",
+        )
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("epoch_s").alias("ts_min"),
+            F.max("epoch_s").alias("ts_max"),
+            F.min("value_c").alias("value_min_c"),
+            F.max("value_c").alias("value_max_c"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_ZONEMAP = f"""
+SELECT strftime(ts, '%Y%m%d') AS ds,
+       count(*) AS n_rows,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_min,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_max,
+       min({_sql_cents('value')}) AS value_min_c,
+       max({_sql_cents('value')}) AS value_max_c,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# --- canonical-document election over dedup groups ---------------------------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups electing the BEST survivor, not the first.
+
+    ``dedup_keep_first`` keeps the lowest doc_id; production corpora
+    keep the highest-quality copy (here: longest raw text, doc_id as
+    the tiebreak) — metadata like source reputation slots into the
+    same ORDER BY. One row_number window per content-hash group plus a
+    group-size count; hash keys are uniform so the shuffle needs no
+    salting. Output is the survivor manifest (group key, kept doc,
+    duplicates absorbed).
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("content_hash"),
+        F.length("text").alias("raw_len"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("raw_len").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .where(F.col("rn") == 1)
+        .select(
+            "content_hash",
+            F.col("doc_id").alias("kept_doc_id"),
+            "raw_len",
+            "group_size",
+        )
+    )
+
+
+ORACLE_KEEP_BEST = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+         length(text) AS raw_len
+  FROM documents
+), ranked AS (
+  SELECT content_hash, doc_id, raw_len,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY raw_len DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY content_hash) AS group_size
+  FROM hashed
+)
+SELECT content_hash, doc_id AS kept_doc_id, raw_len, group_size
+FROM ranked WHERE rn = 1
+"""
+
+
+ROUND4_QUERIES = {
+    "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
+    "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
+    "text_token_entropy": (q_text_token_entropy, ORACLE_TOKEN_ENTROPY),
+    "event_throttle_dedup": (q_event_throttle_dedup, ORACLE_THROTTLE),
+    "price_trend_regression": (q_price_trend_regression, ORACLE_PRICE_REGRESSION),
+    "partition_zonemap_stats": (q_partition_zonemap_stats, ORACLE_ZONEMAP),
+    "dedup_keep_best": (q_dedup_keep_best, ORACLE_KEEP_BEST),
+}
