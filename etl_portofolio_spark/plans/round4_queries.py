@@ -432,6 +432,277 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- asymmetric containment dedup (subset detection) -------------------------
+
+_CONTAIN_THRESHOLD = 0.9
+
+
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT — max(|A∩B|/min(|A|,|B|)).
+
+    Jaccard misses subset duplication (a doc quoted whole inside a
+    longer one scores low because the union is large); containment
+    normalizes by the smaller set, the standard complement in corpus
+    dedup (Broder's containment). Candidates come from the same
+    MinHash-LSH band join as ``dedup_minhash_pairs`` — never all
+    pairs — and only candidates get exact set intersection. Integer
+    intersection/set sizes; the ratio is the one double (ratio of
+    exact ints → bit-identical across engines, rounded for safety).
+    """
+    from etl_portofolio_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures_from_shingles,
+        shingled_docs,
+    )
+
+    apply_runtime_confs(spark)
+    docs_raw = load_table(spark, sf_dir, "documents")
+    docs = shingled_docs(docs_raw, "doc_id", "text")
+    sig = minhash_signatures_from_shingles(docs, "doc_id")
+    bands = minhash_bands(sig, "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    joined = (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
+    )
+    containment = F.round(
+        F.col("n_inter").cast("double")
+        / F.least("size_a", "size_b").cast("double"),
+        6,
+    )
+    return joined.withColumn("containment", containment).where(
+        F.col("containment") >= _CONTAIN_THRESHOLD
+    )
+
+
+def _oracle_containment() -> str:
+    from etl_portofolio_spark.operators import dedup
+    from etl_portofolio_spark.plans.pipeline_queries import (
+        _SQL_SHINGLES,
+        _sql_band_hash,
+        _sql_minhash_aggs,
+    )
+
+    n_bands = dedup.NUM_MINHASHES // dedup.BAND_ROWS
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id,"
+        f" {_sql_band_hash(b, dedup.BAND_ROWS)} AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs(dedup.NUM_MINHASHES)}
+  FROM ex GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), sized AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+         CAST(len(sa.s) AS BIGINT) AS size_a,
+         CAST(len(sb.s) AS BIGINT) AS size_b
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_inter, size_a, size_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(least(size_a, size_b) AS DOUBLE), 6)
+         AS containment
+FROM sized
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(least(size_a, size_b) AS DOUBLE), 6)
+      >= {_CONTAIN_THRESHOLD}
+"""
+
+
+# --- corpus unigram LM scoring -----------------------------------------------
+
+
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus LM.
+
+    The classic cheap fluency/quality filter (gibberish and
+    wrong-language text score low because their tokens are corpus-
+    rare). avg_logp = Σ c_doc·ln(c_corpus) / n_doc − ln(N): the
+    corpus-total term is hoisted out of the join as one scalar
+    subtraction, so the per-token join carries only ln(c_corpus).
+    Shape at 100 TB: doc-term counts and the vocabulary both come off
+    one exploded scan; the vocab join is a shuffle on the token key
+    (a real vocabulary doesn't broadcast), then one doc-keyed
+    aggregation. Rounded to 6 (per-doc double sum is order-sensitive
+    in the last ulp).
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c_doc").alias("c_corpus"))
+    total = vocab.agg(F.sum("c_corpus").alias("n_total"))
+    scored = (
+        doc_tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_tokens"),
+            F.sum(
+                F.col("c_doc").cast("double")
+                * F.log(F.col("c_corpus").cast("double"))
+            ).alias("s"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s") / F.col("n_tokens").cast("double")
+            - F.log(F.col("n_total").cast("double")),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok FROM documents
+), doc_tok AS (
+  SELECT doc_id, tok, count(*) AS c_doc FROM tok GROUP BY doc_id, tok
+), vocab AS (
+  SELECT tok, CAST(sum(c_doc) AS BIGINT) AS c_corpus FROM doc_tok GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c_corpus) AS BIGINT) AS n_total FROM vocab
+), scored AS (
+  SELECT d.doc_id,
+         CAST(sum(d.c_doc) AS BIGINT) AS n_tokens,
+         sum(CAST(d.c_doc AS DOUBLE) * ln(CAST(v.c_corpus AS DOUBLE))) AS s
+  FROM doc_tok d JOIN vocab v USING (tok)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(s / CAST(n_tokens AS DOUBLE)
+             - ln(CAST(total.n_total AS DOUBLE)), 6) AS avg_logprob
+FROM scored, total
+"""
+
+
+# --- ANN recall evaluation ---------------------------------------------------
+
+_RECALL_QUERIES = 25
+_RECALL_K = 3
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN index against exact top-k.
+
+    The evaluation harness an ANN index ships with: ground truth =
+    brute-force cosine top-3 for a fixed query panel; hits = LSH
+    same-bucket top-3 (the ``ann_lsh_topk`` plan) intersected with the
+    truth set. Integer-only output (hits of k) — no recall double to
+    disagree on; the caller divides. Truth is the expensive side and
+    the panel is fixed/small, so the cross score is
+    panel × corpus, never corpus × corpus; at scale the panel
+    broadcasts and truth is one pass over the embedding table.
+    """
+    from etl_portofolio_spark.operators import similarity
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.brute_force_topk(
+        emb, query_ids=tuple(range(_RECALL_QUERIES)), k=_RECALL_K
+    ).select("query_id", "neighbor_id")
+    lsh = (
+        similarity.lsh_ann_topk(emb, dim=64, num_planes=4, k=_RECALL_K)
+        .where(F.col("query_id") < _RECALL_QUERIES)
+        .select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    )
+    hits = truth.join(
+        lsh,
+        (truth["query_id"] == lsh["query_id"])
+        & (truth["neighbor_id"] == lsh["lsh_neighbor"]),
+        "left_semi",
+    )
+    return (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_truth"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "k_truth",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+    )
+
+
+def _oracle_ann_recall() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _sql_ann_lsh, _sql_cosine
+
+    lsh_sql = _sql_ann_lsh(4, 64).strip().removeprefix("WITH")
+    ids = ", ".join(str(i) for i in range(_RECALL_QUERIES))
+    return f"""
+WITH lsh_base AS (
+  WITH {lsh_sql}
+), vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM vv WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, vv.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'vv.v')} AS cosine
+  FROM vv, q WHERE vv.vec_id <> q.query_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_RECALL_K}
+), lsh AS (
+  SELECT query_id, neighbor_id FROM lsh_base
+  WHERE query_id < {_RECALL_QUERIES}
+)
+SELECT t.query_id,
+       count(*) AS k_truth,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit
+FROM truth t
+LEFT JOIN lsh l
+  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 ROUND4_QUERIES = {
     "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
     "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
@@ -440,4 +711,7 @@ ROUND4_QUERIES = {
     "price_trend_regression": (q_price_trend_regression, ORACLE_PRICE_REGRESSION),
     "partition_zonemap_stats": (q_partition_zonemap_stats, ORACLE_ZONEMAP),
     "dedup_keep_best": (q_dedup_keep_best, ORACLE_KEEP_BEST),
+    "dedup_containment_pairs": (q_dedup_containment_pairs, _oracle_containment()),
+    "unigram_logprob_score": (q_unigram_logprob_score, ORACLE_UNIGRAM_LOGPROB),
+    "ann_lsh_recall": (q_ann_lsh_recall, _oracle_ann_recall()),
 }
