@@ -55,6 +55,10 @@ HEADLINE = (
     "multimodal_pixel_stats",
     "cdc_snapshot_diff",
     "dataset_split_manifest",
+    "market_share_by_year",
+    "text_token_entropy",
+    "unigram_logprob_score",
+    "dedup_containment_pairs",
 )
 
 

@@ -312,3 +312,49 @@ def test_not_in_plans_as_hash_anti_join(spark):
     assert plan.count("BroadcastHashJoin") >= 4  # tree + detail, 2 branches
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_market_share_q8_no_sort_merge_single_agg_exchange(spark):
+    """The 7-table Q8 join must resolve to broadcast joins at this SF
+    (no sort-merge, no cartesian), with the groupBy as the only
+    aggregation exchange — the join-ORDER stress claim."""
+    from etl_portofolio_spark.plans.round4_queries import q_market_share_by_year
+
+    spark.catalog.clearCache()
+    plan = _plan(q_market_share_by_year(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_pairs_no_cartesian(spark):
+    """Containment candidates come from the LSH band equi-join — an
+    all-pairs plan here would be quadratic at corpus scale."""
+    from etl_portofolio_spark.plans.round4_queries import q_dedup_containment_pairs
+
+    spark.catalog.clearCache()
+    plan = _plan(q_dedup_containment_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zonemap_single_pass_with_partial_agg(spark):
+    """Zone-map stats must map-side combine: one scan, partial+final
+    aggregate pair, one exchange on the day key."""
+    from etl_portofolio_spark.plans.round4_queries import q_partition_zonemap_stats
+
+    plan = _plan(q_partition_zonemap_stats(spark, SF_DIR))
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    assert "partial_count" in plan and "partial_min" in plan  # map-side combine
+
+
+def test_regression_is_single_combinable_agg(spark):
+    """Closed-form regression: broadcast part join + ONE hash exchange
+    (the brand groupBy) — the fact table streams through once."""
+    from etl_portofolio_spark.plans.round4_queries import q_price_trend_regression
+
+    spark.catalog.clearCache()
+    plan = _plan(q_price_trend_regression(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    n_hash = plan.count("Arguments: hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}"
