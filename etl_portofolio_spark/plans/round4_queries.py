@@ -703,6 +703,80 @@ GROUP BY t.query_id
 """
 
 
+# --- RAG chunking: overlapping token windows ---------------------------------
+
+_CHUNK_W = 64   # tokens per chunk
+_CHUNK_S = 48   # stride (16-token overlap)
+
+
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunking (the RAG/embedding prep
+    step): 64-token chunks at stride 48, final partial chunk kept.
+
+    chunk_count = 1 + ceil(max(n−W, 0)/S) — every token lands in ≥1
+    chunk and boundaries depend only on the doc itself, so chunking is
+    stable under corpus growth and re-partitioning. One explode of a
+    per-doc index sequence + array slices: map-only (zero shuffles),
+    scales linearly, and the chunk id/hash manifest is what the
+    embedding job consumes. Chunk text is carried as an md5 so the
+    result set stays narrow; the dedup twin that operates on chunk
+    CONTENT is ``dedup_paragraph_chunks``.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - _CHUNK_W, F.lit(0)).cast("double") / F.lit(float(_CHUNK_S))
+        ).cast("int")
+    )
+    base = docs.select(
+        "doc_id", toks.alias("t"), n.alias("n_tokens"), n_chunks.alias("n_chunks")
+    )
+    exploded = base.select(
+        "doc_id",
+        "t",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_S + 1
+    chunk = F.slice(F.col("t"), start, _CHUNK_W)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok_chunk"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         1 + CAST(ceil(greatest(len(t) - {_CHUNK_W}, 0)
+                       / CAST({_CHUNK_S} AS DOUBLE)) AS BIGINT) AS n_chunks
+  FROM tok
+), exploded AS (
+  SELECT doc_id, t, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+       CAST(len(list_slice(t, chunk_id * {_CHUNK_S} + 1,
+                           least(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)))
+            AS BIGINT) AS n_tok_chunk,
+       md5(array_to_string(list_slice(t, chunk_id * {_CHUNK_S} + 1,
+                                      least(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)),
+                           ' ')) AS chunk_hash
+FROM exploded
+"""
+
+
 ROUND4_QUERIES = {
     "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
     "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
@@ -714,4 +788,5 @@ ROUND4_QUERIES = {
     "dedup_containment_pairs": (q_dedup_containment_pairs, _oracle_containment()),
     "unigram_logprob_score": (q_unigram_logprob_score, ORACLE_UNIGRAM_LOGPROB),
     "ann_lsh_recall": (q_ann_lsh_recall, _oracle_ann_recall()),
+    "doc_chunk_overlap": (q_doc_chunk_overlap, ORACLE_CHUNK_OVERLAP),
 }
