@@ -285,3 +285,45 @@ def quality_funnel_report(
             .alias("n_survivors"),
         )
     )
+
+
+def chunk_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-token-window chunk manifest (RAG/embedding prep).
+
+    chunk_count = 1 + ceil(max(n − window, 0)/stride): every token is
+    covered by at least one chunk, the final partial chunk is kept, and
+    boundaries depend only on the doc itself — stable under corpus
+    growth and repartitioning. Map-only (explode of a per-doc index
+    sequence + array slices, zero shuffles); emits
+    (id, chunk_id, start_tok, n_tok_chunk, chunk_hash) with the chunk
+    text carried as an md5 so the manifest stays narrow.
+    """
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError(
+            f"need 1 <= stride ({stride}) <= window ({window}) for gapless chunks"
+        )
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - window, F.lit(0)).cast("double") / F.lit(float(stride))
+    ).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    chunk = F.slice(F.col("__t"), start, window)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok_chunk"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

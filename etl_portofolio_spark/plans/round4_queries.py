@@ -246,17 +246,17 @@ def q_event_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization, covered by ``sessionize_events``. Tie order under
     equal timestamps is pinned by event_id.
     """
+    from etl_portofolio_spark.operators.throttle import throttle_events
+
     apply_runtime_confs(spark)
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    return (
-        ev.withColumn("gap_s", gap)
-        .where(F.col("gap_s").isNull() | (F.col("gap_s") > _THROTTLE_SECONDS))
-        .select("event_id", "user_id", "event_type", "gap_s")
-    )
+    return throttle_events(
+        ev,
+        keys=("user_id", "event_type"),
+        ts_col="ts",
+        tiebreak_col="event_id",
+        min_gap_seconds=_THROTTLE_SECONDS,
+    ).select("event_id", "user_id", "event_type", "gap_s")
 
 
 ORACLE_THROTTLE = f"""
@@ -724,31 +724,8 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = text.tokens("text")
-    n = F.size(toks)
-    n_chunks = (
-        F.lit(1)
-        + F.ceil(
-            F.greatest(n - _CHUNK_W, F.lit(0)).cast("double") / F.lit(float(_CHUNK_S))
-        ).cast("int")
-    )
-    base = docs.select(
-        "doc_id", toks.alias("t"), n.alias("n_tokens"), n_chunks.alias("n_chunks")
-    )
-    exploded = base.select(
-        "doc_id",
-        "t",
-        "n_tokens",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
-    )
-    start = F.col("chunk_id") * _CHUNK_S + 1
-    chunk = F.slice(F.col("t"), start, _CHUNK_W)
-    return exploded.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        start.cast("long").alias("start_tok"),
-        F.size(chunk).cast("long").alias("n_tok_chunk"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    return text.chunk_manifest(
+        docs, "doc_id", "text", window=_CHUNK_W, stride=_CHUNK_S
     )
 
 

@@ -286,3 +286,94 @@ def test_cdc_apply_matches_sequential_dict_fold(spark, changes, batch_size):
         assert got == expected
     finally:
         shutil.rmtree(tgt, ignore_errors=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=5000),   # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_throttle_rate_limit_contract(spark, events):
+    """Kept events are ALWAYS > min_gap apart per key — even though the
+    gap is measured to the raw (possibly dropped) predecessor — and the
+    first event of every key survives."""
+    from etl_portofolio_spark.operators.throttle import throttle_events
+
+    base = 1704067200
+    df = spark.createDataFrame(
+        [(i, u, off) for i, (u, off) in enumerate(events)],
+        "event_id long, user_id long, off long",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"),
+    )
+    kept = throttle_events(
+        df, keys=("user_id",), ts_col="ts", tiebreak_col="event_id",
+        min_gap_seconds=300,
+    ).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in kept:
+        by_user.setdefault(r["user_id"], []).append(int(r["ts"].timestamp()))
+    firsts = {}
+    for i, (u, off) in enumerate(events):
+        if u not in firsts or (off, i) < firsts[u]:
+            firsts[u] = (off, i)
+    for u, (off, _i) in firsts.items():
+        assert base + off in by_user.get(u, []), "first event per key must survive"
+    for u, ts_list in by_user.items():
+        ts_list.sort()
+        for t1, t2 in zip(ts_list, ts_list[1:]):
+            assert t2 - t1 > 300, f"kept events {t1},{t2} violate the rate limit"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=6),   # stride
+    st.integers(min_value=0, max_value=4),   # window = stride + extra
+)
+def test_chunk_manifest_covers_every_token(spark, word_lists, stride, extra):
+    """Chunks tile the token sequence: starts advance by exactly the
+    stride, every token index is covered, the last chunk reaches the
+    final token, and hashes equal the md5 of the sliced tokens."""
+    from etl_portofolio_spark.operators.text import chunk_manifest
+
+    window = stride + extra
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_manifest(df, "doc_id", "text", window=window, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text_ in rows:
+        toks = text_.strip().lower().split() if text_.strip() else [""]
+        n = len(toks)
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert chunks[0]["start_tok"] == 1
+        covered = set()
+        for r in chunks:
+            s = r["start_tok"]
+            sliced = toks[s - 1 : s - 1 + window]
+            assert r["n_tok_chunk"] == len(sliced)
+            expect = hashlib.md5(" ".join(sliced).encode()).hexdigest()
+            assert r["chunk_hash"] == expect
+            covered.update(range(s, s + len(sliced)))
+        assert covered == set(range(1, n + 1)), "every token in >= 1 chunk"
+        # starts advance by exactly the stride
+        starts = [r["start_tok"] for r in chunks]
+        assert starts == [1 + i * stride for i in range(len(starts))]
