@@ -449,6 +449,8 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection/set sizes; the ratio is the one double (ratio of
     exact ints → bit-identical across engines, rounded for safety).
     """
+    from pyspark import StorageLevel
+
     from etl_portofolio_spark.operators.dedup import (
         minhash_bands,
         minhash_signatures_from_shingles,
@@ -457,7 +459,12 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     docs_raw = load_table(spark, sf_dir, "documents")
-    docs = shingled_docs(docs_raw, "doc_id", "text")
+    # three plan branches (signatures + both verification sides) read the
+    # shingled frame — persist so shingling runs once; the cache manager
+    # keys on the logical plan, so dedup_minhash_pairs shares this cache
+    docs = shingled_docs(docs_raw, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures_from_shingles(docs, "doc_id")
     bands = minhash_bands(sig, "doc_id")
     a, b = bands.alias("a"), bands.alias("b")
@@ -562,10 +569,18 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Rounded to 6 (per-doc double sum is order-sensitive
     in the last ulp).
     """
+    from pyspark import StorageLevel
+
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
-    doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
+    # doc-term counts feed three branches (vocab, total, the scoring
+    # join) — persist so the explode+count runs once, not three times
+    doc_tok = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vocab = doc_tok.groupBy("tok").agg(F.sum("c_doc").alias("c_corpus"))
     total = vocab.agg(F.sum("c_corpus").alias("n_total"))
     scored = (

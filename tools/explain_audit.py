@@ -32,6 +32,12 @@ DEFAULT_QUERIES = (
     "disjunctive_pred_revenue",
     "dedup_paragraph_chunks",
     "date_spine_gapfill",
+    "market_share_by_year",
+    "dedup_containment_pairs",
+    "unigram_logprob_score",
+    "ann_lsh_recall",
+    "doc_chunk_overlap",
+    "equi_depth_histogram",
 )
 
 
