@@ -560,32 +560,28 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classic cheap fluency/quality filter (gibberish and
     wrong-language text score low because their tokens are corpus-
-    rare). avg_logp = Σ c_doc·ln(c_corpus) / n_doc − ln(N): the
-    corpus-total term is hoisted out of the join as one scalar
-    subtraction, so the per-token join carries only ln(c_corpus).
-    Shape at 100 TB: doc-term counts and the vocabulary both come off
-    one exploded scan; the vocab join is a shuffle on the token key
-    (a real vocabulary doesn't broadcast), then one doc-keyed
-    aggregation. Rounded to 6 (per-doc double sum is order-sensitive
-    in the last ulp).
+    rare). avg_logp = Σ c_doc·ln(c_corpus) / n_doc − ln(N). The
+    corpus count c_corpus is attached as a WINDOW SUM over the token
+    partition — no vocabulary join, no recomputed branch (a corpus
+    vocab doesn't broadcast at 100 TB, and a self-join would read the
+    exploded counts twice). Pipeline: one explode, three shuffles
+    ((doc,tok) count → tok window → doc aggregate); the corpus-total
+    term is recovered from the |docs|-row result (persisted — the
+    only cached frame is document-scale, not token-scale) and hoisted
+    to one scalar subtraction. Rounded to 6 (per-doc double sum is
+    order-sensitive in the last ulp).
     """
     from pyspark import StorageLevel
 
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
-    # doc-term counts feed three branches (vocab, total, the scoring
-    # join) — persist so the explode+count runs once, not three times
-    doc_tok = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
+    with_corpus = doc_tok.withColumn(
+        "c_corpus", F.sum("c_doc").over(Window.partitionBy("tok"))
     )
-    vocab = doc_tok.groupBy("tok").agg(F.sum("c_doc").alias("c_corpus"))
-    total = vocab.agg(F.sum("c_corpus").alias("n_total"))
-    scored = (
-        doc_tok.join(vocab, "tok")
-        .groupBy("doc_id")
+    per_doc = (
+        with_corpus.groupBy("doc_id")
         .agg(
             F.sum("c_doc").alias("n_tokens"),
             F.sum(
@@ -593,8 +589,10 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.col("c_corpus").cast("double"))
             ).alias("s"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return scored.crossJoin(F.broadcast(total)).select(
+    total = per_doc.agg(F.sum("n_tokens").alias("n_total"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         F.round(
@@ -610,21 +608,22 @@ WITH tok AS (
   SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok FROM documents
 ), doc_tok AS (
   SELECT doc_id, tok, count(*) AS c_doc FROM tok GROUP BY doc_id, tok
-), vocab AS (
-  SELECT tok, CAST(sum(c_doc) AS BIGINT) AS c_corpus FROM doc_tok GROUP BY tok
+), with_corpus AS (
+  SELECT doc_id, c_doc,
+         CAST(sum(c_doc) OVER (PARTITION BY tok) AS BIGINT) AS c_corpus
+  FROM doc_tok
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c_doc) AS BIGINT) AS n_tokens,
+         sum(CAST(c_doc AS DOUBLE) * ln(CAST(c_corpus AS DOUBLE))) AS s
+  FROM with_corpus GROUP BY doc_id
 ), total AS (
-  SELECT CAST(sum(c_corpus) AS BIGINT) AS n_total FROM vocab
-), scored AS (
-  SELECT d.doc_id,
-         CAST(sum(d.c_doc) AS BIGINT) AS n_tokens,
-         sum(CAST(d.c_doc AS DOUBLE) * ln(CAST(v.c_corpus AS DOUBLE))) AS s
-  FROM doc_tok d JOIN vocab v USING (tok)
-  GROUP BY d.doc_id
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per_doc
 )
 SELECT doc_id, n_tokens,
        round(s / CAST(n_tokens AS DOUBLE)
              - ln(CAST(total.n_total AS DOUBLE)), 6) AS avg_logprob
-FROM scored, total
+FROM per_doc, total
 """
 
 
