@@ -768,6 +768,218 @@ FROM exploded
 """
 
 
+# --- MinHash estimator accuracy ----------------------------------------------
+
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy eval: per candidate pair, the MinHash ESTIMATE
+    (matching signature positions / 16) next to exact Jaccard.
+
+    The minhash twin of ``ann_lsh_recall`` — the eval that justifies
+    trusting the sketch at scale, where exact verification of every
+    pair is unaffordable. Candidates come from the LSH band join (the
+    same no-all-pairs path as production); estimate is an integer
+    agreement count so nothing floats except the exact Jaccard, which
+    reuses the verified pair convention. Signature + shingle frames
+    are persisted once each, read by both join sides.
+    """
+    from pyspark import StorageLevel
+
+    from etl_portofolio_spark.operators import dedup as D
+    from etl_portofolio_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures_from_shingles,
+        shingled_docs,
+    )
+
+    apply_runtime_confs(spark)
+    docs_raw = load_table(spark, sf_dir, "documents")
+    docs = shingled_docs(docs_raw, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = minhash_signatures_from_shingles(docs, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = minhash_bands(sig, "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    mh_cols = [f"mh{i:02d}" for i in range(D.NUM_MINHASHES)]
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols]
+    )
+    n_agree = None
+    for c in mh_cols:
+        t = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        n_agree = t if n_agree is None else n_agree + t
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.cast("long").alias("n_agree"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+def _oracle_minhash_estimate() -> str:
+    from etl_portofolio_spark.operators import dedup as D
+    from etl_portofolio_spark.plans.pipeline_queries import (
+        _SQL_SHINGLES,
+        _sql_band_hash,
+        _sql_minhash_aggs,
+    )
+
+    n_bands = D.NUM_MINHASHES // D.BAND_ROWS
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id,"
+        f" {_sql_band_hash(b, D.BAND_ROWS)} AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i:02d} = sb.mh{i:02d} THEN 1 ELSE 0 END"
+        for i in range(D.NUM_MINHASHES)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs(D.NUM_MINHASHES)}
+  FROM ex GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       round(CAST(len(list_intersect(ha.s, hb.s)) AS DOUBLE)
+             / CAST(len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s))
+                    AS DOUBLE), 6) AS jaccard
+FROM cands c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+JOIN sh ha ON ha.doc_id = c.id_a
+JOIN sh hb ON hb.doc_id = c.id_b
+"""
+
+
+# --- end-to-end near-dup cluster manifest ------------------------------------
+
+
+def q_dedup_cluster_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production dedup deliverable: near-dup clusters with a
+    quality-elected canonical and absorption stats.
+
+    Chains the ladder end-to-end — MinHash-LSH pairs → connected
+    components → per-cluster election (longest raw text, doc_id
+    tiebreak) — into the manifest a compaction job consumes: one row
+    per cluster with the keeper, member count, and chars absorbed.
+    Clusters are near-dup-graph components, so |clusters| ≪ |docs|;
+    the election window partitions on the component key (bounded
+    cluster sizes keep it skew-free).
+    """
+    from etl_portofolio_spark.operators import dedup as D
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.7)
+    cc = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
+    members = cc.join(
+        docs.select("doc_id", F.length("text").alias("raw_len")), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("raw_len").desc(), F.col("doc_id").asc()
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    stats = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("raw_len").alias("total_chars"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("raw_len").alias("canonical_len"),
+        )
+        .join(stats, "component")
+        .select(
+            "component",
+            "canonical_doc_id",
+            "canonical_len",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def _oracle_cluster_manifest() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import ORACLE_MINHASH_PAIRS
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  {ORACLE_MINHASH_PAIRS}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+), cc AS (
+  SELECT id AS doc_id, min(reach) AS component FROM walk GROUP BY id
+), members AS (
+  SELECT cc.component, cc.doc_id, length(d.text) AS raw_len
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY raw_len DESC, doc_id ASC) AS rn
+  FROM members
+), stats AS (
+  SELECT component, count(*) AS n_docs,
+         CAST(sum(raw_len) AS BIGINT) AS total_chars
+  FROM members GROUP BY component
+)
+SELECT CAST(r.component AS BIGINT) AS component,
+       r.doc_id AS canonical_doc_id,
+       r.raw_len AS canonical_len,
+       s.n_docs, s.total_chars
+FROM ranked r JOIN stats s USING (component)
+WHERE r.rn = 1
+"""
+
+
 ROUND4_QUERIES = {
     "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
     "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
@@ -780,4 +992,6 @@ ROUND4_QUERIES = {
     "unigram_logprob_score": (q_unigram_logprob_score, ORACLE_UNIGRAM_LOGPROB),
     "ann_lsh_recall": (q_ann_lsh_recall, _oracle_ann_recall()),
     "doc_chunk_overlap": (q_doc_chunk_overlap, ORACLE_CHUNK_OVERLAP),
+    "minhash_jaccard_estimate": (q_minhash_jaccard_estimate, _oracle_minhash_estimate()),
+    "dedup_cluster_manifest": (q_dedup_cluster_manifest, _oracle_cluster_manifest()),
 }
