@@ -18,6 +18,7 @@ from etl_portofolio_spark.catalog import load_table
 from etl_portofolio_spark.operators import text
 from etl_portofolio_spark.operators.dedup import normalized_text
 from etl_portofolio_spark.plans.analytics_queries import _sql_cents, cents
+from etl_portofolio_spark.plans.extension_queries import _CDC_CUT_NEW, _CDC_CUT_OLD
 from etl_portofolio_spark.session import apply_runtime_confs
 
 #: DuckDB twin of text.tokens() — whitespace tokens of lowercased text.
@@ -980,6 +981,138 @@ WHERE r.rn = 1
 """
 
 
+# --- referential integrity report --------------------------------------------
+
+
+def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-count report across the FK chain (lineitem→orders→
+    customer→nation), one row per relationship.
+
+    The data-quality complement of the contracts report: catches what
+    row-local rules can't (dangling keys after partial loads or
+    out-of-order ingestion). Each relationship is a LEFT ANTI join —
+    the child side streams, the parent key set broadcasts when small
+    or becomes a shuffled anti join via AQE when not; the final report
+    is a union of three 1-row aggregates (each branch prunes to its
+    key columns at the scan).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def count_orphans(child, key, parent, pkey, rel):
+        return (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(rel).alias("relationship"), "n_orphans")
+        )
+
+    return (
+        count_orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            count_orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            count_orphans(cust, "c_nationkey", nat, "n_nationkey", "customer->nation")
+        )
+    )
+
+
+ORACLE_REF_INTEGRITY = """
+SELECT 'lineitem->orders' AS relationship,
+       count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       count(*) FILTER (WHERE c.c_custkey IS NULL)
+FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer->nation',
+       count(*) FILTER (WHERE n.n_nationkey IS NULL)
+FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+"""
+
+
+# --- schema/stats drift report -----------------------------------------------
+
+
+def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats drift between two order snapshots (the CDC cuts):
+    null count, distinct count, and min/max price cents, old vs new.
+
+    The observability check a pipeline runs before promoting a new
+    snapshot — distribution drift that schema equality can't see.
+    Each snapshot's stats are ONE combinable aggregation (count +
+    count distinct + min/max fold map-side); the report joins two
+    single-row frames, so the comparison itself is free. Widening to
+    more columns widens the agg buffer, not the pass count.
+    """
+    apply_runtime_confs(spark)
+    base = load_table(spark, sf_dir, "orders")
+
+    def stats(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{tag}_rows"),
+            F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{tag}_null_status"),
+            F.countDistinct("o_custkey").alias(f"{tag}_custkeys"),
+            F.min(cents("o_totalprice")).alias(f"{tag}_min_price_c"),
+            F.max(cents("o_totalprice")).alias(f"{tag}_max_price_c"),
+        )
+
+    old = stats(
+        base.where(F.col("o_orderdate") < F.lit(_CDC_CUT_OLD).cast("timestamp")),
+        "old",
+    )
+    new = stats(
+        base.where(F.col("o_orderdate") < F.lit(_CDC_CUT_NEW).cast("timestamp")),
+        "new",
+    )
+    return old.crossJoin(new).select(
+        "old_rows",
+        "new_rows",
+        (F.col("new_rows") - F.col("old_rows")).alias("row_delta"),
+        "old_null_status",
+        "new_null_status",
+        "old_custkeys",
+        "new_custkeys",
+        "old_min_price_c",
+        "new_min_price_c",
+        "old_max_price_c",
+        "new_max_price_c",
+    )
+
+
+ORACLE_SCHEMA_DRIFT = f"""
+WITH old AS (
+  SELECT count(*) AS old_rows,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS old_null_status,
+         count(DISTINCT o_custkey) AS old_custkeys,
+         min({_sql_cents('o_totalprice')}) AS old_min_price_c,
+         max({_sql_cents('o_totalprice')}) AS old_max_price_c
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_CUT_OLD}'
+), new AS (
+  SELECT count(*) AS new_rows,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_null_status,
+         count(DISTINCT o_custkey) AS new_custkeys,
+         min({_sql_cents('o_totalprice')}) AS new_min_price_c,
+         max({_sql_cents('o_totalprice')}) AS new_max_price_c
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_CUT_NEW}'
+)
+SELECT old_rows, new_rows, new_rows - old_rows AS row_delta,
+       old_null_status, new_null_status,
+       old_custkeys, new_custkeys,
+       old_min_price_c, new_min_price_c,
+       old_max_price_c, new_max_price_c
+FROM old, new
+"""
+
+
 ROUND4_QUERIES = {
     "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
     "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
@@ -994,4 +1127,9 @@ ROUND4_QUERIES = {
     "doc_chunk_overlap": (q_doc_chunk_overlap, ORACLE_CHUNK_OVERLAP),
     "minhash_jaccard_estimate": (q_minhash_jaccard_estimate, _oracle_minhash_estimate()),
     "dedup_cluster_manifest": (q_dedup_cluster_manifest, _oracle_cluster_manifest()),
+    "referential_integrity_report": (
+        q_referential_integrity_report,
+        ORACLE_REF_INTEGRITY,
+    ),
+    "schema_drift_report": (q_schema_drift_report, ORACLE_SCHEMA_DRIFT),
 }
