@@ -12,10 +12,13 @@ cardinality is user-scale, so no salting needed.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
+from typing import Any
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def throttle_events(
@@ -40,4 +43,81 @@ def throttle_events(
     gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
     return df.withColumn("gap_s", gap).where(
         F.col("gap_s").isNull() | (F.col("gap_s") > min_gap_seconds)
+    )
+
+
+#: streaming output: the kept event's identity + its gap to the raw
+#: predecessor (NULL for each key's first event, as in the batch twin)
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("gap_s", T.LongType()),
+    ]
+)
+
+#: state row: epoch-seconds of the key's last RAW (kept or dropped) event
+_STATE_SCHEMA = T.StructType([T.StructField("prev_s", T.LongType())])
+
+
+def throttle_stream(
+    events: DataFrame,
+    min_gap_seconds: int = 300,
+) -> DataFrame:
+    """Streaming twin of :func:`throttle_events` via
+    ``applyInPandasWithState``: per (user_id, event_type), keep an
+    event iff its gap to the previous RAW event exceeds the limit.
+
+    State is one epoch-seconds long per key — the last raw event time,
+    kept or dropped — so the decision matches the batch lag semantics
+    exactly and output needs no trailing flush (keeps emit
+    immediately; state never holds back rows the way open sessions
+    do). Given per-key in-order delivery across micro-batches (the
+    standard file-stream/watermark contract), stream output == batch
+    output row-for-row.
+    """
+    import pandas as pd
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        user, etype = key
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        ts_s = (
+            rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        ).tolist()
+        prev = state.get[0] if state.exists else None
+        keep_idx: list[int] = []
+        gaps: list[int | None] = []
+        for i, t in enumerate(ts_s):
+            gap = None if prev is None else t - prev
+            if gap is None or gap > min_gap_seconds:
+                keep_idx.append(i)
+                gaps.append(gap)
+            prev = t
+        state.update((prev,))
+        if keep_idx:
+            kept = rows.iloc[keep_idx]
+            yield pd.DataFrame(
+                {
+                    "event_id": kept["event_id"].astype("int64").values,
+                    "user_id": pd.Series([user] * len(keep_idx), dtype="int64"),
+                    "event_type": [etype] * len(keep_idx),
+                    "ts": kept["ts"].values,
+                    "gap_s": pd.array(gaps, dtype="Int64"),
+                }
+            )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=THROTTLE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -67,3 +67,51 @@ def test_sessionize_stream_matches_batch_minus_open_sessions(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_throttle_stream_matches_batch(spark, tmp_path):
+    """Streaming gap-throttle == batch throttle row-for-row: state (last
+    raw ts per key) crosses micro-batches, keeps emit immediately so no
+    trailing flush is needed. Two time-split files -> two in-order
+    micro-batches."""
+    from etl_portofolio_spark.operators.throttle import (
+        throttle_events,
+        throttle_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    # two files written in time order => two micro-batches, in order
+    ev.where(F.col("ts") <= cut).coalesce(1).write.parquet(str(src_dir / "f0"))
+    ev.where(F.col("ts") > cut).coalesce(1).write.parquet(str(src_dir / "f1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    kept = throttle_stream(stream, min_gap_seconds=300)
+    target = str(tmp_path / "out")
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(target).select(
+        "event_id", "user_id", "event_type", "gap_s"
+    )
+    expected = throttle_events(
+        ev, keys=("user_id", "event_type"), ts_col="ts",
+        tiebreak_col="event_id", min_gap_seconds=300,
+    ).select("event_id", "user_id", "event_type", "gap_s")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
