@@ -331,6 +331,68 @@ def ivf_topk(
     )
 
 
+def ivf_multiprobe_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k probing each query's ``nprobe`` nearest clusters.
+
+    The recall dial that makes IVF production-viable: a query whose
+    true neighbors straddle a Voronoi boundary misses them at
+    nprobe=1; probing the next-nearest centroids recovers them for
+    ``nprobe×`` list-scan cost (still |corpus|/K per probe — never a
+    full scan). The probe set is a per-query centroid ranking
+    (broadcast centroids, map-side), so the only corpus-side work
+    remains the equi-join on cluster id. Each corpus vector lives in
+    exactly one inverted list, so multi-probe candidates need no
+    dedup.
+    """
+    assigned = ivf_assign(emb, id_col, vec_col, num_centroids).persist()
+    docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    cents = docs.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+    q_scored = (
+        docs.where(F.col(id_col).isin(*query_ids))
+        .join(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+    )
+    wp = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("centroid_id").alias("probe_cluster"),
+        )
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cluster_id") == F.col("probe_cluster"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

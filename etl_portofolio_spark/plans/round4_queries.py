@@ -981,6 +981,73 @@ WHERE r.rn = 1
 """
 
 
+# --- multi-probe IVF ANN -----------------------------------------------------
+
+_IVF_QUERIES = (10, 11, 12, 13, 14)
+_IVF_K_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 probing each query's 2 nearest clusters — the
+    recall dial over ``ann_ivf_topk``'s nprobe=1 (see
+    operators/similarity.ivf_multiprobe_topk)."""
+    from etl_portofolio_spark.operators import similarity
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_multiprobe_topk(
+        emb,
+        query_ids=_IVF_QUERIES,
+        num_centroids=_IVF_K_CENTROIDS,
+        nprobe=_IVF_NPROBE,
+        k=3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _oracle_ivf_multiprobe() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _sql_cosine
+
+    ids = ", ".join(str(i) for i in _IVF_QUERIES)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {_IVF_K_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS cluster_id FROM (
+    SELECT v.vec_id, v.v, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_cosine('v.v', 'c.cv')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS probe_cluster FROM (
+    SELECT v.vec_id, v.v, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_cosine('v.v', 'c.cv')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM v, cents c
+    WHERE v.vec_id IN ({ids})
+  ) WHERE rn <= {_IVF_NPROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_cosine('p.qv', 'a.v')} AS cosine
+  FROM assigned a JOIN probes p
+    ON a.cluster_id = p.probe_cluster AND a.vec_id <> p.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # --- referential integrity report --------------------------------------------
 
 
@@ -1132,4 +1199,5 @@ ROUND4_QUERIES = {
         ORACLE_REF_INTEGRITY,
     ),
     "schema_drift_report": (q_schema_drift_report, ORACLE_SCHEMA_DRIFT),
+    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, _oracle_ivf_multiprobe()),
 }
