@@ -1,0 +1,112 @@
+"""Corpus curation job — the LLM-training-data pipeline composed
+end-to-end as one runnable batch.
+
+Not a reference-parity script (the reference has no corpus surface);
+this is the engine-extension deliverable that strings the pipeline
+operators together the way a pretraining data job runs them:
+
+1. exact dedup with quality-elected survivors (longest raw text wins,
+   ``operators/dedup`` + the ``dedup_keep_best`` election),
+2. quality-funnel gate (``operators/text.quality_funnel_verdict``),
+3. content-addressed train/val/test split (stable under corpus
+   growth — same rule as ``dataset_split_manifest``),
+4. overlapping chunk manifest for the embedding/packing stage
+   (``operators/text.chunk_manifest``),
+5. idempotent partitioned writes: docs by (split, lang), chunks by
+   split (dynamic partition overwrite — reruns replace, never
+   duplicate).
+
+Every stage is a DataFrame composition off ONE scan of the input
+(Catalyst shares nothing across actions, but each output is written
+once; the dedup election and the gate fuse into the same shuffle
+stage). At 100 TB the writes are the cost and each is proportional to
+its output, not the corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.functions.hashing import h32
+from etl_portofolio_spark.operators import text
+from etl_portofolio_spark.operators.dedup import normalized_text
+from etl_portofolio_spark.session import build_session
+from etl_portofolio_spark.sinks.writer import write_partitioned
+
+_SPLIT_SALT = "split:"
+
+
+def curated_docs(docs: DataFrame) -> DataFrame:
+    """Dedup-elect + quality-gate + split-assign in one composition."""
+    hashed = docs.withColumn("content_hash", F.md5(normalized_text("text")))
+    w = Window.partitionBy("content_hash").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    gated = survivors.withColumn(
+        "verdict", text.quality_funnel_verdict(F.col("text"))
+    ).where(F.col("verdict") == "pass")
+    bucket = h32(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))) % 1000
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    )
+    return gated.select(
+        "doc_id", "text", "lang", "source", "content_hash", split.alias("split")
+    )
+
+
+def run(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    chunk_window: int = 64,
+    chunk_stride: int = 48,
+) -> dict[str, int]:
+    """Run the full curation and return per-output row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curated_docs(docs).persist()
+    try:
+        n_docs = curated.count()
+        write_partitioned(
+            curated, f"{target_dir}/docs", ["split", "lang"], target_file_bytes=None
+        )
+        chunks = text.chunk_manifest(
+            curated, "doc_id", "text", window=chunk_window, stride=chunk_stride
+        ).join(curated.select("doc_id", "split"), "doc_id")
+        write_partitioned(
+            chunks, f"{target_dir}/chunks", "split", target_file_bytes=None
+        )
+        n_chunks = spark.read.parquet(f"{target_dir}/chunks").count()
+    finally:
+        curated.unpersist()
+    return {"docs": n_docs, "chunks": n_chunks}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--target-dir", required=True)
+    p.add_argument("--chunk-window", type=int, default=64)
+    p.add_argument("--chunk-stride", type=int, default=48)
+    args = p.parse_args()
+    spark = build_session("curate-corpus")
+    counts = run(
+        spark,
+        args.source_dir,
+        args.target_dir,
+        chunk_window=args.chunk_window,
+        chunk_stride=args.chunk_stride,
+    )
+    print(f"curated: {counts}")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,34 @@ def test_process_daily_job_end_to_end(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     full.unpersist()
+
+
+def test_curate_corpus_job_end_to_end(spark, tmp_path):
+    """Dedup-elect -> quality gate -> split -> chunk, written
+    idempotently; reruns replace partitions, never duplicate."""
+    from etl_portofolio_spark.jobs import curate_corpus
+
+    target = str(tmp_path / "corpus")
+    counts = curate_corpus.run(spark, SF_DIR, target)
+    assert counts["docs"] > 0 and counts["chunks"] >= counts["docs"]
+
+    docs = spark.read.parquet(f"{target}/docs")
+    # dedup: content hashes unique among survivors
+    assert docs.count() == docs.select("content_hash").distinct().count()
+    # split covers all three buckets deterministically
+    assert {r["split"] for r in docs.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    chunks = spark.read.parquet(f"{target}/chunks")
+    # every curated doc chunked, chunk splits consistent with doc splits
+    assert chunks.select("doc_id").distinct().count() == counts["docs"]
+    joined = chunks.select("doc_id", F.col("split").alias("c_split")).join(
+        docs.select("doc_id", "split"), "doc_id"
+    )
+    assert joined.where(F.col("c_split") != F.col("split")).count() == 0
+
+    # idempotent rerun
+    counts2 = curate_corpus.run(spark, SF_DIR, target)
+    assert counts2 == counts
+    assert spark.read.parquet(f"{target}/docs").count() == counts["docs"]
+    assert spark.read.parquet(f"{target}/chunks").count() == counts["chunks"]
