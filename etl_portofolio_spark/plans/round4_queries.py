@@ -1180,6 +1180,54 @@ FROM old, new
 """
 
 
+# --- market-basket co-occurrence ---------------------------------------------
+
+
+def q_brand_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 brand pairs co-purchased in the same order (market-basket
+    co-occurrence).
+
+    The association-mining primitive. The pair fan-out is a self-join
+    on the order key AFTER projecting to distinct (order, brand) — the
+    blow-up is bounded by lines-per-order (TPC-H ≤7, real baskets
+    similar), never corpus-quadratic, and the brand ordering halves
+    the pairs. Shuffle keys: orderkey (natural, uniform), then the
+    pair. Deterministic top-20 via total order (count desc, brand
+    pair asc).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("brand_a").asc(), F.col("brand_b").asc())
+        .limit(20)
+    )
+
+
+ORACLE_COPURCHASE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+LIMIT 20
+"""
+
+
 ROUND4_QUERIES = {
     "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
     "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
@@ -1200,4 +1248,5 @@ ROUND4_QUERIES = {
     ),
     "schema_drift_report": (q_schema_drift_report, ORACLE_SCHEMA_DRIFT),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, _oracle_ivf_multiprobe()),
+    "brand_copurchase_pairs": (q_brand_copurchase_pairs, ORACLE_COPURCHASE),
 }
