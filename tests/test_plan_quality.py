@@ -358,3 +358,15 @@ def test_regression_is_single_combinable_agg(spark):
     assert "SortMergeJoin" not in plan
     n_hash = plan.count("Arguments: hashpartitioning")
     assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}"
+
+
+def test_copurchase_fanout_is_keyed_never_cartesian(spark):
+    """Basket pairs must come from the orderkey equi-join (fan-out
+    bounded by lines-per-order) with the part dim broadcast — an
+    all-pairs brand join would be corpus-quadratic."""
+    from etl_portofolio_spark.plans.round4_queries import q_brand_copurchase_pairs
+
+    spark.catalog.clearCache()
+    plan = _plan(q_brand_copurchase_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
