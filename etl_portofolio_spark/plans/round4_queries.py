@@ -1228,6 +1228,87 @@ LIMIT 20
 """
 
 
+# --- fixed-iteration PageRank over the co-purchase graph ---------------------
+
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def q_brand_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the brand
+    co-purchase graph — the weighted-propagation iterative algorithm
+    beyond connected components' min-label fixpoint.
+
+    Graph: brands are nodes, an undirected edge joins brands
+    co-purchased in ≥1 order (the ``brand_copurchase_pairs`` edge
+    set). Each iteration is one join + one aggregation — contributions
+    shuffle on the destination key; the rank vector is |nodes| rows,
+    re-derived per iteration (at real graph scale the vector would be
+    checkpointed per round like connected_components does). Fixed
+    iteration count keeps it oracle-expressible by CTE unrolling;
+    ranks rounded to 6 (neighbor-sum order-sensitivity).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("dst"))
+    edges = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(1 - _PR_DAMPING) + F.lit(_PR_DAMPING) * F.sum("c")).alias("rank")
+        ).select(F.col("dst").alias("node"), "rank")
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _oracle_pagerank() -> str:
+    it = """
+, r{n} AS (
+  SELECT e.dst AS node,
+         {base} + {d} * sum(r{p}.rank / deg.deg) AS rank
+  FROM edges e
+  JOIN r{p} ON e.src = r{p}.node
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+    iters = "".join(
+        it.format(n=i + 1, p=i, base=1 - _PR_DAMPING, d=_PR_DAMPING)
+        for i in range(_PR_ITERS)
+    )
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), edges AS (
+  SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, 1.0 AS rank FROM deg
+){iters}
+SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}
+"""
+
+
 ROUND4_QUERIES = {
     "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
     "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
@@ -1249,4 +1330,5 @@ ROUND4_QUERIES = {
     "schema_drift_report": (q_schema_drift_report, ORACLE_SCHEMA_DRIFT),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, _oracle_ivf_multiprobe()),
     "brand_copurchase_pairs": (q_brand_copurchase_pairs, ORACLE_COPURCHASE),
+    "brand_graph_pagerank": (q_brand_graph_pagerank, _oracle_pagerank()),
 }

@@ -752,3 +752,33 @@ def test_compact_partition_sort_cols_cluster_files(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in per_file)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans  # overlapping ranges = no skipping
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Broken lines quarantine as data (never kill the read); valid
+    lines project to the declared schema with drift tolerated."""
+    from etl_portofolio_spark.sources.jsonl import read_jsonl_with_quarantine
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+                '{"doc_id": 2, "text": "bonjour", "lang": "fr", "extra": 42}',  # drift: extra field
+                '{"doc_id": 3, "text": "missing lang"}',                        # drift: missing field
+                '{"doc_id": 4, "text": "broken',                                # corrupt: unterminated
+                "not json at all",                                              # corrupt: garbage
+                '{"doc_id": 6, "text": "ok", "lang": "de"}',
+            ]
+        )
+    )
+    good, bad = read_jsonl_with_quarantine(
+        spark, str(p), "doc_id long, text string, lang string"
+    )
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3, 6}
+    assert rows[2]["lang"] == "fr" and "extra" not in good.columns
+    assert rows[3]["lang"] is None
+    quarantined = [r["raw_line"] for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert "not json at all" in quarantined
