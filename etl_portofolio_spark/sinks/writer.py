@@ -25,6 +25,7 @@ size without a pre-write shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference's 128 MiB target
 
@@ -343,3 +344,32 @@ def analyze_table(
     if columns:
         cols = ", ".join(columns)
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout: the write-side half of data skipping.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the cluster
+    key gives every output file a DISJOINT [min, max] envelope for
+    that column, so parquet row-group stats (or the zone-map kept by
+    ``partition_zonemap_stats``) prune point/range predicates to a
+    single file instead of scanning all of them — the clustering a
+    Delta OPTIMIZE ZORDER/Iceberg sort order buys, from plain Spark.
+    Range boundaries come from reservoir sampling the key (one extra
+    pass Spark runs internally); skew in the key shows up as uneven
+    file sizes, not overlap.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.format("parquet")
+        .mode(mode)
+        .save(path)
+    )
+    refresh_path(df.sparkSession, path)

@@ -782,3 +782,27 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     quarantined = [r["raw_line"] for r in bad.collect()]
     assert len(quarantined) == 2
     assert "not json at all" in quarantined
+
+
+def test_range_clustered_write_has_disjoint_file_envelopes(spark, tmp_path):
+    """Every output file must own a disjoint [min,max] range of the
+    cluster key — the property that lets row-group stats prune a point
+    predicate to ONE file."""
+    from etl_portofolio_spark.sinks.writer import write_range_clustered
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    path = str(tmp_path / "clustered")
+    write_range_clustered(ev, path, "event_id", n_files=6)
+
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(stats) > 1
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] < b["lo"], f"overlapping envelopes {a} {b}"
+    # nothing lost in the re-layout
+    assert spark.read.parquet(path).count() == ev.count()
