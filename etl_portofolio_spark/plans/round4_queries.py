@@ -1309,6 +1309,89 @@ SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}
 """
 
 
+# --- multi-touch attribution (integer-exact value split) ---------------------
+
+_ATTR_WINDOW_MIN = 10
+
+
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value split
+    EQUALLY across the user's clicks in the preceding 10 minutes —
+    the fair-share complement of last-touch
+    (``time_bounded_attribution``, same interval-join core).
+
+    The split is integer-exact: each click gets floor(value_c/n)
+    cents and the remainder goes to the FIRST click (earliest ts,
+    event_id tiebreak), so attributed cents sum back to the purchase
+    value exactly — the conservation law a revenue report must obey,
+    and no float shares for engines to disagree on. One interval
+    equi-join + one count window over the purchase key.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        cents("value").alias("value_c"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+        )
+    )
+    touched = clicks.join(purchases, cond)
+    wp = Window.partitionBy("purchase_id")
+    wr = wp.orderBy(F.col("click_ts").asc(), F.col("click_id").asc())
+    n = F.count(F.lit(1)).over(wp)
+    share = F.floor(F.col("value_c") / n)
+    is_first = F.row_number().over(wr) == 1
+    return touched.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        n.cast("long").alias("n_touches"),
+        (
+            share + F.when(is_first, F.col("value_c") - share * n).otherwise(F.lit(0))
+        ).cast("long").alias("attributed_c"),
+    )
+
+
+ORACLE_MULTI_TOUCH = f"""
+WITH touched AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         p.user_id, {_sql_cents('p.value')} AS value_c,
+         c.ts AS click_ts
+  FROM events p JOIN events c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL '{_ATTR_WINDOW_MIN} minutes'
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+), shared AS (
+  SELECT purchase_id, click_id, user_id, value_c,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts ASC, click_id ASC) AS rn
+  FROM touched
+)
+SELECT purchase_id, click_id, user_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(value_c // n_touches
+            + CASE WHEN rn = 1
+                   THEN value_c - (value_c // n_touches) * n_touches
+                   ELSE 0 END AS BIGINT) AS attributed_c
+FROM shared
+"""
+
+
 ROUND4_QUERIES = {
     "market_share_by_year": (q_market_share_by_year, ORACLE_MARKET_SHARE),
     "equi_depth_histogram": (q_equi_depth_histogram, ORACLE_EQUI_DEPTH),
@@ -1331,4 +1414,5 @@ ROUND4_QUERIES = {
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, _oracle_ivf_multiprobe()),
     "brand_copurchase_pairs": (q_brand_copurchase_pairs, ORACLE_COPURCHASE),
     "brand_graph_pagerank": (q_brand_graph_pagerank, _oracle_pagerank()),
+    "multi_touch_attribution": (q_multi_touch_attribution, ORACLE_MULTI_TOUCH),
 }
