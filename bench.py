@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as contract  # noqa: E402
+from etl_portofolio_spark.caching import release_cached  # noqa: E402
 from etl_portofolio_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +108,7 @@ def _cdc_apply_once(spark, workdir: str) -> float:
 
 
 def main() -> None:
+    load_before = os.getloadavg()
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = contract.queries()
@@ -128,6 +130,7 @@ def main() -> None:
             fn = queries.get(name)
             if fn is None:
                 continue
+            release_cached()  # drop scoped persists from the previous query
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
@@ -145,6 +148,10 @@ def main() -> None:
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }
+    spread = {
+        name: [round(min(ts), 3), round(sorted(ts)[len(ts) // 2], 3), round(max(ts), 3)]
+        for name, ts in samples.items()
+    }
 
     print(
         json.dumps(
@@ -154,6 +161,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                # Machine-context evidence: timings on this box swing 2-3x
+                # with background load (SCALE.md). A recorded value is only
+                # comparable round-over-round when loadavg was low and the
+                # per-query spread is tight; readers should prefer `min`
+                # from `spread` when loadavg_before/after disagree.
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "passes": n_passes,
+                "spread": spread,
             }
         )
     )

@@ -15,6 +15,7 @@ is the optimizer and Tungsten the execution engine. There is no custom IR.
 
 from etl_portofolio_spark.session import build_session
 from etl_portofolio_spark.catalog import TABLES, register_tables
+from etl_portofolio_spark.caching import release_cached
 
-__all__ = ["build_session", "register_tables", "TABLES"]
+__all__ = ["build_session", "register_tables", "TABLES", "release_cached"]
 __version__ = "0.1.0"

@@ -209,8 +209,10 @@ def minhash_candidate_pairs(
     # verification sides); persist it so shingles are built once. Spark's
     # cache manager is keyed on the logical plan, so repeated calls over
     # the same input also hit this cache. MEMORY_AND_DISK: spills rather
-    # than recomputes at scale.
-    docs = shingled_docs(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # than recomputes at scale. Caller-released (caching.release_cached).
+    from etl_portofolio_spark.caching import scoped_persist
+
+    docs = scoped_persist(shingled_docs(df, id_col, text_col))
     sig = minhash_signatures_from_shingles(docs, id_col, num_hashes)
     bands = minhash_bands(sig, id_col, num_hashes, rows)
 
@@ -336,9 +338,10 @@ def simhash_near_pairs(
     """
     # Fingerprints are consumed by both sides of the block self-join;
     # persist so the two token-hash aggregations run once.
-    fp = simhash_fingerprints(df, id_col, text_col, bits).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Caller-released (caching.release_cached).
+    from etl_portofolio_spark.caching import scoped_persist
+
+    fp = scoped_persist(simhash_fingerprints(df, id_col, text_col, bits))
     n_blocks = 4
     width = bits // n_blocks
     mask = (1 << width) - 1
@@ -389,12 +392,12 @@ def ngram_jaccard_pairs(
     join fan-out (here: language). The ground-truth comparator for the
     approximate dedup operators above.
     """
-    docs = (
-        shingled_docs(df, id_col, text_col, k, extra_cols=(block_col,))
-        .select(
+    from etl_portofolio_spark.caching import scoped_persist
+
+    docs = scoped_persist(  # both self-join sides; caller-released
+        shingled_docs(df, id_col, text_col, k, extra_cols=(block_col,)).select(
             F.col(id_col), F.col(block_col).alias("block"), F.col("sh_set").alias("sh")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # both self-join sides
     )
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))

@@ -304,8 +304,14 @@ def ivf_topk(
     inverted list (join on cluster_id — one shuffle of the assigned
     corpus, no cross join). Recall rises by probing more clusters;
     the LSH variant is the rotation-free alternative.
+
+    The assignment frame feeds both the query and corpus sides, so it
+    is persisted; the caller releases it after consuming the returned
+    plan via ``caching.release_cached()`` (see ``caching.py``).
     """
-    assigned = ivf_assign(emb, id_col, vec_col, num_centroids).persist()
+    from etl_portofolio_spark.caching import scoped_persist
+
+    assigned = scoped_persist(ivf_assign(emb, id_col, vec_col, num_centroids))
     queries = assigned.where(F.col(id_col).isin(*query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -350,9 +356,12 @@ def ivf_multiprobe_topk(
     (broadcast centroids, map-side), so the only corpus-side work
     remains the equi-join on cluster id. Each corpus vector lives in
     exactly one inverted list, so multi-probe candidates need no
-    dedup.
+    dedup. The assignment persist is caller-released
+    (``caching.release_cached()``).
     """
-    assigned = ivf_assign(emb, id_col, vec_col, num_centroids).persist()
+    from etl_portofolio_spark.caching import scoped_persist
+
+    assigned = scoped_persist(ivf_assign(emb, id_col, vec_col, num_centroids))
     docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
     cents = docs.where(F.col(id_col) < num_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")

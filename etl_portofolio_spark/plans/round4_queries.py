@@ -450,8 +450,7 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection/set sizes; the ratio is the one double (ratio of
     exact ints → bit-identical across engines, rounded for safety).
     """
-    from pyspark import StorageLevel
-
+    from etl_portofolio_spark.caching import scoped_persist
     from etl_portofolio_spark.operators.dedup import (
         minhash_bands,
         minhash_signatures_from_shingles,
@@ -462,10 +461,9 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_raw = load_table(spark, sf_dir, "documents")
     # three plan branches (signatures + both verification sides) read the
     # shingled frame — persist so shingling runs once; the cache manager
-    # keys on the logical plan, so dedup_minhash_pairs shares this cache
-    docs = shingled_docs(docs_raw, "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # keys on the logical plan, so dedup_minhash_pairs shares this cache.
+    # Caller releases via caching.release_cached() (see caching.py).
+    docs = scoped_persist(shingled_docs(docs_raw, "doc_id", "text"))
     sig = minhash_signatures_from_shingles(docs, "doc_id")
     bands = minhash_bands(sig, "doc_id")
     a, b = bands.alias("a"), bands.alias("b")
@@ -572,7 +570,7 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one scalar subtraction. Rounded to 6 (per-doc double sum is
     order-sensitive in the last ulp).
     """
-    from pyspark import StorageLevel
+    from etl_portofolio_spark.caching import scoped_persist
 
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -581,16 +579,14 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_corpus = doc_tok.withColumn(
         "c_corpus", F.sum("c_doc").over(Window.partitionBy("tok"))
     )
-    per_doc = (
-        with_corpus.groupBy("doc_id")
-        .agg(
+    per_doc = scoped_persist(
+        with_corpus.groupBy("doc_id").agg(
             F.sum("c_doc").alias("n_tokens"),
             F.sum(
                 F.col("c_doc").cast("double")
                 * F.log(F.col("c_corpus").cast("double"))
             ).alias("s"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = per_doc.agg(F.sum("n_tokens").alias("n_total"))
     return per_doc.crossJoin(F.broadcast(total)).select(
@@ -784,8 +780,7 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the verified pair convention. Signature + shingle frames
     are persisted once each, read by both join sides.
     """
-    from pyspark import StorageLevel
-
+    from etl_portofolio_spark.caching import scoped_persist
     from etl_portofolio_spark.operators import dedup as D
     from etl_portofolio_spark.operators.dedup import (
         minhash_bands,
@@ -795,12 +790,8 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     docs_raw = load_table(spark, sf_dir, "documents")
-    docs = shingled_docs(docs_raw, "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = minhash_signatures_from_shingles(docs, "doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    docs = scoped_persist(shingled_docs(docs_raw, "doc_id", "text"))
+    sig = scoped_persist(minhash_signatures_from_shingles(docs, "doc_id"))
     bands = minhash_bands(sig, "doc_id")
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
@@ -1256,13 +1247,14 @@ def q_brand_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
+    from etl_portofolio_spark.caching import scoped_persist
+
     a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("src"))
     b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("dst"))
-    edges = (
+    edges = scoped_persist(
         a.join(b, (a["ok"] == b["ok"]) & (F.col("src") != F.col("dst")))
         .select("src", "dst")
         .distinct()
-        .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
