@@ -59,6 +59,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from etl_portofolio_spark.plans.round5_queries import ROUND5_QUERIES
+
+    _ALL.update(ROUND5_QUERIES)
+except ImportError:
+    pass
+
 
 # Registry rotation: the driver's correctness gate checks only the
 # FIRST 50 registry entries each round, so ordering IS evidence
@@ -99,10 +106,9 @@ def _evidence_scores() -> dict[str, tuple[int, int]]:
 # second check in r4; the single-checked pool (63) exceeds the 50-slot
 # window, so they are spliced in right after the zero-green group.
 # Refresh (or empty) this tuple each round from the latest VERDICT.md.
-_JUDGE_RECHECK = (
-    "cdc_snapshot_diff", "dataset_split_manifest", "text_normalize",
-    "embedding_quality_check", "robust_outlier_mad",
-)
+# Round 5: nothing red or grey in the r4 verdict — leave empty so the
+# evidence rotation alone decides ordering (once-green queries lead).
+_JUDGE_RECHECK: tuple[str, ...] = ()
 
 
 def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -7,12 +7,17 @@ operators together the way a pretraining data job runs them:
 
 1. exact dedup with quality-elected survivors (longest raw text wins,
    ``operators/dedup`` + the ``dedup_keep_best`` election),
-2. quality-funnel gate (``operators/text.quality_funnel_verdict``),
-3. content-addressed train/val/test split (stable under corpus
+2. optional near-dup absorption (``--near-dup``): MinHash-LSH pairs →
+   connected components → keep the quality-elected canonical per
+   cluster (the ``dedup_cluster_manifest`` election applied as a
+   filter — exact dedup can't see a doc quoted whole inside a longer
+   one; containment/Jaccard near-dup clustering can),
+3. quality-funnel gate (``operators/text.quality_funnel_verdict``),
+4. content-addressed train/val/test split (stable under corpus
    growth — same rule as ``dataset_split_manifest``),
-4. overlapping chunk manifest for the embedding/packing stage
+5. overlapping chunk manifest for the embedding/packing stage
    (``operators/text.chunk_manifest``),
-5. idempotent partitioned writes: docs by (split, lang), chunks by
+6. idempotent partitioned writes: docs by (split, lang), chunks by
    split (dynamic partition overwrite — reruns replace, never
    duplicate).
 
@@ -30,10 +35,15 @@ import argparse
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_portofolio_spark.caching import release_cached
 from etl_portofolio_spark.catalog import load_table
 from etl_portofolio_spark.functions.hashing import h32
 from etl_portofolio_spark.operators import text
-from etl_portofolio_spark.operators.dedup import normalized_text
+from etl_portofolio_spark.operators.dedup import (
+    connected_components,
+    minhash_candidate_pairs,
+    normalized_text,
+)
 from etl_portofolio_spark.session import build_session
 from etl_portofolio_spark.sinks.writer import write_partitioned
 
@@ -63,16 +73,47 @@ def curated_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def absorb_near_dups(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Keep one quality-elected canonical per near-dup cluster.
+
+    MinHash-LSH candidate pairs (bucketed equi-join, never all-pairs) →
+    connected components (min-label fixpoint, raises if unconverged) →
+    longest-text / lowest-id election inside each component. Docs in no
+    cluster are their own singleton (left join + coalesce), so the
+    output is a filter of the input — columns pass through untouched.
+    """
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", threshold=threshold)
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
+    members = docs.join(cc, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "component")
+    )
+
+
 def run(
     spark: SparkSession,
     sf_dir: str,
     target_dir: str,
     chunk_window: int = 64,
     chunk_stride: int = 48,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.7,
 ) -> dict[str, int]:
     """Run the full curation and return per-output row counts."""
     docs = load_table(spark, sf_dir, "documents")
-    curated = curated_docs(docs).persist()
+    curated = curated_docs(docs)
+    if near_dup:
+        curated = absorb_near_dups(curated, threshold=near_dup_threshold)
+    curated = curated.persist()
     try:
         n_docs = curated.count()
         write_partitioned(
@@ -87,6 +128,7 @@ def run(
         n_chunks = spark.read.parquet(f"{target_dir}/chunks").count()
     finally:
         curated.unpersist()
+        release_cached()  # near-dup stage's scoped shingle persist
     return {"docs": n_docs, "chunks": n_chunks}
 
 
@@ -96,6 +138,12 @@ def main() -> None:
     p.add_argument("--target-dir", required=True)
     p.add_argument("--chunk-window", type=int, default=64)
     p.add_argument("--chunk-stride", type=int, default=48)
+    p.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="absorb MinHash near-dup clusters into their canonical doc",
+    )
+    p.add_argument("--near-dup-threshold", type=float, default=0.7)
     args = p.parse_args()
     spark = build_session("curate-corpus")
     counts = run(
@@ -104,6 +152,8 @@ def main() -> None:
         args.target_dir,
         chunk_window=args.chunk_window,
         chunk_stride=args.chunk_stride,
+        near_dup=args.near_dup,
+        near_dup_threshold=args.near_dup_threshold,
     )
     print(f"curated: {counts}")
 

@@ -68,6 +68,12 @@ def run(
     column = allowed app id) — the reference collected it into a driver
     pandas list (`Ingestion Data (XML).py`), which caps the allowlist
     at driver memory and serializes it into every task closure.
+
+    An EMPTY allowlist (header-only CSV, empty list) applies no filter
+    — matching the reference's falsy-list behavior, where "no entries"
+    means "not configured", not "deny all" (r4 ADVICE: the semi-join
+    alone would silently drop every row). The emptiness probe on the
+    CSV is a bounded single-row action on a dimension-sized input.
     """
     register_xml_api(spark)
     raw = (
@@ -85,6 +91,8 @@ def run(
         allow = allow_raw.select(
             F.col(allow_raw.columns[0]).alias("appId_allow")
         ).distinct()
+        if allow.isEmpty():  # header-only CSV: not configured, no filter
+            allow = None
     elif allowlist:
         allow = spark.createDataFrame([(a,) for a in allowlist], ["appId_allow"])
     if allow is not None:

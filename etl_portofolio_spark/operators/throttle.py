@@ -58,8 +58,19 @@ THROTTLE_SCHEMA = T.StructType(
     ]
 )
 
-#: state row: epoch-seconds of the key's last RAW (kept or dropped) event
-_STATE_SCHEMA = T.StructType([T.StructField("prev_s", T.LongType())])
+#: state row: epoch-seconds of the key's last RAW (kept or dropped)
+#: event, the max event time ever seen, and how many arrivals came in
+#: BEHIND that max (out-of-order across micro-batches). prev_s drives
+#: the throttle decision; max_s/ooo_count exist so silent divergence
+#: from the batch twin is observable (read them back with the state
+#: data source: spark.read.format("statestore").load(checkpoint)).
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_s", T.LongType()),
+        T.StructField("max_s", T.LongType()),
+        T.StructField("ooo_count", T.LongType()),
+    ]
+)
 
 
 def throttle_stream(
@@ -77,6 +88,15 @@ def throttle_stream(
     do). Given per-key in-order delivery across micro-batches (the
     standard file-stream/watermark contract), stream output == batch
     output row-for-row.
+
+    A LATE arrival (event time behind the key's max seen — possible
+    when upstream files interleave) silently diverges from the batch
+    twin, which would have sorted it into place. That divergence is a
+    documented tradeoff, but it is made OBSERVABLE (r4 ADVICE): state
+    tracks the max event time and counts arrivals behind it, and the
+    checkpoint can be audited after any run via the state data
+    source — ``spark.read.format("statestore").load(ckpt)`` — so an
+    operator alarms on ``ooo_count > 0`` instead of trusting blindly.
     """
     import pandas as pd
 
@@ -92,16 +112,19 @@ def throttle_stream(
         ts_s = (
             rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
         ).tolist()
-        prev = state.get[0] if state.exists else None
+        prev, max_s, ooo = (state.get if state.exists else (None, None, 0))
         keep_idx: list[int] = []
         gaps: list[int | None] = []
         for i, t in enumerate(ts_s):
+            if max_s is not None and t < max_s:
+                ooo += 1  # late arrival: decision may diverge from batch
             gap = None if prev is None else t - prev
             if gap is None or gap > min_gap_seconds:
                 keep_idx.append(i)
                 gaps.append(gap)
             prev = t
-        state.update((prev,))
+            max_s = t if max_s is None else max(max_s, t)
+        state.update((prev, max_s, ooo))
         if keep_idx:
             kept = rows.iloc[keep_idx]
             yield pd.DataFrame(

@@ -305,11 +305,13 @@ def q_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return agg.select(
-        "p_brand",
-        "n",
-        F.round(num.cast("double") / den.cast("double"), 6).alias("slope_c_per_unit"),
-    )
+    # den == 0 ⇔ zero quantity variance in the group: the slope is
+    # undefined. Guard explicitly — Spark's non-ANSI divide returns
+    # NULL on a zero divisor while DuckDB's IEEE division returns
+    # inf/nan, so without the guard the engines would diverge (r4
+    # ADVICE); with it both emit NULL.
+    slope = F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
+    return agg.select("p_brand", "n", slope.alias("slope_c_per_unit"))
 
 
 ORACLE_PRICE_REGRESSION = f"""
@@ -325,8 +327,10 @@ WITH d AS (
   FROM d GROUP BY p_brand
 )
 SELECT p_brand, n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_c_per_unit
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope_c_per_unit
 FROM s
 """
 
@@ -1106,6 +1110,14 @@ def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count distinct + min/max fold map-side); the report joins two
     single-row frames, so the comparison itself is free. Widening to
     more columns widens the agg buffer, not the pass count.
+
+    The fixture has no physically-null columns, so the null-count
+    signal uses sentinel-as-null normalization: ``o_orderpriority =
+    '4-NOT SPECIFIED'`` is TPC-H's missing-value marker, and
+    ``NULLIF(priority, sentinel)`` is how a silver-layer view would
+    expose it — its null count genuinely moves between snapshots
+    (r4 verdict nit: the previous o_orderstatus count was trivially
+    zero).
     """
     apply_runtime_confs(spark)
     base = load_table(spark, sf_dir, "orders")
@@ -1113,9 +1125,16 @@ def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(df, tag):
         return df.agg(
             F.count(F.lit(1)).alias(f"{tag}_rows"),
-            F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.nullif(
+                        F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")
+                    ).isNull(),
+                    1,
+                ).otherwise(0)
+            )
             .cast("long")
-            .alias(f"{tag}_null_status"),
+            .alias(f"{tag}_null_priority"),
             F.countDistinct("o_custkey").alias(f"{tag}_custkeys"),
             F.min(cents("o_totalprice")).alias(f"{tag}_min_price_c"),
             F.max(cents("o_totalprice")).alias(f"{tag}_max_price_c"),
@@ -1133,8 +1152,8 @@ def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_rows",
         "new_rows",
         (F.col("new_rows") - F.col("old_rows")).alias("row_delta"),
-        "old_null_status",
-        "new_null_status",
+        "old_null_priority",
+        "new_null_priority",
         "old_custkeys",
         "new_custkeys",
         "old_min_price_c",
@@ -1147,23 +1166,23 @@ def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SCHEMA_DRIFT = f"""
 WITH old AS (
   SELECT count(*) AS old_rows,
-         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS old_null_status,
+         CAST(sum(CASE WHEN nullif(o_orderpriority, '4-NOT SPECIFIED') IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS old_null_priority,
          count(DISTINCT o_custkey) AS old_custkeys,
          min({_sql_cents('o_totalprice')}) AS old_min_price_c,
          max({_sql_cents('o_totalprice')}) AS old_max_price_c
   FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_CUT_OLD}'
 ), new AS (
   SELECT count(*) AS new_rows,
-         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS new_null_status,
+         CAST(sum(CASE WHEN nullif(o_orderpriority, '4-NOT SPECIFIED') IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS new_null_priority,
          count(DISTINCT o_custkey) AS new_custkeys,
          min({_sql_cents('o_totalprice')}) AS new_min_price_c,
          max({_sql_cents('o_totalprice')}) AS new_max_price_c
   FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_CUT_NEW}'
 )
 SELECT old_rows, new_rows, new_rows - old_rows AS row_delta,
-       old_null_status, new_null_status,
+       old_null_priority, new_null_priority,
        old_custkeys, new_custkeys,
        old_min_price_c, new_min_price_c,
        old_max_price_c, new_max_price_c
@@ -1232,13 +1251,15 @@ def q_brand_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Graph: brands are nodes, an undirected edge joins brands
     co-purchased in ≥1 order (the ``brand_copurchase_pairs`` edge
-    set). Each iteration is one join + one aggregation — contributions
-    shuffle on the destination key; the rank vector is |nodes| rows,
-    re-derived per iteration (at real graph scale the vector would be
-    checkpointed per round like connected_components does). Fixed
-    iteration count keeps it oracle-expressible by CTE unrolling;
-    ranks rounded to 6 (neighbor-sum order-sensitivity).
+    set). Delegates to ``operators.graph.pagerank`` with
+    ``checkpoint_every=0``: the fully-lazy unrolled plan stays
+    oracle-expressible by CTE unrolling (each iteration one join +
+    one dst-key aggregation). At real iteration counts callers use
+    the operator's per-round ``localCheckpoint`` mode instead. Ranks
+    rounded to 6 (neighbor-sum order-sensitivity).
     """
+    from etl_portofolio_spark.operators.graph import pagerank
+
     apply_runtime_confs(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -1247,26 +1268,16 @@ def q_brand_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    from etl_portofolio_spark.caching import scoped_persist
-
     a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("src"))
     b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("dst"))
-    edges = scoped_persist(
+    edges = (
         a.join(b, (a["ok"] == b["ok"]) & (F.col("src") != F.col("dst")))
         .select("src", "dst")
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-        )
-        ranks = contrib.groupBy("dst").agg(
-            (F.lit(1 - _PR_DAMPING) + F.lit(_PR_DAMPING) * F.sum("c")).alias("rank")
-        ).select(F.col("dst").alias("node"), "rank")
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, checkpoint_every=0
+    )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

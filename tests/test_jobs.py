@@ -176,3 +176,65 @@ def test_curate_corpus_job_end_to_end(spark, tmp_path):
     assert counts2 == counts
     assert spark.read.parquet(f"{target}/docs").count() == counts["docs"]
     assert spark.read.parquet(f"{target}/chunks").count() == counts["chunks"]
+
+
+def test_curate_corpus_near_dup_absorbs_subset_duplicate(spark, tmp_path):
+    """A doc quoted whole inside a longer twin is invisible to exact
+    dedup but must be absorbed by the --near-dup stage, with rerun
+    idempotency intact."""
+    from etl_portofolio_spark.jobs import curate_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # seed = the longest gate-surviving doc, so its tail-extended twin
+    # is the longest doc in the corpus and wins any cluster election
+    seed = (
+        curate_corpus.curated_docs(docs)
+        .orderBy(F.length("text").desc(), F.col("doc_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    twin = (
+        docs.where(F.col("doc_id") == seed["doc_id"])
+        .withColumn("doc_id", F.lit(max_id + 1).cast("long"))
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" and then the quick brown fox ran on.")),
+        )
+        .withColumn("n_chars", F.length("text").cast(dict(docs.dtypes)["n_chars"]))
+    )
+    src = str(tmp_path / "src")
+    docs.unionByName(twin).write.mode("overwrite").parquet(
+        f"{src}/documents.parquet"
+    )
+
+    plain = curate_corpus.run(spark, src, str(tmp_path / "plain"))
+    nd_target = str(tmp_path / "nd")
+    nd = curate_corpus.run(spark, src, nd_target, near_dup=True)
+    assert nd["docs"] < plain["docs"]  # at least the seed was absorbed
+
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{nd_target}/docs").collect()}
+    assert max_id + 1 in ids, "twin (longest) should be its cluster's canonical"
+    assert seed["doc_id"] not in ids, "subset-duplicated seed should be absorbed"
+
+    nd2 = curate_corpus.run(spark, src, nd_target, near_dup=True)
+    assert nd2 == nd
+    assert spark.read.parquet(f"{nd_target}/docs").count() == nd["docs"]
+
+
+def test_ingest_xml_empty_allowlist_csv_applies_no_filter(spark, tmp_path):
+    """A header-only allowlist CSV means 'not configured', not 'deny
+    all' — the reference's falsy-list behavior (r4 ADVICE)."""
+    csv = tmp_path / "allow_empty.csv"
+    csv.write_text("appid\n")
+    target = str(tmp_path / "xml_tbl_empty_allow")
+    n = ingest_xml.run(
+        spark,
+        datetime(2024, 1, 1, 0, 0),
+        datetime(2024, 1, 1, 0, 10),
+        target,
+        allowlist_csv=str(csv),
+        fetcher="tests.test_jobs:fake_api",
+    )
+    # all 5 apps per window survive — nothing filtered, nothing dropped
+    assert n == spark.read.parquet(target).count() == 2 * 5

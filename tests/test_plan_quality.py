@@ -370,3 +370,26 @@ def test_copurchase_fanout_is_keyed_never_cartesian(spark):
     plan = _plan(q_brand_copurchase_pairs(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equi_depth_scalable_no_global_sort_and_byte_identical(spark):
+    """The scale-safe exact equi-depth must feed NO Sort/Window from a
+    SinglePartition exchange — the global-ntile twin's one-task
+    ceiling. (Scalar min/max/total aggs still funnel their 32 PARTIAL
+    rows through SinglePartition; that is metadata-scale and fine —
+    the assertion targets data-scale sorts only.) Results must be
+    byte-identical to the ntile plan."""
+    import re
+
+    from etl_portofolio_spark.plans.round4_queries import q_equi_depth_histogram
+    from etl_portofolio_spark.plans.round5_queries import q_equi_depth_exact_scalable
+
+    global_sort = re.compile(r"Arguments: SinglePartition[^(]*\(\d+\) (Sort|Window)", re.S)
+    spark.catalog.clearCache()
+    df = q_equi_depth_exact_scalable(spark, SF_DIR)
+    assert not global_sort.search(_plan(df))
+    # the ntile twin IS the one-task shape (sanity: the regex detects it)
+    assert global_sort.search(_plan(q_equi_depth_histogram(spark, SF_DIR)))
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in q_equi_depth_histogram(spark, SF_DIR).collect())
+    assert got == want

@@ -115,3 +115,56 @@ def test_throttle_stream_matches_batch(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_throttle_stream_flags_out_of_order_arrivals(spark, tmp_path):
+    """A late arrival (event time behind the key's max) silently
+    diverges from the batch twin — the state must make it observable:
+    max_s tracked, ooo_count incremented, both readable back from the
+    checkpoint via the state data source."""
+    from etl_portofolio_spark.operators.throttle import throttle_stream
+
+    rows_f0 = [(1, 7, "click", "2024-01-01 10:00:00"),
+               (2, 7, "click", "2024-01-01 10:20:00")]
+    rows_f1 = [(3, 7, "click", "2024-01-01 10:10:00"),  # LATE: behind 10:20
+               (4, 7, "click", "2024-01-01 10:40:00")]
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i, rows in enumerate((rows_f0, rows_f1)):
+        spark.createDataFrame(
+            [(a, b, c, __import__("datetime").datetime.fromisoformat(d))
+             for a, b, c, d in rows],
+            schema,
+        ).coalesce(1).write.parquet(str(src_dir / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        throttle_stream(stream, min_gap_seconds=300)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    state = spark.read.format("statestore").load(ckpt)
+    st = state.select(
+        "value.groupState.prev_s",
+        "value.groupState.max_s",
+        "value.groupState.ooo_count",
+    ).collect()
+    assert len(st) == 1
+    row = st[0]
+    # max seen is 10:40 even though the last-raw path went through 10:10
+    assert row["max_s"] == int(
+        __import__("datetime").datetime.fromisoformat("2024-01-01 10:40:00")
+        .timestamp()
+    )
+    assert row["ooo_count"] == 1, "the 10:10 late arrival must be counted"

@@ -129,3 +129,47 @@ def test_quality_funnel_first_failure_attribution(spark):
     assert (s1["n_docs"], s1["r_too_short"], s1["r_punct_heavy"]) == (3, 1, 1)
     assert s1["r_low_stopword"] == 1 and s1["n_survivors"] == 0
     assert (s2["n_docs"], s2["r_repetitive"], s2["n_survivors"]) == (2, 1, 1)
+
+
+def test_pagerank_checkpointed_matches_lazy_and_bounds_plan(spark):
+    """The parameterized operator at 11 iterations with per-2-round
+    localCheckpoint must (a) keep plan depth bounded — the lineage
+    truncation discipline — and (b) agree with the fully-lazy unrolled
+    plan to rounding, and (c) conserve rank mass (sum == |nodes| for a
+    symmetric edge set under the 1-d + d*sum recurrence's fixpoint
+    normalization)."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.operators.graph import pagerank
+
+    # symmetric: triangle {1,2,3} + pair {4,5}, every node in+out
+    raw = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (4, 5), (5, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+
+    ckpt = pagerank(edges, iterations=11, checkpoint_every=2)
+    lazy = pagerank(edges, iterations=11, checkpoint_every=0)
+
+    # bounded plan: at most the post-checkpoint tail (1 iteration => 2
+    # joins) appears in the optimized plan; the lazy twin carries all 11.
+    ckpt_plan = ckpt._jdf.queryExecution().optimizedPlan().toString()
+    lazy_plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert ckpt_plan.count("Join") <= 2
+    assert lazy_plan.count("Join") >= 20
+
+    got = {r["node"]: round(r["rank"], 6) for r in ckpt.collect()}
+    want = {r["node"]: round(r["rank"], 6) for r in lazy.collect()}
+    assert got == want
+    assert abs(sum(got.values()) - 5.0) < 1e-6
+    release_cached()
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    """Star graph: the hub must outrank the spokes."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.operators.graph import pagerank
+
+    spokes = [2, 3, 4, 5]
+    raw = [(1, s) for s in spokes] + [(s, 1) for s in spokes]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert ranks[1] > max(ranks[s] for s in spokes)
+    release_cached()
