@@ -110,7 +110,367 @@ def q_equi_depth_exact_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-doc KL divergence from the corpus unigram distribution --------------
+
+
+def q_kl_divergence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc KL divergence KL(doc ‖ corpus) over unigram
+    distributions — the domain-shift / novelty signal next to
+    ``unigram_logprob_score``'s fluency signal (a doc can be fluent
+    but off-distribution; KL catches it; both run off the same
+    token-count pipeline).
+
+    Identity used on both engines so the expression trees match:
+    KL = S/n − ln n + ln N, with S = Σ c_doc·(ln c_doc − ln c_corpus)
+    over the doc's tokens. Corpus counts attach as a WINDOW SUM over
+    the token key (no vocabulary join — a corpus vocab doesn't
+    broadcast at 100 TB); the corpus-total term N is hoisted off the
+    persisted |docs|-row frame to one scalar. Rounded to 6 (per-doc
+    double sum is order-sensitive in the last ulp).
+    """
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.operators import text
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
+    with_corpus = doc_tok.withColumn(
+        "c_corpus", F.sum("c_doc").over(Window.partitionBy("tok"))
+    )
+    per_doc = scoped_persist(
+        with_corpus.groupBy("doc_id").agg(
+            F.sum("c_doc").alias("n_tokens"),
+            F.sum(
+                F.col("c_doc").cast("double")
+                * (
+                    F.log(F.col("c_doc").cast("double"))
+                    - F.log(F.col("c_corpus").cast("double"))
+                )
+            ).alias("s"),
+        )
+    )
+    total = per_doc.agg(F.sum("n_tokens").alias("n_total"))
+    n_d = F.col("n_tokens").cast("double")
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s") / n_d
+            - F.log(n_d)
+            + F.log(F.col("n_total").cast("double")),
+            6,
+        ).alias("kl_nats"),
+    )
+
+
+def _oracle_kl() -> str:
+    from etl_portofolio_spark.plans.round4_queries import _SQL_TOKENS
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS tok FROM documents
+), doc_tok AS (
+  SELECT doc_id, tok, count(*) AS c_doc FROM tok GROUP BY doc_id, tok
+), with_corpus AS (
+  SELECT doc_id, c_doc,
+         CAST(sum(c_doc) OVER (PARTITION BY tok) AS BIGINT) AS c_corpus
+  FROM doc_tok
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c_doc) AS BIGINT) AS n_tokens,
+         sum(CAST(c_doc AS DOUBLE)
+             * (ln(CAST(c_doc AS DOUBLE)) - ln(CAST(c_corpus AS DOUBLE)))) AS s
+  FROM with_corpus GROUP BY doc_id
+), total AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per_doc
+)
+SELECT doc_id, n_tokens,
+       round(s / CAST(n_tokens AS DOUBLE)
+             - ln(CAST(n_tokens AS DOUBLE))
+             + ln(CAST(total.n_total AS DOUBLE)), 6) AS kl_nats
+FROM per_doc, total
+"""
+
+
+# --- int8 scalar quantization of embeddings ----------------------------------
+
+_QUANT_ERR_GATE = 0.001
+
+
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction-error
+    audit — the compression eval that decides whether an ANN index can
+    store 4× more vectors per byte.
+
+    Per-VECTOR scale (code = round((x−lo)·255/span), recon =
+    lo + code·span/255): the whole computation is element-wise over
+    the embedding array — a map-only plan with NO explode, NO join,
+    NO shuffle; at 100 TB it streams. Integer outputs where possible
+    (code checksum, count of dims with |err| > 1e-3); the one double
+    (max abs error) is an order-free max of identical expression
+    trees, rounded to 6. Zero-span vectors quantize to code 0 with
+    zero error (guarded identically on both engines).
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("lo"),
+        (F.array_max("v") - F.array_min("v")).alias("span"),
+    )
+    lo, span = F.col("lo"), F.col("span")
+    code = lambda x: F.when(  # noqa: E731
+        span != 0, F.round((x - lo) * F.lit(255.0) / span, 0)
+    ).otherwise(F.lit(0.0))
+    err = lambda x: F.abs(  # noqa: E731
+        x - (lo + code(x) * span / F.lit(255.0))
+    )
+    codes = F.transform("v", lambda x: code(x).cast("long"))
+    errs = F.transform("v", err)
+    return base.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        F.size(F.filter(errs, lambda e: e > F.lit(_QUANT_ERR_GATE))).alias(
+            "n_coarse_dims"
+        ),
+    )
+
+
+ORACLE_INT8_QUANTIZE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_min(CAST(embedding AS DOUBLE[])) AS lo,
+         list_max(CAST(embedding AS DOUBLE[]))
+           - list_min(CAST(embedding AS DOUBLE[])) AS span
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, v, lo, span,
+         list_transform(v, x -> CASE WHEN span <> 0
+             THEN round((x - lo) * 255.0 / span, 0) ELSE 0.0 END) AS codes,
+         list_transform(v, x -> abs(x - (lo
+             + (CASE WHEN span <> 0
+                THEN round((x - lo) * 255.0 / span, 0) ELSE 0.0 END)
+               * span / 255.0))) AS errs
+  FROM base
+)
+SELECT vec_id,
+       len(v) AS n_dims,
+       CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT))) AS BIGINT)
+         AS code_sum,
+       round(list_max(errs), 6) AS max_abs_err,
+       len(list_filter(errs, e -> e > {_QUANT_ERR_GATE})) AS n_coarse_dims
+FROM coded
+"""
+
+
+# --- simhash sketch-accuracy eval --------------------------------------------
+
+_SIMHASH_EVAL_HAMMING = 12
+
+
+def q_simhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy eval completing the triad (``ann_lsh_recall``,
+    ``minhash_jaccard_estimate``): per block-LSH candidate pair, the
+    simhash HAMMING distance next to exact shingle Jaccard — the
+    calibration curve that justifies a hamming threshold at scale,
+    where exact verification of every pair is unaffordable.
+
+    Candidates come from the same 4×15-bit block equi-join as
+    production (never all pairs), at a LOOSE hamming bound so the
+    curve has spread; exact Jaccard runs on candidates only, reusing
+    the persisted shingle frame (caller-released).
+    """
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.operators import dedup as D
+
+    apply_runtime_confs(spark)
+    docs_raw = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(
+        docs_raw, "doc_id", "text", max_hamming=_SIMHASH_EVAL_HAMMING
+    )
+    sh = scoped_persist(D.shingled_docs(docs_raw, "doc_id", "text"))
+    da = sh.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    db = sh.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def _oracle_simhash_eval() -> str:
+    from etl_portofolio_spark.operators import dedup as D
+    from etl_portofolio_spark.plans.pipeline_queries import (
+        _SQL_SHINGLES,
+        _sql_simhash_fingerprint,
+    )
+    from etl_portofolio_spark.plans.round4_queries import _SQL_TOKENS
+
+    w = D.SIMHASH_BITS // 4
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS block_id,"
+        f" (simhash >> {i * w}) & {(1 << w) - 1} AS block_val FROM fp"
+        for i in range(4)
+    )
+    return f"""
+WITH fp AS ({_sql_simhash_fingerprint()}),
+blocks AS (
+  {blocks}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM blocks a JOIN blocks b
+    ON a.block_id = b.block_id AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_EVAL_HAMMING}
+), tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+)
+SELECT c.id_a, c.id_b, c.hamming,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+             6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.id_a
+JOIN sh b ON b.doc_id = c.id_b
+"""
+
+
+# --- as-of join with a staleness tolerance -----------------------------------
+
+_ASOF_TOLERANCE_S = 3600
+
+
+def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a staleness bound: the last click at or
+    before each signup counts only if it happened within the last
+    hour — otherwise the match is NULLed (stale attribution is worse
+    than none; every ad-attribution and sensor-alignment pipeline has
+    this knob).
+
+    Same single-shuffle union + last(ignoreNulls) window as
+    ``asof_last_click_before_signup`` — no range-join explosion; the
+    tolerance is a post-window predicate, so the plan cost is
+    identical to the unbounded variant. Gap in whole seconds (both
+    engines floor the epoch before differencing).
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "signup"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("last_click_ts"))
+    fresh = gap <= _ASOF_TOLERANCE_S
+    return (
+        both.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "signup")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+            F.when(fresh, F.col("last_click_ts")).alias("click_ts"),
+            F.when(fresh, gap).alias("gap_s"),
+        )
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events WHERE event_type IN ('click', 'signup')
+), gapped AS (
+  SELECT event_id, user_id, ts AS signup_ts, last_click_ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS gap_s
+  FROM ev WHERE event_type = 'signup'
+)
+SELECT event_id, user_id, signup_ts,
+       CASE WHEN gap_s <= {_ASOF_TOLERANCE_S} THEN last_click_ts END AS click_ts,
+       CASE WHEN gap_s <= {_ASOF_TOLERANCE_S} THEN gap_s END AS gap_s
+FROM gapped
+"""
+
+
+# --- shuffle-skew diagnostics: heavy-hitter keys -----------------------------
+
+_N_HEAVY_HITTERS = 20
+
+
+def q_heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 join keys by row count with their share of the table —
+    the DETECTION side of skew handling (``skew_salted_agg`` is the
+    mitigation): run this before a big join to decide whether a key
+    needs salting or an AQE skew-join threshold tweak.
+
+    One map-side-combinable count per key, then a TakeOrdered top-k
+    (never a full global sort) and a broadcast scalar for the share.
+    Deterministic under count ties via the key tiebreak.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    top = cnt.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc()).limit(
+        _N_HEAVY_HITTERS
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH cnt AS (
+  SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY l_partkey
+), total AS (
+  SELECT count(*) AS n_total FROM lineitem
+), top AS (
+  SELECT l_partkey, n_rows FROM cnt
+  ORDER BY n_rows DESC, l_partkey ASC LIMIT {_N_HEAVY_HITTERS}
+)
+SELECT l_partkey, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(total.n_total AS DOUBLE), 6) AS share
+FROM top, total
+"""
+
+
 #: dict the registry splices in: name -> (query fn, oracle sql or None)
 ROUND5_QUERIES: dict = {
     "equi_depth_exact_scalable": (q_equi_depth_exact_scalable, ORACLE_EQUI_DEPTH),
+    "kl_divergence_score": (q_kl_divergence_score, _oracle_kl()),
+    "embedding_int8_quantize": (q_embedding_int8_quantize, ORACLE_INT8_QUANTIZE),
+    "simhash_accuracy_eval": (q_simhash_accuracy_eval, _oracle_simhash_eval()),
+    "asof_tolerance_join": (q_asof_tolerance_join, ORACLE_ASOF_TOLERANCE),
+    "heavy_hitter_keys": (q_heavy_hitter_keys, ORACLE_HEAVY_HITTERS),
 }
