@@ -60,6 +60,9 @@ HEADLINE = (
     "text_token_entropy",
     "unigram_logprob_score",
     "dedup_containment_pairs",
+    "kl_divergence_score",
+    "embedding_int8_quantize",
+    "equi_depth_exact_scalable",
 )
 
 

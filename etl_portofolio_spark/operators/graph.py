@@ -24,6 +24,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 1,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over an edge list; returns ``(node, rank)``.
 
@@ -33,6 +34,11 @@ def pagerank(
     symmetric edge sets our dedup/co-purchase graphs produce: every
     node appears as both ``src`` and ``dst``, so out-degrees are
     defined everywhere and no rank mass dangles.
+
+    ``weight`` names an edge-weight column: contributions split
+    proportionally to weight instead of uniformly (rank·w/Σw over the
+    source's out-edges). Unweighted is the weight≡1 special case —
+    same plan, the degree becomes a weight sum.
 
     ``checkpoint_every=k`` eagerly ``localCheckpoint``s the rank vector
     every k rounds, truncating lineage so plan depth stays bounded at
@@ -47,14 +53,22 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("pagerank needs at least one iteration")
-    edges = scoped_persist(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    deg = scoped_persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    w = F.col(weight) if weight else F.lit(1)
+    edges = scoped_persist(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        )
+    )
+    deg = scoped_persist(edges.groupBy("src").agg(F.sum("w").alias("deg")))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for i in range(iterations):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                "dst",
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
         )
         ranks = (
             contrib.groupBy("dst")

@@ -465,6 +465,239 @@ FROM top, total
 """
 
 
+# --- contamination observability report --------------------------------------
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc eval-overlap counts — the observability twin of
+    ``decontaminate_ngram`` (which silently DROPS contaminated docs;
+    before signing off a training set you want to see HOW contaminated
+    each dropped doc was and whether the 13-gram threshold is doing
+    anything).
+
+    Same gram pipeline as the filter: one shingling pass, gram stream
+    split by the eval predicate, eval grams broadcast; the report is
+    two aggregations over the train grams (total distinct grams,
+    matched grams) inner-joined so only contaminated docs surface.
+    Integer counts; the ratio is the one rounded double.
+    """
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.operators.dedup import shingled_docs
+    from etl_portofolio_spark.plans.pipeline_queries import _DECON_K, _EVAL_MOD
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.withColumn("__is_eval", F.col("doc_id") % _EVAL_MOD == 0)
+    grams = scoped_persist(
+        shingled_docs(flagged, "doc_id", "text", _DECON_K, extra_cols=("__is_eval",))
+        .select("doc_id", "__is_eval", F.explode("sh_set").alias("gram"))
+        .select("doc_id", "__is_eval", F.md5("gram").alias("gram_hash"))
+    )
+    eval_grams = grams.where(F.col("__is_eval")).select("gram_hash").distinct()
+    train = grams.where(~F.col("__is_eval"))
+    per_doc = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    matched = (
+        train.join(F.broadcast(eval_grams), "gram_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return per_doc.join(matched, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("overlap_ratio"),
+    )
+
+
+def _oracle_contamination_report() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import (
+        _DECON_K,
+        _EVAL_MOD,
+        _sql_shingles_k,
+    )
+    from etl_portofolio_spark.plans.round4_queries import _SQL_TOKENS
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_shingles_k('t', _DECON_K)} AS s FROM tok
+), eval_grams AS (
+  SELECT DISTINCT md5(g) AS gram_hash
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % {_EVAL_MOD} = 0)
+), train_grams AS (
+  SELECT doc_id, md5(g) AS gram_hash
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % {_EVAL_MOD} <> 0)
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams FROM train_grams GROUP BY doc_id
+), matched AS (
+  SELECT doc_id, count(*) AS n_matched FROM train_grams
+  WHERE gram_hash IN (SELECT gram_hash FROM eval_grams)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams, m.n_matched,
+       round(CAST(m.n_matched AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6)
+         AS overlap_ratio
+FROM per_doc p JOIN matched m ON p.doc_id = m.doc_id
+"""
+
+
+# --- weighted PageRank over the co-purchase graph ----------------------------
+
+_WPR_ITERS = 3
+_WPR_DAMPING = 0.85
+
+
+def q_brand_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: co-purchase COUNTS as edge weights, so a
+    brand pair bought together in 50 orders pulls 50× the rank mass of
+    a one-off — the influence ranking a recommender actually wants
+    (the unweighted twin treats both the same).
+
+    Same ``operators.graph.pagerank`` loop (join + dst-key aggregate
+    per round, lazy unrolled for the CTE oracle); the only change is
+    the contribution split rank·w/Σw. Weights are exact longs; ranks
+    rounded to 6.
+    """
+    from etl_portofolio_spark.operators.graph import pagerank
+
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("dst"))
+    edges = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(
+        edges,
+        iterations=_WPR_ITERS,
+        damping=_WPR_DAMPING,
+        checkpoint_every=0,
+        weight="w",
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _oracle_pagerank_weighted() -> str:
+    it = """
+, r{n} AS (
+  SELECT e.dst AS node,
+         {base} + {d} * sum(r{p}.rank * e.w / deg.deg) AS rank
+  FROM edges e
+  JOIN r{p} ON e.src = r{p}.node
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+    iters = "".join(
+        it.format(n=i + 1, p=i, base=1 - _WPR_DAMPING, d=_WPR_DAMPING)
+        for i in range(_WPR_ITERS)
+    )
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), edges AS (
+  SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS w
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+), deg AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, 1.0 AS rank FROM deg
+){iters}
+SELECT node, round(rank, 6) AS rank FROM r{_WPR_ITERS}
+"""
+
+
+# --- tokenizer efficiency audit ----------------------------------------------
+
+
+def q_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer stats: whitespace vs BPE-ish token
+    counts and chars/token — the audit that prices a corpus in tokens
+    before training (token budgets, packing, and cost estimates all
+    key off it, and a language whose bpe/ws ratio is an outlier is a
+    tokenizer-fit red flag).
+
+    Pure per-row regexp counting folded into ONE combinable per-lang
+    aggregation — no explode (counts come from ``regexp_extract_all``
+    lengths, not materialized token rows), no second pass. Exact
+    integer sums; ratios are rounded doubles of the same sums.
+    """
+    from etl_portofolio_spark.operators import text
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").alias("chars"),
+        text.token_count_ws("text").cast("long").alias("ws"),
+        text.token_count_bpe("text").cast("long").alias("bpe"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("sum_chars"),
+        F.sum("ws").alias("sum_ws_tokens"),
+        F.sum("bpe").alias("sum_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_ws_tokens",
+        "sum_bpe_tokens",
+        F.round(
+            F.col("sum_bpe_tokens").cast("double")
+            / F.col("sum_ws_tokens").cast("double"),
+            6,
+        ).alias("bpe_per_ws"),
+        F.round(
+            F.col("sum_chars").cast("double")
+            / F.col("sum_bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_bpe"),
+    )
+
+
+def _oracle_tokenizer_efficiency() -> str:
+    from etl_portofolio_spark.operators.text import BPE_TOKEN_PATTERN
+    from etl_portofolio_spark.plans.round4_queries import _SQL_TOKENS
+
+    return f"""
+WITH per AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+           AS bpe
+  FROM documents
+), agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS sum_chars,
+         CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+         CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, sum_chars, sum_ws_tokens, sum_bpe_tokens,
+       round(CAST(sum_bpe_tokens AS DOUBLE) / CAST(sum_ws_tokens AS DOUBLE), 6)
+         AS bpe_per_ws,
+       round(CAST(sum_chars AS DOUBLE) / CAST(sum_bpe_tokens AS DOUBLE), 6)
+         AS chars_per_bpe
+FROM agg
+"""
+
+
 #: dict the registry splices in: name -> (query fn, oracle sql or None)
 ROUND5_QUERIES: dict = {
     "equi_depth_exact_scalable": (q_equi_depth_exact_scalable, ORACLE_EQUI_DEPTH),
@@ -473,4 +706,10 @@ ROUND5_QUERIES: dict = {
     "simhash_accuracy_eval": (q_simhash_accuracy_eval, _oracle_simhash_eval()),
     "asof_tolerance_join": (q_asof_tolerance_join, ORACLE_ASOF_TOLERANCE),
     "heavy_hitter_keys": (q_heavy_hitter_keys, ORACLE_HEAVY_HITTERS),
+    "contamination_report": (q_contamination_report, _oracle_contamination_report()),
+    "brand_pagerank_weighted": (
+        q_brand_pagerank_weighted,
+        _oracle_pagerank_weighted(),
+    ),
+    "tokenizer_efficiency": (q_tokenizer_efficiency, _oracle_tokenizer_efficiency()),
 }

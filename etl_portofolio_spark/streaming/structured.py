@@ -221,3 +221,27 @@ def time_bounded_join(
         "click_id",
         "click_ts",
     )
+
+
+def enrich_stream_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a
+    batch dimension frame.
+
+    The streaming counterpart of the batch dim-chain joins: Spark
+    re-plans the STATIC side per micro-batch (a dimension updated
+    between batches is picked up without restarting the query) and
+    needs NO state store — unlike a stream-stream join there is
+    nothing to watermark or expire, because the static side is always
+    wholly available. The dimension is broadcast, so each micro-batch
+    pays a map-side hash join, never a shuffle of the stream.
+
+    Left join by default: an event with no dimension row must surface
+    (with nulls) rather than vanish — dropping unmatched facts in an
+    enrichment stage is a silent-data-loss bug.
+    """
+    return events.join(F.broadcast(dim), on, how)

@@ -26,6 +26,10 @@ _CACHING_QUERIES = (
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "kl_divergence_score",
+    "simhash_accuracy_eval",
+    "contamination_report",
+    "brand_pagerank_weighted",
 )
 
 

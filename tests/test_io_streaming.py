@@ -806,3 +806,47 @@ def test_range_clustered_write_has_disjoint_file_envelopes(spark, tmp_path):
         assert a["hi"] < b["lo"], f"overlapping envelopes {a} {b}"
     # nothing lost in the re-layout
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_enrich_stream_static_matches_batch_and_keeps_unmatched(spark, tmp_path):
+    """Stream-static broadcast enrichment: no state store, static side
+    re-read per micro-batch, unmatched events kept with nulls (left
+    join) — output equals the batch twin row-for-row."""
+    from etl_portofolio_spark.streaming.structured import enrich_stream_static
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ev.coalesce(2).write.parquet(str(src_dir / "f0"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        enrich_stream_static(stream, dim, "event_type")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = ev.join(F.broadcast(dim), "event_type", "left")
+    assert got.count() == ev.count()  # left join: nothing vanishes
+    assert got.where(F.col("category").isNull()).count() == ev.where(
+        ~F.col("event_type").isin("click", "view", "purchase")
+    ).count()
+    cols = ["event_id", "event_type", "category"]
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
