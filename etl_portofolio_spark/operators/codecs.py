@@ -304,3 +304,24 @@ def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
         "<IiiHHIIiiII", 40, new_w, new_h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return header + info + data
+
+
+def make_wav_ramp(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Mono 16-bit PCM WAV whose sample i is ``((seed+i) % 2001) - 1000``
+    — a deterministic ramp, so a decoder must recover not just the
+    sample COUNT but the exact sample ORDER (constant-fill payloads
+    can't catch byte-order or offset bugs; a ramp can)."""
+    data = struct.pack(
+        f"<{n_samples}h", *(((seed + i) % 2001) - 1000 for i in range(n_samples))
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -393,3 +393,80 @@ def pixel_sample_stats(
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sumsq", T.LongType()),
+    ]
+)
+
+
+def synthesize_ramp_audio(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ramp-WAV payloads keyed on the id alone:
+    seed = id, n_samples = 1 + (id·37) % 300 — fully recomputable in
+    SQL, so content-level decode checks need no side channel."""
+    import pandas as pd
+
+    from etl_portofolio_spark.operators import codecs
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("content", T.BinaryType())]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [
+                        codecs.make_wav_ramp(8000, 1 + (int(i) * 37) % 300, int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+    window: int = 64,
+) -> DataFrame:
+    """Windowed audio energy from raw WAV bytes: per ``window``-sample
+    frame, the sample count and the EXACT integer sum of squares
+    (int64 — RMS is the caller's one division, so nothing floats and
+    the result is bit-stable at any scale). Arrow-batched mapInPandas,
+    numpy int64 kernels; the per-window fan-out happens inside the
+    worker (each payload yields n/window rows), so no Spark-side
+    explode of sample-level rows ever exists."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_portofolio_spark.operators import codecs
+
+    def energy(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win_id": [], "n_samples": [], "sumsq": []
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                _, _, samples = codecs.decode_wav_samples(bytes(payload))
+                arr = np.asarray(samples, dtype=np.int64)
+                for w in range(0, len(arr), window):
+                    chunk = arr[w : w + window]
+                    out["doc_id"].append(int(doc_id))
+                    out["win_id"].append(w // window)
+                    out["n_samples"].append(int(chunk.size))
+                    out["sumsq"].append(int(np.sum(chunk * chunk)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(energy, AUDIO_ENERGY_SCHEMA)

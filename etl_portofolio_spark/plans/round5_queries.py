@@ -465,6 +465,239 @@ FROM top, total
 """
 
 
+# --- windowed audio energy from raw WAV bytes --------------------------------
+
+
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy via REAL WAV decode: ramp payloads
+    (sample i = (doc_id+i) % 2001 − 1000) synthesized per doc, chunk-
+    walk decoded, then per-64-sample window the exact int64 sum of
+    squares — a ramp makes sample ORDER observable, so an offset or
+    byte-order bug in the decoder shifts windows and fails the hash
+    (the constant-fill ``multimodal_pixel_stats`` can't see those).
+
+    The oracle recomputes the ramp arithmetically in SQL — nothing
+    floats anywhere (RMS is the caller's one division). Window
+    fan-out happens inside the Arrow worker; Spark never holds
+    sample-level rows.
+    """
+    from etl_portofolio_spark.operators.multimodal import (
+        audio_window_energy,
+        synthesize_ramp_audio,
+    )
+    from etl_portofolio_spark.operators.util import spread
+
+    apply_runtime_confs(spark)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    audio = synthesize_ramp_audio(docs, id_col="doc_id")
+    return audio_window_energy(audio, id_col="doc_id", window=64)
+
+
+ORACLE_AUDIO_ENERGY = """
+WITH sized AS (
+  SELECT doc_id, 1 + (doc_id * 37) % 300 AS n FROM documents
+), ex AS (
+  SELECT doc_id, unnest(range(n)) AS i FROM sized
+), samples AS (
+  SELECT doc_id, CAST(i // 64 AS BIGINT) AS win_id,
+         (doc_id + i) % 2001 - 1000 AS s
+  FROM ex
+)
+SELECT doc_id, win_id,
+       count(*) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS sumsq
+FROM samples GROUP BY doc_id, win_id
+"""
+
+
+# --- length-curriculum phase manifest ----------------------------------------
+
+_CURRICULUM_PHASES = 3
+
+
+def q_curriculum_phase_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum phases per language: docs ordered short
+    → long, cut into 3 phases of ~equal TOKEN mass — the schedule
+    manifest for curriculum training (short sequences first), emitted
+    per language so each language stream keeps its own pacing.
+
+    All integer arithmetic: windowed cumulative token sum per lang
+    (parallel across languages — no global window), per-lang totals
+    as a window aggregate in the same partitioning, phase =
+    1 + (cum−1)·3 ÷ total. Deterministic order under length ties via
+    the doc_id tiebreak.
+    """
+    from etl_portofolio_spark.operators import text
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id", "lang", text.token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = F.sum("n_tokens").over(w_cum)
+    total = F.sum("n_tokens").over(w_all)
+    return per.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        # floor() on both engines — a bare CAST would diverge (Spark
+        # truncates, DuckDB rounds); the quotient is far from integer
+        # boundaries except when exactly on one, where floor agrees
+        (F.lit(1) + F.floor((cum - F.lit(1)) * F.lit(_CURRICULUM_PHASES) / total))
+        .cast("long")
+        .alias("phase"),
+    )
+
+
+ORACLE_CURRICULUM = f"""
+WITH per AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), cumd AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY n_tokens ASC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM per
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(1 + floor((cum_tokens - 1) * {_CURRICULUM_PHASES}
+                      / CAST(total AS DOUBLE)) AS BIGINT) AS phase
+FROM cumd
+"""
+
+
+# --- per-label embedding dispersion (single-pass variance identity) ----------
+
+
+def q_label_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid dispersion of the embedding space — the
+    classification-dataset audit (a label whose members scatter far
+    from their centroid is noisy or heterogeneous; one that collapses
+    is degenerate).
+
+    Mean squared distance to the centroid WITHOUT a second pass: the
+    variance identity E‖x−μ‖² = Σ_d (E[x_d²] − E[x_d]²) turns the
+    naive centroid-then-join-then-distance (two shuffles + a
+    broadcast) into ONE posexplode + ONE combinable aggregation per
+    (label, dim) + a metadata-scale rollup to labels. Rounded to 6.
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("s"),
+        F.sum(F.col("val") * F.col("val")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    var_d = F.col("ss") / n - (F.col("s") / n) * (F.col("s") / n)
+    return (
+        per_dim.select("label", "n", var_d.alias("var_d"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.round(F.sum("var_d"), 6).alias("mean_sq_dist"),
+        )
+    )
+
+
+ORACLE_LABEL_DISPERSION = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), ex AS (
+  SELECT label, CAST(unnest(range(len(v))) AS BIGINT) AS dim, unnest(v) AS val
+  FROM v
+), per_dim AS (
+  SELECT label, dim, count(*) AS n, sum(val) AS s, sum(val * val) AS ss
+  FROM ex GROUP BY label, dim
+), vard AS (
+  SELECT label, n,
+         ss / CAST(n AS DOUBLE)
+           - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) AS var_d
+  FROM per_dim
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_members,
+       round(sum(var_d), 6) AS mean_sq_dist
+FROM vard GROUP BY label
+"""
+
+
+# --- one k-means (Lloyd) update step over embeddings -------------------------
+
+
+def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means on the embedding table: assign
+    every vector to its nearest seed centroid (the deterministic IVF
+    codebook), then recompute each centroid as the per-dimension mean
+    of its members — the iterative-ML-on-DataFrames step beside
+    PageRank (weighted propagation) and connected components
+    (min-label fixpoint).
+
+    Assignment is the broadcast-centroid map-side rank from
+    ``ivf_assign`` (no shuffle of the corpus); the update is ONE
+    posexplode + ONE combinable aggregation on (cluster, dim) — new
+    centroids are k×d rows (metadata scale), so iterating is a driver
+    loop re-broadcasting 512 numbers, with ``localCheckpoint`` per
+    round at real iteration counts (the ``operators/graph`` and
+    connected-components discipline). Means rounded to 6 (per-group
+    double sum order).
+    """
+    from etl_portofolio_spark.operators.similarity import ivf_assign
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, num_centroids=8)
+    ex = assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+    return ex.groupBy("cluster_id", F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mean_val"),
+    )
+
+
+def _oracle_kmeans_update() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _sql_cosine
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS cluster_id FROM (
+    SELECT v.vec_id, v.v, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_cosine('v.v', 'c.cv')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), ex AS (
+  SELECT cluster_id,
+         CAST(unnest(range(len(v))) AS BIGINT) AS dim,
+         unnest(v) AS val
+  FROM assigned
+)
+SELECT cluster_id, dim, count(*) AS n_members,
+       round(sum(val) / count(*), 6) AS mean_val
+FROM ex GROUP BY cluster_id, dim
+"""
+
+
 # --- contamination observability report --------------------------------------
 
 
@@ -712,4 +945,8 @@ ROUND5_QUERIES: dict = {
         _oracle_pagerank_weighted(),
     ),
     "tokenizer_efficiency": (q_tokenizer_efficiency, _oracle_tokenizer_efficiency()),
+    "kmeans_update_step": (q_kmeans_update_step, _oracle_kmeans_update()),
+    "audio_window_energy": (q_audio_window_energy, ORACLE_AUDIO_ENERGY),
+    "curriculum_phase_manifest": (q_curriculum_phase_manifest, ORACLE_CURRICULUM),
+    "label_dispersion_audit": (q_label_dispersion_audit, ORACLE_LABEL_DISPERSION),
 }

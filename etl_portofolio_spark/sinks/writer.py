@@ -373,3 +373,35 @@ def write_range_clustered(
         .save(path)
     )
     refresh_path(df.sparkSession, path)
+
+
+def write_sorted_sequences(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    order_cols: tuple[str, ...] = ("ts",),
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Sequence-export layout: every key's rows land in ONE file, in
+    order — what a sequence-model dataloader (per-user event history,
+    per-conversation turns, per-doc chunks) consumes with a pure
+    sequential read, no shuffle or sort at training time.
+
+    Hash-bucket the key, repartition on the bucket (all rows of a key
+    co-locate), then ``sortWithinPartitions(key, *order)`` so each
+    file is grouped by key with rows ordered inside the group — the
+    write-side sort is the ONLY shuffle+sort this data ever needs;
+    every downstream epoch reads it back for free. Bucket count sizes
+    the files (keys hash-spread uniformly); a skewed key makes a fat
+    file, never a wrong one.
+    """
+    bucket = F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+    (
+        df.repartition(n_buckets, bucket)
+        .sortWithinPartitions(key_col, *order_cols)
+        .write.format("parquet")
+        .mode(mode)
+        .save(path)
+    )
+    refresh_path(df.sparkSession, path)

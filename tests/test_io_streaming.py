@@ -850,3 +850,35 @@ def test_enrich_stream_static_matches_batch_and_keeps_unmatched(spark, tmp_path)
     cols = ["event_id", "event_type", "category"]
     assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
     assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+def test_write_sorted_sequences_key_colocated_and_ordered(spark, tmp_path):
+    """Sequence export: every key in exactly one file, rows ordered
+    (key, ts, id) inside each file, nothing lost — the layout a
+    sequence dataloader reads sequentially with no training-time
+    shuffle."""
+    from etl_portofolio_spark.sinks.writer import write_sorted_sequences
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    path = str(tmp_path / "seq")
+    write_sorted_sequences(ev, path, "user_id", ("ts", "event_id"), n_buckets=8)
+
+    back = spark.read.parquet(path).select(
+        F.input_file_name().alias("f"), "user_id", "ts", "event_id"
+    )
+    assert back.count() == ev.count()
+    # key co-location: no user spans two files
+    assert (
+        back.groupBy("user_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .where(F.col("nf") > 1)
+        .count()
+        == 0
+    )
+    # in-file ordering: each file is sorted by (user_id, ts, event_id)
+    pdf = back.toPandas()
+    for _, g in pdf.groupby("f", sort=False):
+        rows = list(zip(g["user_id"], g["ts"], g["event_id"]))
+        assert rows == sorted(rows)
