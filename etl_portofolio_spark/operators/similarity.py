@@ -489,3 +489,133 @@ def embedding_near_dup_pairs_exact(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+QUANT_ERR_GATE = 0.001
+
+
+def int8_quantize_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    err_gate: float = QUANT_ERR_GATE,
+) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction audit.
+
+    code = round((x−lo)·255/span), recon = lo + code·span/255, with
+    lo/span the VECTOR's own min/range — per-vector scale keeps the
+    whole computation element-wise over the array column: a map-only
+    plan with no explode, no join, no shuffle (the layout int8 ANN
+    stores use, and the shape that streams at 100 TB with zero
+    coordination). Outputs integer code checksum + coarse-dim count
+    and the order-free max abs error (rounded). Zero-span vectors
+    quantize to code 0 with zero error.
+    """
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        id_col,
+        "v",
+        F.array_min("v").alias("lo"),
+        (F.array_max("v") - F.array_min("v")).alias("span"),
+    )
+    lo, span = F.col("lo"), F.col("span")
+
+    def code(x: Column) -> Column:
+        return F.when(
+            span != 0, F.round((x - lo) * F.lit(255.0) / span, 0)
+        ).otherwise(F.lit(0.0))
+
+    def err(x: Column) -> Column:
+        return F.abs(x - (lo + code(x) * span / F.lit(255.0)))
+
+    codes = F.transform("v", lambda x: code(x).cast("long"))
+    errs = F.transform("v", err)
+    return base.select(
+        id_col,
+        F.size("v").alias("n_dims"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        F.size(F.filter(errs, lambda e: e > F.lit(err_gate))).alias(
+            "n_coarse_dims"
+        ),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """Full Lloyd loop on DataFrames; returns the final assignment
+    ``(id, cluster_id)``.
+
+    The k-means topology that scales: centroids are k×d doubles held
+    DRIVER-side (bounded metadata — the one collect per round is k·d
+    numbers, never corpus rows) and re-broadcast each round as a
+    literal frame, so ASSIGNMENT is a broadcast join + per-row rank
+    (map-side over the corpus, no shuffle) and the UPDATE is one
+    posexplode + one combinable (cluster, dim) aggregation — the
+    ``kmeans_update_step`` query is one turn of this crank. Seeds are
+    the deterministic first-k codebook (``ivf_assign``'s convention),
+    assignment by cosine with the centroid-id tiebreak, update by
+    arithmetic mean. Empty clusters keep their previous centroid.
+
+    The corpus projection is scoped-persisted (two reads per round);
+    the caller releases via ``caching.release_cached()``.
+    """
+    from etl_portofolio_spark.caching import scoped_persist
+
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    spark = emb.sparkSession
+    docs = scoped_persist(emb.select(F.col(id_col), _dvec(vec_col).alias("v")))
+    seed_rows = (
+        docs.where(F.col(id_col) < k)
+        .select(F.col(id_col).cast("long").alias("cid"), "v")
+        .collect()
+    )
+    centroids: dict[int, list[float]] = {
+        int(r["cid"]): [float(x) for x in r["v"]] for r in seed_rows
+    }
+
+    def assign(cent: dict[int, list[float]]) -> DataFrame:
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(cent.items())],
+                "centroid_id long, cv array<double>",
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            docs.join(cents)
+            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col(id_col), "v", F.col("centroid_id").alias("cluster_id"))
+        )
+
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        new_rows = (
+            assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster_id", "dim")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("m"))
+            .collect()  # k*d rows — bounded metadata, never corpus-scale
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cid.setdefault(int(r["cluster_id"]), {})[int(r["dim"])] = float(
+                r["m"]
+            )
+        for cid, dims in by_cid.items():
+            centroids[cid] = [dims[d] for d in sorted(dims)]
+    return assigned.select(id_col, "cluster_id")

@@ -210,38 +210,15 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (code checksum, count of dims with |err| > 1e-3); the one double
     (max abs error) is an order-free max of identical expression
     trees, rounded to 6. Zero-span vectors quantize to code 0 with
-    zero error (guarded identically on both engines).
+    zero error (guarded identically on both engines). Logic lives in
+    ``operators.similarity.int8_quantize_audit`` (property-tested
+    error bound |err| <= span/510).
     """
+    from etl_portofolio_spark.operators.similarity import int8_quantize_audit
+
     apply_runtime_confs(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    base = emb.select(
-        "vec_id",
-        "v",
-        F.array_min("v").alias("lo"),
-        (F.array_max("v") - F.array_min("v")).alias("span"),
-    )
-    lo, span = F.col("lo"), F.col("span")
-    code = lambda x: F.when(  # noqa: E731
-        span != 0, F.round((x - lo) * F.lit(255.0) / span, 0)
-    ).otherwise(F.lit(0.0))
-    err = lambda x: F.abs(  # noqa: E731
-        x - (lo + code(x) * span / F.lit(255.0))
-    )
-    codes = F.transform("v", lambda x: code(x).cast("long"))
-    errs = F.transform("v", err)
-    return base.select(
-        "vec_id",
-        F.size("v").alias("n_dims"),
-        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "code_sum"
-        ),
-        F.round(F.array_max(errs), 6).alias("max_abs_err"),
-        F.size(F.filter(errs, lambda e: e > F.lit(_QUANT_ERR_GATE))).alias(
-            "n_coarse_dims"
-        ),
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize_audit(emb, err_gate=_QUANT_ERR_GATE)
 
 
 ORACLE_INT8_QUANTIZE = f"""

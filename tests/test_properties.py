@@ -377,3 +377,63 @@ def test_chunk_manifest_covers_every_token(spark, word_lists, stride, extra):
         # starts advance by exactly the stride
         starts = [r["start_tok"] for r in chunks]
         assert starts == [1 + i * stride for i in range(len(starts))]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_int8_quantize_error_bound_and_checksum(spark, vecs):
+    """Quantizer contract: |recon err| <= span/510 (+fp slack), codes in
+    [0,255] so the checksum is bounded, zero-span vectors are exact."""
+    from etl_portofolio_spark.operators.similarity import int8_quantize_audit
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    rows = int8_quantize_audit(df).collect()
+    assert len(rows) == len(vecs)
+    for r in rows:
+        v = vecs[r["vec_id"]]
+        span = max(v) - min(v)
+        assert 0 <= r["code_sum"] <= 255 * len(v)
+        if span == 0:
+            assert r["max_abs_err"] == 0.0
+        else:
+            assert r["max_abs_err"] <= span / 510 + 1e-6 * span + 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    raw_edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    ),
+    iters=st.integers(1, 5),
+)
+def test_pagerank_conserves_mass_on_symmetric_graphs(spark, raw_edges, iters):
+    """On a symmetric edge set (every node has out-edges) each round
+    redistributes all rank mass, so sum(rank) == |nodes| at every
+    iteration count; every rank >= 1-d."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.operators.graph import pagerank
+
+    sym = sorted({(a, b) for a, b in raw_edges} | {(b, a) for a, b in raw_edges})
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    n_nodes = len({a for a, _ in sym})
+    ranks = [r["rank"] for r in pagerank(edges, iterations=iters).collect()]
+    release_cached()
+    assert len(ranks) == n_nodes
+    assert abs(sum(ranks) - n_nodes) < 1e-6 * max(n_nodes, 1)
+    assert all(r >= 0.15 - 1e-9 for r in ranks)

@@ -68,3 +68,37 @@ def test_near_dup_lsh_recall_vs_exact(spark):
     for pair, cos in got.items():
         assert cos == truth[pair]
     assert len(got) / len(truth) >= 0.9
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Three tight planted groups around near-orthogonal directions:
+    two Lloyd rounds must co-assign each group, deterministically."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.operators.similarity import kmeans_fit
+
+    base = {0: [10.0, 0.0, 0.0, 1.0], 1: [0.0, 10.0, 0.0, 1.0], 2: [0.0, 0.0, 10.0, 1.0]}
+    rows = []
+    for vid in range(30):
+        g = vid % 3
+        jitter = [0.01 * ((vid * 7 + d) % 5) for d in range(4)]
+        rows.append((vid, [b + j for b, j in zip(base[g], jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_fit(emb, k=3, iterations=2).collect()
+    }
+    release_cached()
+    assert len(got) == 30
+    # every planted group lands in exactly one cluster
+    for g in range(3):
+        assert len({got[v] for v in range(30) if v % 3 == g}) == 1
+    # and the three groups are in three distinct clusters
+    assert len({got[0], got[1], got[2]}) == 3
+
+    got2 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_fit(emb, k=3, iterations=2).collect()
+    }
+    release_cached()
+    assert got2 == got
