@@ -614,6 +614,161 @@ FROM vard GROUP BY label
 """
 
 
+# --- rare-shingle novelty detector -------------------------------------------
+
+_RARE_DOC_FREQ = 2
+_RARE_SHARE_GATE = 0.9
+
+
+def q_idf_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs dominated by corpus-RARE 3-gram shingles (document
+    frequency ≤ 2) — the IDF-side novelty/garbage detector: hash soup,
+    boilerplate IDs, and wrong-segmentation text light up here while
+    passing length/punct gates, because their phrase patterns exist
+    almost nowhere else in the corpus. (Unigrams are useless for this
+    on any real corpus — common words cover everything; PHRASE-level
+    document frequency is what discriminates.)
+
+    Document frequency attaches as a window COUNT over the shingle
+    key — the same no-vocabulary-join discipline as the unigram-LM
+    family. Integer shingle counts; the share is the one rounded
+    double; the 0.9 gate keeps only the kill list.
+    """
+    from etl_portofolio_spark.operators.dedup import shingled_docs
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingled_docs(docs, "doc_id", "text").select(
+        "doc_id", F.explode("sh_set").alias("g")
+    )
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(
+            F.when(F.col("df") <= _RARE_DOC_FREQ, 1).otherwise(0)
+        ).cast("long").alias("n_rare"),
+    )
+    share = F.col("n_rare").cast("double") / F.col("n_shingles").cast("double")
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_rare", F.round(share, 6).alias("rare_share")
+    ).where(F.round(share, 6) > _RARE_SHARE_GATE)
+
+
+def _oracle_rare_filter() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _SQL_SHINGLES
+    from etl_portofolio_spark.plans.round4_queries import _SQL_TOKENS
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS s FROM tok
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), with_df AS (
+  SELECT doc_id, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS df FROM ex
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN df <= {_RARE_DOC_FREQ} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+  FROM with_df GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_rare,
+       round(CAST(n_rare AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         AS rare_share
+FROM per_doc
+WHERE round(CAST(n_rare AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+        > {_RARE_SHARE_GATE}
+"""
+
+
+# --- ANN first-relevant-rank (MRR numerator) eval ----------------------------
+
+_MRR_QUERIES = 25
+_MRR_K = 3  # matches the shared LSH oracle helper's top-3
+
+
+def q_ann_first_hit_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query, the RANK of the first true neighbor inside the LSH
+    result list — the integer numerator of MRR@k, the rank-position
+    metric recall@k can't see (two indexes with equal recall can put
+    the right answer first vs last; retrieval UIs care).
+
+    Ground truth = brute-force cosine top-k on the fixed panel (the
+    expensive side stays panel × corpus); candidate list = LSH
+    same-bucket top-k. first_hit_rank is an integer min over matched
+    ranks — NULL when no truth neighbor appears in the list (the
+    caller's reciprocal treats it as 0). No doubles anywhere.
+    """
+    from etl_portofolio_spark.operators import similarity
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.brute_force_topk(
+        emb, query_ids=tuple(range(_MRR_QUERIES)), k=_MRR_K
+    ).select("query_id", "neighbor_id")
+    lsh = (
+        similarity.lsh_ann_topk(emb, dim=64, num_planes=4, k=_MRR_K)
+        .where(F.col("query_id") < _MRR_QUERIES)
+        .select("query_id", F.col("neighbor_id").alias("cand_id"), "rank")
+    )
+    hits = lsh.join(
+        truth,
+        (lsh["query_id"] == truth["query_id"])
+        & (lsh["cand_id"] == truth["neighbor_id"]),
+        "left_semi",
+    )
+    first = hits.groupBy("query_id").agg(
+        F.min("rank").cast("long").alias("first_hit_rank")
+    )
+    panel = truth.select("query_id").distinct()
+    return panel.join(first, "query_id", "left").select(
+        "query_id", "first_hit_rank"
+    )
+
+
+def _oracle_ann_first_hit() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _sql_ann_lsh, _sql_cosine
+
+    lsh_sql = _sql_ann_lsh(4, 64).strip().removeprefix("WITH")
+    ids = ", ".join(str(i) for i in range(_MRR_QUERIES))
+    return f"""
+WITH lsh_base AS (
+  WITH {lsh_sql}
+), vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM vv WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, vv.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'vv.v')} AS cosine
+  FROM vv, q WHERE vv.vec_id <> q.query_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_MRR_K}
+), cand AS (
+  SELECT query_id, neighbor_id AS cand_id, rank FROM lsh_base
+  WHERE query_id < {_MRR_QUERIES}
+), first AS (
+  SELECT c.query_id, CAST(min(c.rank) AS BIGINT) AS first_hit_rank
+  FROM cand c
+  WHERE EXISTS (SELECT 1 FROM truth t
+                WHERE t.query_id = c.query_id AND t.neighbor_id = c.cand_id)
+  GROUP BY c.query_id
+)
+SELECT p.query_id, f.first_hit_rank
+FROM (SELECT DISTINCT query_id FROM truth) p
+LEFT JOIN first f ON f.query_id = p.query_id
+"""
+
+
 # --- one k-means (Lloyd) update step over embeddings -------------------------
 
 
@@ -924,6 +1079,8 @@ ROUND5_QUERIES: dict = {
     "tokenizer_efficiency": (q_tokenizer_efficiency, _oracle_tokenizer_efficiency()),
     "kmeans_update_step": (q_kmeans_update_step, _oracle_kmeans_update()),
     "audio_window_energy": (q_audio_window_energy, ORACLE_AUDIO_ENERGY),
+    "idf_rare_token_filter": (q_idf_rare_token_filter, _oracle_rare_filter()),
+    "ann_first_hit_rank": (q_ann_first_hit_rank, _oracle_ann_first_hit()),
     "curriculum_phase_manifest": (q_curriculum_phase_manifest, ORACLE_CURRICULUM),
     "label_dispersion_audit": (q_label_dispersion_audit, ORACLE_LABEL_DISPERSION),
 }
