@@ -393,3 +393,42 @@ def test_equi_depth_scalable_no_global_sort_and_byte_identical(spark):
     got = sorted(tuple(r) for r in df.collect())
     want = sorted(tuple(r) for r in q_equi_depth_histogram(spark, SF_DIR).collect())
     assert got == want
+
+
+def test_round5_plan_shapes(spark):
+    """The round-5 scale claims, pinned: top-k is TakeOrdered (never a
+    global sort), tokenizer counting has no Generate (regexp counts,
+    not exploded token rows), int8 quantization is a ZERO-exchange
+    map-only plan, windowed audio energy crosses into Python via
+    MapInPandas without a sample-level Generate, and the curriculum
+    windows never feed a Sort/Window from SinglePartition."""
+    import re
+
+    from etl_portofolio_spark.plans.round5_queries import (
+        q_audio_window_energy,
+        q_curriculum_phase_manifest,
+        q_embedding_int8_quantize,
+        q_heavy_hitter_keys,
+        q_tokenizer_efficiency,
+    )
+
+    spark.catalog.clearCache()
+    p = _plan(q_heavy_hitter_keys(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort" not in p  # top-k must never globally sort the counts
+
+    p = _plan(q_tokenizer_efficiency(spark, SF_DIR))
+    assert "Generate" not in p  # counts from regexp lengths, no explode
+
+    p = _plan(q_embedding_int8_quantize(spark, SF_DIR))
+    assert p.count("Exchange") == 0 and "Join" not in p  # pure map
+
+    p = _plan(q_audio_window_energy(spark, SF_DIR))
+    assert "MapInPandas" in p
+    assert "Generate" not in p  # window fan-out stays inside the worker
+
+    global_sort = re.compile(
+        r"Arguments: SinglePartition[^(]*\(\d+\) (Sort|Window)", re.S
+    )
+    p = _plan(q_curriculum_phase_manifest(spark, SF_DIR))
+    assert not global_sort.search(p)  # per-lang windows only
