@@ -614,6 +614,69 @@ FROM vard GROUP BY label
 """
 
 
+# --- triangle counting over the co-purchase graph ----------------------------
+
+
+def q_brand_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the brand co-purchase graph
+    — the clustering-structure metric next to PageRank (influence) and
+    connected components (reachability): a brand in many triangles
+    sits inside a tight co-purchase community, not just a hub.
+
+    The oriented-edge-join algorithm: orient every edge low→high
+    (halves the edge list, kills duplicate orientations), join wedges
+    a→b→c on the middle node, then semi-join the closing edge a→c.
+    Fan-out is bounded by per-node out-degree in the ORIENTED graph —
+    the standard trick that keeps wedge counts near-linear on
+    power-law graphs (the hub's wedges are counted from its low-id
+    side only). Integer counts end-to-end.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    x = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("u"))
+    y = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("v"))
+    e = (
+        x.join(y, (x["ok"] == y["ok"]) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(e3, ["a", "c"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+ORACLE_TRIANGLES = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), e AS (
+  SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+"""
+
+
 # --- rare-shingle novelty detector -------------------------------------------
 
 _RARE_DOC_FREQ = 2
@@ -1081,6 +1144,7 @@ ROUND5_QUERIES: dict = {
     "audio_window_energy": (q_audio_window_energy, ORACLE_AUDIO_ENERGY),
     "idf_rare_token_filter": (q_idf_rare_token_filter, _oracle_rare_filter()),
     "ann_first_hit_rank": (q_ann_first_hit_rank, _oracle_ann_first_hit()),
+    "brand_triangle_count": (q_brand_triangle_count, ORACLE_TRIANGLES),
     "curriculum_phase_manifest": (q_curriculum_phase_manifest, ORACLE_CURRICULUM),
     "label_dispersion_audit": (q_label_dispersion_audit, ORACLE_LABEL_DISPERSION),
 }
