@@ -1,0 +1,113 @@
+"""ANN index build job — clustering + quantization + partitioned
+inverted lists as one runnable batch.
+
+The engine-extension deliverable that turns the similarity operators
+into a SERVABLE artifact (the reference has no vector surface; this is
+the 100 TB-pipeline extension the engine exists for):
+
+1. k-means coarse codebook (``similarity.kmeans_fit`` — driver-held
+   k×d centroid metadata, corpus never shuffles for assignment),
+2. int8 scalar quantization (``similarity.int8_quantize_codes`` —
+   map-only, 4× density; reconstruction within span/510),
+3. inverted lists written PARTITIONED BY cluster id — a query probes
+   nprobe clusters by reading nprobe directories (partition pruning is
+   the index lookup; no service needed, any Spark/DuckDB/parquet
+   reader can serve it),
+4. a k×d ``centroids`` table for query-side probe selection,
+5. idempotent: dynamic partition overwrite per cluster, rerun-safe.
+
+At scale each inverted list is range-clustered by vector id inside its
+partition, so point lookups inside a probed cluster skip files too.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.caching import release_cached
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.operators.similarity import (
+    int8_quantize_codes,
+    kmeans_fit,
+)
+from etl_portofolio_spark.session import build_session
+from etl_portofolio_spark.sinks.writer import write_partitioned
+
+
+def build_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    target_dir: str,
+    k: int = 8,
+    iterations: int = 2,
+) -> dict[str, int]:
+    """Build the index from an embedding frame; returns counts."""
+    try:
+        assigned = kmeans_fit(emb, k=k, iterations=iterations)
+        codes = int8_quantize_codes(emb)
+        lists = (
+            emb.select("vec_id")
+            .join(assigned, "vec_id")
+            .join(codes, "vec_id")
+            .select("vec_id", "lo", "span", "codes", "cluster_id")
+        )
+        write_partitioned(
+            lists, f"{target_dir}/lists", "cluster_id", target_file_bytes=None
+        )
+        centroids = (
+            spark.read.parquet(f"{target_dir}/lists")
+            .select(
+                "cluster_id",
+                F.posexplode(
+                    F.transform(
+                        "codes",
+                        lambda c: F.col("lo")
+                        + c.cast("double") * F.col("span") / F.lit(255.0),
+                    )
+                ).alias("dim", "val"),
+            )
+            .groupBy("cluster_id", "dim")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("mean_val"))
+        )
+        centroids.write.mode("overwrite").parquet(f"{target_dir}/centroids")
+        n_vecs = spark.read.parquet(f"{target_dir}/lists").count()
+        n_cents = spark.read.parquet(f"{target_dir}/centroids").count()
+    finally:
+        release_cached()  # kmeans_fit's scoped corpus persist
+    return {"vectors": n_vecs, "centroid_rows": n_cents, "clusters": k}
+
+
+def run(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    k: int = 8,
+    iterations: int = 2,
+) -> dict[str, int]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return build_index(spark, emb, target_dir, k=k, iterations=iterations)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--target-dir", required=True)
+    p.add_argument("--clusters", type=int, default=8)
+    p.add_argument("--iterations", type=int, default=2)
+    args = p.parse_args()
+    spark = build_session("build-ann-index")
+    counts = run(
+        spark,
+        args.source_dir,
+        args.target_dir,
+        k=args.clusters,
+        iterations=args.iterations,
+    )
+    print(f"index built: {counts}")
+
+
+if __name__ == "__main__":
+    main()

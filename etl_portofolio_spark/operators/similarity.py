@@ -619,3 +619,33 @@ def kmeans_fit(
         for cid, dims in by_cid.items():
             centroids[cid] = [dims[d] for d in sorted(dims)]
     return assigned.select(id_col, "cluster_id")
+
+
+def int8_quantize_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 codes + the (lo, span) needed to dequantize —
+    the storage form of :func:`int8_quantize_audit` (which emits the
+    audit stats instead). Same map-only, shuffle-free shape; the
+    reconstruction ``lo + code·span/255`` is within span/510 of the
+    original (property-tested on the audit twin).
+    """
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        id_col,
+        "v",
+        F.array_min("v").alias("lo"),
+        (F.array_max("v") - F.array_min("v")).alias("span"),
+    )
+    lo, span = F.col("lo"), F.col("span")
+    codes = F.transform(
+        "v",
+        lambda x: F.when(span != 0, F.round((x - lo) * F.lit(255.0) / span, 0))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return base.select(id_col, "lo", "span", codes.alias("codes"))

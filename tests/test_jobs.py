@@ -238,3 +238,59 @@ def test_ingest_xml_empty_allowlist_csv_applies_no_filter(spark, tmp_path):
     )
     # all 5 apps per window survive — nothing filtered, nothing dropped
     assert n == spark.read.parquet(target).count() == 2 * 5
+
+
+def test_build_ann_index_end_to_end(spark, tmp_path):
+    """ANN index build: every vector in exactly one cluster-partitioned
+    inverted list, partition pruning IS the probe lookup, stored int8
+    codes dequantize within the span/510 bound, rerun idempotent."""
+    from etl_portofolio_spark.jobs import build_ann_index
+
+    target = str(tmp_path / "idx")
+    counts = build_ann_index.run(spark, SF_DIR, target, k=4, iterations=2)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    assert counts["vectors"] == n
+
+    lists = spark.read.parquet(f"{target}/lists")
+    assert lists.select("vec_id").distinct().count() == n == lists.count()
+    assert lists.select("cluster_id").distinct().count() <= 4
+
+    # partition pruning = the index lookup: probing one cluster must
+    # plan as a PartitionFilter, never a data filter over all lists
+    probe_cluster = lists.select("cluster_id").first()[0]
+    probe = spark.read.parquet(f"{target}/lists").where(
+        F.col("cluster_id") == probe_cluster
+    )
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cluster_id" in pf
+
+    # stored codes reconstruct the original within the quantizer bound
+    joined = lists.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    recon = F.transform(
+        "codes",
+        lambda c: F.col("lo") + c.cast("double") * F.col("span") / F.lit(255.0),
+    )
+    max_err = F.aggregate(
+        F.zip_with(recon, F.col("v"), lambda r, x: F.abs(r - x)),
+        F.lit(0.0),
+        lambda a, e: F.greatest(a, e),
+    )
+    bad = joined.where(
+        max_err > F.col("span") / F.lit(510.0) + F.lit(1e-9)
+    ).count()
+    assert bad == 0
+
+    cent = spark.read.parquet(f"{target}/centroids")
+    dim = len(emb.select("embedding").first()[0])
+    assert cent.count() == cent.select("cluster_id").distinct().count() * dim
+
+    counts2 = build_ann_index.run(spark, SF_DIR, target, k=4, iterations=2)
+    assert counts2 == counts
+    assert spark.read.parquet(f"{target}/lists").count() == n
