@@ -80,6 +80,60 @@ def build_index(
     return {"vectors": n_vecs, "centroid_rows": n_cents, "clusters": k}
 
 
+def probe_index(
+    spark: SparkSession,
+    target_dir: str,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Serve a top-k query from the written index — no service, no
+    state: probe selection is a driver-side cosine over the k×d
+    centroid table (bounded metadata), and the corpus read is the
+    nprobe partition directories ONLY (partition pruning is the
+    lookup). Scoring dequantizes the stored int8 codes in-plan and
+    ranks by cosine; returns (vec_id, cosine) ordered best-first.
+    """
+    import math
+
+    cent_rows = spark.read.parquet(f"{target_dir}/centroids").collect()
+    by_c: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_c.setdefault(int(r["cluster_id"]), {})[int(r["dim"])] = float(
+            r["mean_val"]
+        )
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(c: dict[int, float]) -> float:
+        cv = [c[d] for d in sorted(c)]
+        cn = math.sqrt(sum(x * x for x in cv))
+        num = sum(a * b for a, b in zip(query_vec, cv))
+        return num / (qn * cn) if qn and cn else 0.0
+
+    probes = sorted(by_c, key=lambda cid: (-cos(by_c[cid]), cid))[:nprobe]
+    lists = spark.read.parquet(f"{target_dir}/lists").where(
+        F.col("cluster_id").isin([str(p) for p in probes] + probes)
+    )
+    recon = F.transform(
+        "codes",
+        lambda c: F.col("lo") + c.cast("double") * F.col("span") / F.lit(255.0),
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(recon, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(recon, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        lists.select("vec_id", (dot / (nrm * F.lit(qn))).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def run(
     spark: SparkSession,
     sf_dir: str,

@@ -294,3 +294,30 @@ def test_build_ann_index_end_to_end(spark, tmp_path):
     counts2 = build_ann_index.run(spark, SF_DIR, target, k=4, iterations=2)
     assert counts2 == counts
     assert spark.read.parquet(f"{target}/lists").count() == n
+
+
+def test_ann_index_probe_serves_near_neighbors(spark, tmp_path):
+    """Serving from the written index: probe selection from the
+    centroid table, corpus read partition-pruned to nprobe clusters,
+    dequantized cosine ranking recovers true near neighbors."""
+    from etl_portofolio_spark.jobs import build_ann_index
+    from etl_portofolio_spark.operators.similarity import brute_force_topk
+
+    target = str(tmp_path / "idx")
+    build_ann_index.run(spark, SF_DIR, target, k=4, iterations=2)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    got = build_ann_index.probe_index(spark, target, qvec, nprobe=2, k=4)
+    rows = got.collect()
+    assert len(rows) == 4
+    ids = [r["vec_id"] for r in rows]
+    assert ids[0] == 0 and rows[0]["cosine"] > 0.999  # finds itself first
+
+    truth = {
+        r["neighbor_id"]
+        for r in brute_force_topk(emb, query_ids=(0,), k=3).collect()
+    }
+    # at nprobe=2 of 4 clusters the probe must recover at least one
+    # true top-3 neighbor (deterministic on the fixture)
+    assert truth & set(ids[1:]), f"no true neighbor in {ids}, truth {truth}"
