@@ -233,12 +233,22 @@ def enrich_stream_static(
     batch dimension frame.
 
     The streaming counterpart of the batch dim-chain joins: Spark
-    re-plans the STATIC side per micro-batch (a dimension updated
-    between batches is picked up without restarting the query) and
-    needs NO state store — unlike a stream-stream join there is
-    nothing to watermark or expire, because the static side is always
-    wholly available. The dimension is broadcast, so each micro-batch
-    pays a map-side hash join, never a shuffle of the stream.
+    re-plans the STATIC side per micro-batch and needs NO state store
+    — unlike a stream-stream join there is nothing to watermark or
+    expire, because the static side is always wholly available. The
+    dimension is broadcast, so each micro-batch pays a map-side hash
+    join, never a shuffle of the stream.
+
+    Dimension freshness contract (test-pinned): a PLAIN-PARQUET static
+    side is pinned at query start — the file listing behind the frame
+    is captured when the frame is built, and ``refreshByPath`` does
+    not reach a running stream's captured relation. Overwriting the
+    dimension mid-query therefore FAILS the query loudly
+    (FILE_NOT_EXIST) rather than ever serving stale or torn rows —
+    the safe failure mode. To roll a dimension: restart the query
+    against the new snapshot (cheap — this join keeps no state), or
+    back the static side with a table format whose snapshots
+    re-resolve per batch.
 
     Left join by default: an event with no dimension row must surface
     (with nulls) rather than vanish — dropping unmatched facts in an

@@ -882,3 +882,59 @@ def test_write_sorted_sequences_key_colocated_and_ordered(spark, tmp_path):
     for _, g in pdf.groupby("f", sort=False):
         rows = list(zip(g["user_id"], g["ts"], g["event_id"]))
         assert rows == sorted(rows)
+
+
+def test_enrich_stream_static_dim_is_pinned_and_fails_loudly(spark, tmp_path):
+    """Dimension freshness contract of the stream-static join: a plain
+    parquet static side is PINNED at query start; overwriting it
+    mid-query (from the foreachBatch callback, exactly between
+    planning cycles) fails the query with FILE_NOT_EXIST — never
+    stale or torn rows. Batch 0, planned before the swap, must have
+    served the original dimension."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from etl_portofolio_spark.streaming.structured import enrich_stream_static
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("click", "v1")], "event_type string, category string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for eid, f in ((1, "f0"), (2, "f1")):
+        spark.createDataFrame(
+            [(eid, "click")], "event_id long, event_type string"
+        ).coalesce(1).write.parquet(str(src_dir / f))
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    enriched = enrich_stream_static(stream, spark.read.parquet(dim_path), "event_type")
+
+    out: list[tuple[int, int, str]] = []
+
+    def sink(batch, batch_id):
+        for r in batch.collect():
+            out.append((batch_id, r["event_id"], r["category"]))
+        # swap the dimension BETWEEN micro-batches
+        batch.sparkSession.createDataFrame(
+            [("click", "v2")], "event_type string, category string"
+        ).write.mode("overwrite").parquet(dim_path)
+        batch.sparkSession.catalog.refreshByPath(dim_path)
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="FILE_NOT_EXIST"):
+        q.awaitTermination(180)
+
+    # batch 0 served the pre-swap dimension; nothing stale ever emitted
+    assert (0, 1, "v1") in out
+    assert all(cat == "v1" for _, _, cat in out)
