@@ -614,6 +614,68 @@ FROM vard GROUP BY label
 """
 
 
+# --- MinHash threshold sweep (precision/recall calibration) ------------------
+
+_SWEEP_TRUTH_JACCARD = 0.7
+
+
+def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP/FP/FN counts of the MinHash agreement score at every
+    candidate threshold 8..14 (of 16), against exact-Jaccard ≥ 0.7
+    ground truth — the calibration table that picks the production
+    threshold: sweep once on a sample, read off the
+    precision/recall trade, set the knob.
+
+    Reuses the ``minhash_jaccard_estimate`` pair frame verbatim (same
+    LSH candidate path — the sweep only ever sees candidate pairs,
+    which is also true in production, so the calibration measures the
+    system that will actually run). Thresholds are a 7-row broadcast;
+    counts are exact integers — the caller derives P/R.
+    """
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.plans.round4_queries import q_minhash_jaccard_estimate
+
+    est = scoped_persist(  # 7 threshold branches read the pair frame
+        q_minhash_jaccard_estimate(spark, sf_dir).select(
+            "n_agree", (F.col("jaccard") >= _SWEEP_TRUTH_JACCARD).alias("pos")
+        )
+    )
+    ths = spark.range(8, 15).select(F.col("id").alias("t"))
+    j = est.crossJoin(F.broadcast(ths))
+    pred = F.col("n_agree") >= F.col("t")
+    one = F.lit(1)
+    return j.groupBy("t").agg(
+        F.sum(F.when(F.col("pos") & pred, one).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("pos") & pred, one).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("pos") & ~pred, one).otherwise(0)).alias("fn"),
+    )
+
+
+def _oracle_threshold_sweep() -> str:
+    from etl_portofolio_spark.plans.round4_queries import _oracle_minhash_estimate
+
+    est = _oracle_minhash_estimate()
+    values = ", ".join(f"({t})" for t in range(8, 15))
+    return f"""
+WITH est AS (
+  {est}
+), lab AS (
+  SELECT n_agree, (jaccard >= {_SWEEP_TRUTH_JACCARD}) AS pos FROM est
+), ths(t) AS (
+  SELECT CAST(t AS BIGINT) FROM (VALUES {values}) v(t)
+)
+SELECT t,
+       CAST(sum(CASE WHEN pos AND n_agree >= t THEN 1 ELSE 0 END) AS BIGINT)
+         AS tp,
+       CAST(sum(CASE WHEN NOT pos AND n_agree >= t THEN 1 ELSE 0 END) AS BIGINT)
+         AS fp,
+       CAST(sum(CASE WHEN pos AND n_agree < t THEN 1 ELSE 0 END) AS BIGINT)
+         AS fn
+FROM lab, ths
+GROUP BY t
+"""
+
+
 # --- triangle counting over the co-purchase graph ----------------------------
 
 
@@ -1145,6 +1207,7 @@ ROUND5_QUERIES: dict = {
     "idf_rare_token_filter": (q_idf_rare_token_filter, _oracle_rare_filter()),
     "ann_first_hit_rank": (q_ann_first_hit_rank, _oracle_ann_first_hit()),
     "brand_triangle_count": (q_brand_triangle_count, ORACLE_TRIANGLES),
+    "minhash_threshold_sweep": (q_minhash_threshold_sweep, _oracle_threshold_sweep()),
     "curriculum_phase_manifest": (q_curriculum_phase_manifest, ORACLE_CURRICULUM),
     "label_dispersion_audit": (q_label_dispersion_audit, ORACLE_LABEL_DISPERSION),
 }

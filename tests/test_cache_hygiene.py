@@ -30,6 +30,7 @@ _CACHING_QUERIES = (
     "simhash_accuracy_eval",
     "contamination_report",
     "brand_pagerank_weighted",
+    "minhash_threshold_sweep",
 )
 
 
