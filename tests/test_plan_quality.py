@@ -432,3 +432,44 @@ def test_round5_plan_shapes(spark):
     )
     p = _plan(q_curriculum_phase_manifest(spark, SF_DIR))
     assert not global_sort.search(p)  # per-lang windows only
+
+
+def test_decorrelated_tpch_shapes(spark):
+    """The round-5b correlated-subquery family, decorrelation pinned in
+    the physical plan: no nested-loop re-execution anywhere, scalar
+    subqueries enter as one-row broadcasts, EXISTS/NOT EXISTS as
+    hash semi/anti joins, and Q21's two correlated probes collapse to
+    a SINGLE scan of lineitem."""
+    from etl_portofolio_spark.plans.round5b_queries import (
+        q_idle_customer_balance,
+        q_min_cost_supplier,
+        q_sole_late_supplier,
+        q_top_revenue_supplier,
+    )
+
+    spark.catalog.clearCache()
+    # Q2: correlated MIN -> agg+join; everything equi-keyed.
+    p = _plan(q_min_cost_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # Q15: the scalar-max compare is an EQUALITY, so Catalyst upgrades
+    # the broadcast-scalar cross join to a broadcast HASH join on the
+    # revenue value; no global window, no cartesian.
+    p = _plan(q_top_revenue_supplier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p  # max() OVER () would single-task the frame
+
+    # Q21: both correlated EXISTS probes folded into one conditional
+    # aggregation -> lineitem is scanned exactly once.
+    p = _plan(q_sole_late_supplier(spark, SF_DIR))
+    assert p.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in p
+
+    # Q22: scalar avg broadcast (an inequality compare, so it stays a
+    # 1-row-side nested loop) + NOT EXISTS as a hash anti join.
+    p = _plan(q_idle_customer_balance(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
