@@ -473,3 +473,44 @@ def test_decorrelated_tpch_shapes(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_round5_wave2_plan_shapes(spark):
+    """Wave-2 scale claims: PMI pair fan-out stays keyed on doc_id
+    (never corpus-cartesian), the weighted sample's prefix sum never
+    global-sorts in one task, the bigram LM windows stay partitioned,
+    and the interval-overlap join is an equi-join on the day bucket."""
+    import re
+
+    from etl_portofolio_spark.plans.round5c_queries import (
+        q_bigram_surprise_score,
+        q_interval_overlap_campaigns,
+        q_lsh_bucket_skew_audit,
+        q_token_pmi_pairs,
+        q_weighted_systematic_sample,
+    )
+
+    spark.catalog.clearCache()
+    global_sort = re.compile(
+        r"Arguments: SinglePartition[^(]*\(\d+\) (Sort|Window)", re.S
+    )
+
+    p = _plan(q_token_pmi_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+
+    p = _plan(q_weighted_systematic_sample(spark, SF_DIR))
+    assert not global_sort.search(p)
+    assert "CartesianProduct" not in p
+
+    p = _plan(q_bigram_surprise_score(spark, SF_DIR))
+    assert not global_sort.search(p)
+
+    p = _plan(q_lsh_bucket_skew_audit(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # signatures -> two aggregations, no join at all
+
+    p = _plan(q_interval_overlap_campaigns(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the interval predicate must ride on an equi-join (day bucket),
+    # not a nested loop between the two interval sets
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*day", p, re.S)
