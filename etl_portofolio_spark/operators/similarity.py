@@ -649,3 +649,214 @@ def int8_quantize_codes(
         .cast("int"),
     )
     return base.select(id_col, "lo", "span", codes.alias("codes"))
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+#: PQ layout: m subspaces of dim/m dims, k centroids per subspace.
+#: 8x8 = 3-bit codes per subspace -> a 64-dim float vector compresses
+#: to 8 small ints (the 100 TB point: the ADC scan touches codes +
+#: per-query lookup tables, never the original vectors).
+PQ_SUBSPACES = 8
+PQ_CENTROIDS = 8
+
+
+def pq_seed_codebook(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Data-aligned PQ codebook: cb[j][c] is the j-th subvector of the
+    corpus vector with ``id_col == c`` — the k-means SEED convention
+    this engine already uses for IVF (``ivf_assign``: centroids =
+    vec_id < k). The collect is a bounded k-row panel (k x dim floats),
+    the same budget as the ANN query panels.
+
+    A production deployment would refine these seeds offline with
+    :func:`kmeans_fit` per subspace and ship the result the same way —
+    as driver literals baked into the encode projection.  Seeds alone
+    keep every centroid value bit-identical to what the oracle recomputes
+    from the table (float32 -> double widening is exact), which is what
+    makes the whole PQ pipeline hash-checkable; a Lloyd refinement
+    would introduce cross-engine float-sum ordering into the codebook
+    itself.
+    """
+    rows = (
+        emb.where(F.col(id_col) < k)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    by_id = {int(r[0]): list(r[1]) for r in rows}
+    if len(by_id) < k:  # pragma: no cover - fixture always has ids 0..k-1
+        raise ValueError(f"need vectors with {id_col} 0..{k - 1} as PQ seeds")
+    dim = len(next(iter(by_id.values())))
+    sub = dim // m
+    return [
+        [by_id[c][j * sub : (j + 1) * sub] for c in range(k)]
+        for j in range(m)
+    ]
+
+
+def _pq_d2(vec: Column, j: int, centroid: list[float], sub: int) -> Column:
+    """Fixed-order squared L2 distance between subvector j of ``vec``
+    (1-based element_at) and a literal centroid — the identical
+    expression tree the oracle generates, so doubles match bit-exact."""
+    acc: Column | None = None
+    for d, w in enumerate(centroid):
+        diff = F.element_at(vec, j * sub + d + 1) - F.lit(w)
+        term = diff * diff
+        acc = term if acc is None else acc + term
+    assert acc is not None
+    return acc
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoder: per subspace, the argmin centroid via a
+    strictly-less when-chain (lowest index wins ties — the same rule
+    as the oracle's ORDER BY d2, c).
+
+    ZERO exchanges, zero joins (plan-asserted): encoding is a pure
+    projection, so at 100 TB it runs at scan speed and emits
+    |corpus| x m small ints. The 512-term expression stays inside
+    whole-stage codegen (element_at on an array column is not a
+    higher-order function — no interpreted lambda on the hot path).
+    """
+    cb = codebook if codebook is not None else pq_seed_codebook(emb, id_col=id_col, vec_col=vec_col)
+    sub = len(cb[0][0])
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cols = [F.col(id_col)]
+    for j, cents in enumerate(cb):
+        best_c = F.lit(0)
+        best_d = _pq_d2(F.col("v"), j, cents[0], sub)
+        for c in range(1, len(cents)):
+            d2 = _pq_d2(F.col("v"), j, cents[c], sub)
+            is_better = d2 < best_d
+            best_c = F.when(is_better, F.lit(c)).otherwise(best_c)
+            best_d = F.when(is_better, d2).otherwise(best_d)
+        cols.append(best_c.alias(f"code_{j}"))
+    return base.select(*cols)
+
+
+def pq_adc_shortlist(
+    emb: DataFrame,
+    query_ids: tuple[int, ...] = (20, 21, 22, 23, 24),
+    codebook: list[list[list[float]]] | None = None,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) shortlist over PQ codes.
+
+    Each query precomputes one lookup table per subspace (its exact
+    squared distance to each of the k centroids); the corpus-side scan
+    then scores a vector as the FIXED-ORDER sum of m table lookups on
+    its codes — no original vectors move, no per-pair float math
+    beyond m additions. The |Q| x m x k LUT frame broadcasts (queries
+    are the small side by construction); ranking shuffles only
+    (query, code-distance) pairs. Returns (query_id, neighbor_id,
+    approx_d2, sl_rank) for the ``shortlist`` best codes per query.
+    """
+    cb = codebook if codebook is not None else pq_seed_codebook(emb, id_col=id_col, vec_col=vec_col)
+    sub = len(cb[0][0])
+    codes = pq_encode(emb, cb, id_col, vec_col)
+    qv = emb.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    lut_cols = [
+        F.array(
+            *[_pq_d2(F.col("qv"), j, cents[c], sub) for c in range(len(cents))]
+        ).alias(f"lut_{j}")
+        for j, cents in enumerate(cb)
+    ]
+    luts = qv.select("query_id", *lut_cols)
+    approx: Column | None = None
+    for j in range(len(cb)):
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        approx = term if approx is None else approx + term
+    assert approx is not None
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            approx.alias("approx_d2"),
+        )
+        .withColumn("sl_rank", F.row_number().over(w))
+        .where(F.col("sl_rank") <= shortlist)
+    )
+
+
+def pq_search_topk(
+    emb: DataFrame,
+    query_ids: tuple[int, ...] = (20, 21, 22, 23, 24),
+    codebook: list[list[list[float]]] | None = None,
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist, then EXACT-L2 rerank of the
+    shortlist only — the production PQ serving shape (FAISS-style
+    "IndexPQ + refine").
+
+    The cost split is the scale story: the corpus-wide stage reads
+    codes (a ~32x byte shrink at m=8 vs 64 float32 dims) and does m
+    lookups per candidate; full vectors are fetched for just
+    |Q| x shortlist rows (id-keyed point lookups at scale — here a
+    semi-joined scan).  Recall is bounded by shortlist quality, which
+    ``ann_pq_recall`` measures rather than assumes.
+    """
+    cb = codebook if codebook is not None else pq_seed_codebook(emb, id_col=id_col, vec_col=vec_col)
+    sl = pq_adc_shortlist(emb, query_ids, cb, shortlist, id_col, vec_col)
+    v = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    qv = emb.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sl.join(v, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq(F.col("qv"), F.col("nv")).alias("exact_d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("exact_d2", 6).alias("exact_d2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic IEEE order —
+    the exact-metric twin the PQ recall eval compares against)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -1,0 +1,215 @@
+"""Round-5 second wave, part 3: product-quantization ANN.
+
+Completes the ANN scale ladder — brute force (exact), LSH (recall via
+bucket collisions), IVF / multi-probe (recall via cluster pruning),
+int8 (memory via scalar quantization) — with PQ: memory AND compute
+via vector quantization (a 64-dim float vector becomes 8 3-bit codes;
+corpus-wide scoring is 8 table lookups), served in the production
+two-stage shape: ADC shortlist, exact rerank of the shortlist only.
+
+The codebook is the k-means seed convention the engine already uses
+for IVF (centroids = subvectors of vec_id < 8), so every centroid
+value is recomputable by the oracle from the table itself — the whole
+train→encode→search pipeline is hash-checked, not just the search.
+``ann_pq_recall`` measures the shortlist's recall against exact L2
+instead of assuming it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.operators import similarity
+from etl_portofolio_spark.session import apply_runtime_confs
+
+_PQ_QUERIES = (20, 21, 22, 23, 24)
+_PQ_K = 5
+_PQ_SHORTLIST = 100
+
+_SQL_L2 = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+)
+
+
+def _sql_pq_shortlist() -> str:
+    """Shared CTE chain: seeds → subvectors → codes → ADC shortlist.
+
+    Mirrors `similarity.pq_encode` / `pq_adc_shortlist` exactly:
+    the when-chain argmin (strictly-less keeps the earliest index)
+    equals ``row_number ORDER BY d2, c``; the fixed-j-order LUT sum
+    equals the ordered-list fold; every d2 is the same left-fold
+    expression tree, so doubles agree bit-for-bit.
+    """
+    m, k = similarity.PQ_SUBSPACES, similarity.PQ_CENTROIDS
+    sub = 64 // m
+    ids = ", ".join(str(i) for i in _PQ_QUERIES)
+    return f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT u.j, CAST(vec_id AS INTEGER) AS c,
+         v[(u.j * {sub} + 1):(u.j * {sub} + {sub})] AS cv
+  FROM v, LATERAL unnest(generate_series(0, {m - 1})) u(j)
+  WHERE vec_id < {k}
+), sv AS (
+  SELECT vec_id, u.j, v[(u.j * {sub} + 1):(u.j * {sub} + {sub})] AS s
+  FROM v, LATERAL unnest(generate_series(0, {m - 1})) u(j)
+), assigned AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT sv.vec_id, sv.j, cents.c,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.j
+             ORDER BY {_SQL_L2.format(a='sv.s', b='cents.cv')} ASC,
+                      cents.c ASC) AS rn
+    FROM sv JOIN cents ON sv.j = cents.j
+  ) WHERE rn = 1
+), qsv AS (
+  SELECT vec_id AS query_id, j, s AS qs FROM sv WHERE vec_id IN ({ids})
+), adc AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, a.j,
+         {_SQL_L2.format(a='q.qs', b='c.cv')} AS d2
+  FROM assigned a
+  JOIN cents c ON a.j = c.j AND a.code = c.c
+  JOIN qsv q ON q.j = a.j
+  WHERE a.vec_id <> q.query_id
+), approx AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(0.0, list(d2 ORDER BY j)),
+                     (x, y) -> x + y) AS approx_d2
+  FROM adc GROUP BY query_id, neighbor_id
+), shortlist AS (
+  SELECT query_id, neighbor_id, approx_d2, sl_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_d2 ASC, neighbor_id ASC) AS sl_rank
+    FROM approx
+  ) WHERE sl_rank <= {_PQ_SHORTLIST}
+)"""
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search: corpus encoded to 8x3-bit codes (map-only,
+    zero-exchange — plan-asserted), ADC shortlist of 100 via broadcast
+    per-query lookup tables, exact-L2 rerank of the shortlist only.
+
+    At 100 TB the corpus-wide stage reads CODES (a ~32x byte shrink
+    over float32 vectors) and full vectors are fetched for just
+    |Q| x 100 id-keyed rows — which is the whole point of PQ serving.
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_search_topk(
+        emb, query_ids=_PQ_QUERIES, k=_PQ_K, shortlist=_PQ_SHORTLIST
+    )
+
+
+def _oracle_pq_topk() -> str:
+    return f"""
+WITH {_sql_pq_shortlist()}
+, rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_SQL_L2.format(a='qv.v', b='nv.v')} AS exact_d2
+  FROM shortlist s
+  JOIN v qv ON qv.vec_id = s.query_id
+  JOIN v nv ON nv.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY exact_d2 ASC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, round(exact_d2, 6) AS exact_d2,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_PQ_K}
+"""
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ two-stage search against exact L2 ground
+    truth — integer hit counts per query (the quantization residual
+    made measurable, the honesty check every lossy index ships with).
+
+    Because the rerank stage is exact, misses come only from shortlist
+    escapes; this query IS the dial for the shortlist size. Integer-
+    only output, so the hash check is trivially stable.
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = similarity.pq_search_topk(
+        emb, query_ids=_PQ_QUERIES, k=_PQ_K, shortlist=_PQ_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = v.where(F.col("vec_id").isin(list(_PQ_QUERIES))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = similarity.l2sq(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        v.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qv.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.lit(_PQ_K).alias("k"),
+        )
+    )
+
+
+def _oracle_pq_recall() -> str:
+    ids = ", ".join(str(i) for i in _PQ_QUERIES)
+    return f"""
+WITH {_sql_pq_shortlist()}
+, rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_SQL_L2.format(a='qv.v', b='nv.v')} AS exact_d2
+  FROM shortlist s
+  JOIN v qv ON qv.vec_id = s.query_id
+  JOIN v nv ON nv.vec_id = s.neighbor_id
+), pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY exact_d2 ASC, neighbor_id ASC) AS rank
+    FROM rer
+  ) WHERE rank <= {_PQ_K}
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qv.vec_id AS query_id, nv.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qv.vec_id
+             ORDER BY {_SQL_L2.format(a='qv.v', b='nv.v')} ASC,
+                      nv.vec_id ASC) AS rank
+    FROM v qv, v nv
+    WHERE qv.vec_id IN ({ids}) AND nv.vec_id <> qv.vec_id
+  ) WHERE rank <= {_PQ_K}
+)
+SELECT q.query_id,
+       CAST(coalesce((SELECT count(*) FROM pq
+                      JOIN truth ON pq.query_id = truth.query_id
+                                AND pq.neighbor_id = truth.neighbor_id
+                      WHERE pq.query_id = q.query_id), 0) AS BIGINT) AS n_hits,
+       {_PQ_K} AS k
+FROM (SELECT DISTINCT vec_id AS query_id FROM v
+      WHERE vec_id IN ({ids})) q
+"""
+
+
+#: dict the registry splices in: name -> (query fn, oracle sql or None)
+ROUND5D_QUERIES: dict = {
+    "ann_pq_adc_topk": (q_ann_pq_adc_topk, _oracle_pq_topk()),
+    "ann_pq_recall": (q_ann_pq_recall, _oracle_pq_recall()),
+}

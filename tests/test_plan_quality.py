@@ -514,3 +514,20 @@ def test_round5_wave2_plan_shapes(spark):
     # the interval predicate must ride on an equi-join (day bucket),
     # not a nested loop between the two interval sets
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*day", p, re.S)
+
+
+def test_pq_encode_map_only_and_adc_broadcast(spark):
+    """PQ: encoding must be a pure projection (zero exchanges, no
+    joins — it runs at scan speed on 100 TB), and the ADC search must
+    broadcast the query LUT side, never shuffle the corpus for the
+    scoring join."""
+    from etl_portofolio_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p = _plan(similarity.pq_encode(emb))
+    assert p.count("Exchange") == 0 and "Join" not in p
+
+    p = _plan(similarity.pq_adc_shortlist(emb))
+    assert "BroadcastNestedLoopJoin" in p  # 5-row LUT side, broadcast
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

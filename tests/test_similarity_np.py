@@ -102,3 +102,28 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     }
     release_cached()
     assert got2 == got
+
+
+def test_pq_codes_in_range_and_recall_floor(spark):
+    """PQ codes are valid centroid indexes and ADC recall@5 against
+    exact L2 is materially better than random (random recall for k=5
+    of 500 is ~1%; require >= 20% mean)."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators import similarity
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codes = similarity.pq_encode(emb)
+    stats = codes.selectExpr(
+        "min(code_0) a", "max(code_0) b", "min(code_3) c", "max(code_3) d"
+    ).first()
+    assert 0 <= stats.a and stats.b <= similarity.PQ_CENTROIDS - 1
+    assert 0 <= stats.c and stats.d <= similarity.PQ_CENTROIDS - 1
+
+    from etl_portofolio_spark.plans.round5d_queries import q_ann_pq_recall
+
+    rec = q_ann_pq_recall(spark, SF_DIR).collect()
+    assert rec and all(0 <= r.n_hits <= r.k for r in rec)
+    mean_recall = sum(r.n_hits / r.k for r in rec) / len(rec)
+    assert mean_recall >= 0.2, f"PQ recall collapsed: {mean_recall}"
