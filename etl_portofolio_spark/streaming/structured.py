@@ -255,3 +255,59 @@ def enrich_stream_static(
     enrichment stage is a silent-data-loss bug.
     """
     return events.join(F.broadcast(dim), on, how)
+
+
+def time_bounded_join_left(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 10,
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    matched to the same user's clicks in the preceding
+    ``window_minutes``, or with NULL click columns once the watermark
+    proves no match can arrive.
+
+    The outer-ness is the hard part of streaming joins: an unmatched
+    purchase cannot emit eagerly (its click may still be in flight),
+    so Spark holds it in state until the click-side watermark passes
+    ``purchase_ts`` (the top of its admissible click range) and only
+    then emits the null row. That gives the outer join the same
+    bounded-state guarantee as the inner form — state is O(window +
+    lateness), and every purchase is emitted exactly once. The
+    attribution consequence: conversion rows with no click surface as
+    organic conversions instead of silently vanishing (the same
+    no-silent-data-loss contract as ``enrich_stream_static``).
+
+    In batch mode the identical plan is a plain left outer join —
+    the test twin.
+    """
+    is_streaming = purchases.isStreaming
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if is_streaming:
+        p = p.withWatermark("purchase_ts", lateness)
+        c = c.withWatermark("click_ts", lateness)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return p.join(c, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

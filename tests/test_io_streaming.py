@@ -938,3 +938,68 @@ def test_enrich_stream_static_dim_is_pinned_and_fails_loudly(spark, tmp_path):
     # batch 0 served the pre-swap dimension; nothing stale ever emitted
     assert (0, 1, "v1") in out
     assert all(cat == "v1" for _, _, cat in out)
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join: matched rows equal
+    the inner join exactly, and unmatched purchases emit once with
+    NULL click columns after the click watermark passes them.
+
+    Null emission is watermark-gated, so purchases in the final
+    lateness tail may legitimately be withheld on a finite availableNow
+    run — the assertion brackets the null count between the batch
+    anti-join restricted to a conservative cutoff and the full batch
+    anti-join, instead of demanding tail equality.
+    """
+    from etl_portofolio_spark.streaming.structured import time_bounded_join_left
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).parquet(src)
+    joined = time_bounded_join_left(
+        s.where(F.col("event_type") == "purchase"),
+        s.where(F.col("event_type") == "click"),
+        window_minutes=10,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssloj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssloj")
+
+    batch = time_bounded_join_left(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        window_minutes=10,
+    )
+    # matched rows: exactly the batch inner/matched set
+    got_m = got.where(F.col("click_id").isNotNull())
+    exp_m = batch.where(F.col("click_id").isNotNull())
+    assert got_m.count() == exp_m.count() > 0
+    assert got_m.exceptAll(exp_m).count() == 0
+
+    # null rows: every one is a true batch non-match, and all
+    # non-matches older than (lateness + window) before the max event
+    # time must have been emitted
+    got_n = got.where(F.col("click_id").isNull())
+    exp_n = batch.where(F.col("click_id").isNull())
+    assert got_n.exceptAll(exp_n).count() == 0
+    # the global watermark is the MIN across both sides' watermarks, so
+    # null emission is gated by the CLICK stream's max event time
+    max_click_ts = (
+        ev.where(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    )
+    import datetime
+
+    cutoff = max_click_ts - datetime.timedelta(minutes=45)
+    must_emit = exp_n.where(F.col("purchase_ts") <= F.lit(cutoff)).count()
+    n_nulls = got_n.count()
+    assert must_emit <= n_nulls <= exp_n.count()
+    assert n_nulls > 0
