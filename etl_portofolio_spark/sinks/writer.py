@@ -405,3 +405,34 @@ def write_sorted_sequences(
         .save(path)
     )
     refresh_path(df.sparkSession, path)
+
+
+def partition_file_stats(
+    spark: SparkSession, path: str, partition_col: str
+) -> list[tuple[str, int, int]]:
+    """Per-partition (value, n_files, total_bytes) from a filesystem
+    listing — pure metadata, O(#partitions + #files), no data scan.
+
+    The observability half of the maintenance loop: `maintain_tables`
+    uses it to pick WHICH partitions deserve a compaction rewrite
+    instead of blindly rewriting the whole table (at 100 TB the cost
+    difference between "rewrite 2 hot days" and "rewrite the table"
+    is the whole game).
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    prefix = f"{partition_col}="
+    for entry in fs.listStatus(jpath):
+        name = entry.getPath().getName()
+        if entry.isDirectory() and name.startswith(prefix):
+            n_files = 0
+            n_bytes = 0
+            for f in fs.listStatus(entry.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += f.getLen()
+            out.append((name[len(prefix):], n_files, n_bytes))
+    return sorted(out)

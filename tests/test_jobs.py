@@ -321,3 +321,49 @@ def test_ann_index_probe_serves_near_neighbors(spark, tmp_path):
     # at nprobe=2 of 4 clusters the probe must recover at least one
     # true top-3 neighbor (deterministic on the fixture)
     assert truth & set(ids[1:]), f"no true neighbor in {ids}, truth {truth}"
+
+
+def test_maintain_tables_sweeps_and_compacts(spark, tmp_path):
+    """Maintenance loop: retention drops old partitions, compaction
+    rewrites ONLY over-threshold partitions down to the target file
+    count, values survive the rewrite, and a rerun is a no-op."""
+    from etl_portofolio_spark.jobs.maintain_tables import run_maintenance
+    from etl_portofolio_spark.sinks.writer import partition_file_stats
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024010{1 + i % 3}") for i in range(300)], "k long, ds string"
+    )
+    # 20 small files in each of 3 partitions
+    (
+        df.repartition(20)
+        .write.partitionBy("ds")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    before = dict(
+        (v, n) for v, n, _ in partition_file_stats(spark, path, "ds")
+    )
+    assert before["20240102"] >= 15
+
+    summary = run_maintenance(
+        spark,
+        path,
+        keep_from="20240102",
+        max_files_per_partition=8,
+    )
+    assert summary["dropped"] == ["20240101"]
+    assert set(summary["compacted"]) == {"20240102", "20240103"}
+    after = partition_file_stats(spark, path, "ds")
+    assert [v for v, _, _ in after] == ["20240102", "20240103"]
+    assert all(n <= 8 for _, n, _ in after)
+    # data intact for surviving partitions
+    got = spark.read.parquet(path)
+    assert got.count() == 200
+    assert got.where(F.col("ds") == "20240101").count() == 0
+
+    # rerun: nothing left to drop or compact
+    summary2 = run_maintenance(
+        spark, path, keep_from="20240102", max_files_per_partition=8
+    )
+    assert summary2["dropped"] == [] and summary2["compacted"] == {}
