@@ -63,6 +63,11 @@ HEADLINE = (
     "kl_divergence_score",
     "embedding_int8_quantize",
     "equi_depth_exact_scalable",
+    "sole_late_supplier",
+    "token_pmi_pairs",
+    "bigram_surprise_score",
+    "ann_pq_adc_topk",
+    "interval_overlap_campaigns",
 )
 
 

@@ -34,13 +34,34 @@ _SQL_L2 = (
 )
 
 
+_SQL_SELFDOT = (
+    "list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)),"
+    " (x, y) -> x + y)"
+)
+_SQL_DOTP = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _sql_pq_score(x: str, cv: str) -> str:
+    """The oracle twin of `similarity._pq_score`: the rank-surrogate
+    ``|c|² − 2·x·c``.  Spark folds |c|² to a Python-float literal and
+    the dot over element_at terms; both are sequential left folds over
+    the identical doubles, so the scores agree bit-for-bit."""
+    return (
+        f"({_SQL_SELFDOT.format(a=cv)}"
+        f" - 2.0 * {_SQL_DOTP.format(a=x, b=cv)})"
+    )
+
+
 def _sql_pq_shortlist() -> str:
     """Shared CTE chain: seeds → subvectors → codes → ADC shortlist.
 
-    Mirrors `similarity.pq_encode` / `pq_adc_shortlist` exactly:
-    the when-chain argmin (strictly-less keeps the earliest index)
-    equals ``row_number ORDER BY d2, c``; the fixed-j-order LUT sum
-    equals the ordered-list fold; every d2 is the same left-fold
+    Mirrors `similarity.pq_encode` / `pq_adc_shortlist` exactly: the
+    array_position-of-array_min argmin (first index wins ties) equals
+    ``row_number ORDER BY score, c``; the fixed-j-order LUT sum equals
+    the ordered-list fold; every score is the same left-fold
     expression tree, so doubles agree bit-for-bit.
     """
     m, k = similarity.PQ_SUBSPACES, similarity.PQ_CENTROIDS
@@ -61,7 +82,7 @@ def _sql_pq_shortlist() -> str:
   SELECT vec_id, j, c AS code FROM (
     SELECT sv.vec_id, sv.j, cents.c,
            row_number() OVER (PARTITION BY sv.vec_id, sv.j
-             ORDER BY {_SQL_L2.format(a='sv.s', b='cents.cv')} ASC,
+             ORDER BY {_sql_pq_score('sv.s', 'cents.cv')} ASC,
                       cents.c ASC) AS rn
     FROM sv JOIN cents ON sv.j = cents.j
   ) WHERE rn = 1
@@ -69,20 +90,20 @@ def _sql_pq_shortlist() -> str:
   SELECT vec_id AS query_id, j, s AS qs FROM sv WHERE vec_id IN ({ids})
 ), adc AS (
   SELECT q.query_id, a.vec_id AS neighbor_id, a.j,
-         {_SQL_L2.format(a='q.qs', b='c.cv')} AS d2
+         {_sql_pq_score('q.qs', 'c.cv')} AS score
   FROM assigned a
   JOIN cents c ON a.j = c.j AND a.code = c.c
   JOIN qsv q ON q.j = a.j
   WHERE a.vec_id <> q.query_id
 ), approx AS (
   SELECT query_id, neighbor_id,
-         list_reduce(list_prepend(0.0, list(d2 ORDER BY j)),
-                     (x, y) -> x + y) AS approx_d2
+         list_reduce(list_prepend(0.0, list(score ORDER BY j)),
+                     (x, y) -> x + y) AS adc_score
   FROM adc GROUP BY query_id, neighbor_id
 ), shortlist AS (
-  SELECT query_id, neighbor_id, approx_d2, sl_rank FROM (
+  SELECT query_id, neighbor_id, adc_score, sl_rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY approx_d2 ASC, neighbor_id ASC) AS sl_rank
+                ORDER BY adc_score ASC, neighbor_id ASC) AS sl_rank
     FROM approx
   ) WHERE sl_rank <= {_PQ_SHORTLIST}
 )"""
