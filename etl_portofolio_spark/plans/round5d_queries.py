@@ -234,3 +234,99 @@ ROUND5D_QUERIES: dict = {
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, _oracle_pq_topk()),
     "ann_pq_recall": (q_ann_pq_recall, _oracle_pq_recall()),
 }
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic cluster pruning
+# ---------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.35
+
+
+def q_semantic_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup by cluster-then-prune (the SemDeDup recipe):
+    k-means-assign every embedding to a coarse cluster, then drop
+    vectors that have a higher-priority (lower-id) near-duplicate IN
+    THE SAME CLUSTER — per-cluster kept/pruned counts out.
+
+    The clustering IS the blocker: pairwise cosine runs only inside a
+    cluster (an equi-join on cluster_id), so the pair fan-out is
+    bounded by cluster population — never corpus-quadratic, same
+    discipline as the LSH near-dup path but driven by the semantic
+    partition a pretraining pipeline already maintains.  The
+    assignment frame feeds three branches (both pair sides + the
+    summary), so it is scoped-persisted under the caller-released
+    cache contract.
+    """
+    from etl_portofolio_spark.caching import scoped_persist
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = scoped_persist(similarity.ivf_assign(emb))
+    a = assigned.select(
+        F.col("cluster_id"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster_id"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pruned = (
+        a.join(b, ["cluster_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(similarity.cosine(F.col("va"), F.col("vb")) >= _SEM_THRESHOLD)
+        .select("id_b")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, F.col("vec_id") == F.col("id_b"), "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce("is_pruned", F.lit(0))).alias("n_pruned"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            "n_pruned",
+            (F.col("n_vectors") - F.col("n_pruned")).alias("n_kept"),
+        )
+    )
+
+
+def _oracle_semantic_prune() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _sql_cosine
+
+    k = 8
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {k}
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS cluster_id FROM (
+    SELECT v.vec_id, v.v, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.v', 'c.cv')} DESC, c.centroid_id ASC) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), pruned AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine('a.v', 'b.v')} >= {_SEM_THRESHOLD}
+)
+SELECT cluster_id, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       CAST(count(*) - sum(CASE WHEN id_b IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM assigned LEFT JOIN pruned ON assigned.vec_id = pruned.id_b
+GROUP BY cluster_id
+"""
+
+
+ROUND5D_QUERIES["semantic_cluster_prune"] = (
+    q_semantic_cluster_prune,
+    _oracle_semantic_prune(),
+)

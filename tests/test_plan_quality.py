@@ -531,3 +531,23 @@ def test_pq_encode_map_only_and_adc_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p  # 5-row LUT side, broadcast
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_semantic_prune_pairs_keyed_on_cluster(spark):
+    """SemDeDup-style pruning: the pairwise stage must be an equi-join
+    on cluster_id (the clustering is the blocker), never corpus-
+    quadratic."""
+    import re
+
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.plans.round5d_queries import (
+        q_semantic_cluster_prune,
+    )
+
+    spark.catalog.clearCache()
+    p = _plan(q_semantic_cluster_prune(spark, SF_DIR))
+    release_cached()
+    assert "CartesianProduct" not in p
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*cluster_id", p, re.S
+    )
