@@ -106,3 +106,66 @@ def salted_join(
     )
     joined = big_s.join(small_r, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Misra-Gries candidate keys with O(k) memory PER PARTITION.
+
+    Each Arrow batch folds into at most k counters (add batch counts,
+    then repeatedly subtract the smallest counter and drop zeros until
+    <= k survive — the summary-merge form of MG decrements). Pigeonhole
+    + the MG undercount bound give the containment guarantee this
+    operator exists for: any key with GLOBAL frequency > N/k has
+    frequency > n_p/k in at least one partition and therefore survives
+    that partition's summary. Output is the ≤ |partitions|·k candidate
+    keys — the bounded-memory alternative to a full groupBy when the
+    key domain itself doesn't fit (billions of distinct keys at 100 TB,
+    where the exact count's shuffle IS the bottleneck).
+
+    False positives are expected (and cheap — the verifier exact-counts
+    only candidates); false negatives are impossible, which is what
+    makes the two-phase result exact.
+    """
+    import pandas as pd
+
+    out_schema = df.select(key_col).schema
+
+    def fold(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {
+                    kk: c - m for kk, c in counters.items() if c - m > 0
+                }
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(fold, schema=out_schema).distinct()
+
+
+def heavy_hitters_exact_via_sketch(
+    df: DataFrame, key_col: str, denom: int
+) -> DataFrame:
+    """Keys with frequency > N/denom, computed WITHOUT a full-domain
+    groupBy: MG candidates first (bounded memory, no shuffle of the
+    domain), then an exact count of candidate keys only (broadcast
+    semi-join prunes the scan side before its aggregation).
+
+    The MG containment guarantee makes the output exactly equal to the
+    brute-force HAVING query — the sketch only prunes work, never
+    changes the answer — which is why this carries a plain-SQL oracle.
+    """
+    cands = mg_candidates(df, key_col, denom)
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_rows") * F.lit(denom) > F.col("n_total"))
+        .select(key_col, "n_rows")
+    )

@@ -520,3 +520,41 @@ ROUND5C_QUERIES: dict = {
         ORACLE_INTERVAL_OVERLAP,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Two-phase heavy hitters: Misra-Gries candidates + exact verification
+# ---------------------------------------------------------------------------
+
+_MG_DENOM = 8
+
+
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys holding > 1/8 of the events table, found the bounded-memory
+    way: Misra-Gries candidate generation per partition (O(8) counters,
+    no full-domain shuffle — `operators/skew.mg_candidates`), then an
+    exact count of candidates only.
+
+    The companion to ``heavy_hitter_keys`` (which exact-counts the
+    whole domain): at 100 TB with billions of distinct keys the full
+    groupBy's shuffle is the bottleneck, while this plan shuffles only
+    ≤ |partitions|·8 candidate keys + their verified counts. The MG
+    containment guarantee (no false negatives) makes the result
+    IDENTICAL to the brute-force HAVING query — which is exactly what
+    the oracle checks.
+    """
+    from etl_portofolio_spark.operators import skew
+
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    return skew.heavy_hitters_exact_via_sketch(events, "event_type", _MG_DENOM)
+
+
+ORACLE_MG_HEAVY = f"""
+SELECT event_type, count(*) AS n_rows
+FROM events GROUP BY event_type
+HAVING count(*) * {_MG_DENOM} > (SELECT count(*) FROM events)
+"""
+
+
+ROUND5C_QUERIES["heavy_hitters_sketch"] = (q_heavy_hitters_sketch, ORACLE_MG_HEAVY)

@@ -56,3 +56,24 @@ def test_salted_join_rejects_outer(spark):
     b = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="inner/left only"):
         salted_join(a, b, key="k", salt_from="k", how="full")
+
+
+def test_mg_candidates_containment_guarantee(spark):
+    """Misra-Gries candidates must contain EVERY key with global
+    frequency > N/k (no false negatives), on a skewed synthetic frame
+    spread across many partitions."""
+    from etl_portofolio_spark.operators import skew
+
+    rows = (
+        [("hot",)] * 4000
+        + [("warm",)] * 1500
+        + [(f"cold{i}",) for i in range(4500)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+    k = 8  # threshold N/k = 10000/8 = 1250
+    cands = {r.k for r in skew.mg_candidates(df, "k", k).collect()}
+    assert {"hot", "warm"} <= cands  # both above threshold
+
+    exact = skew.heavy_hitters_exact_via_sketch(df, "k", k)
+    got = {(r.k, r.n_rows) for r in exact.collect()}
+    assert got == {("hot", 4000), ("warm", 1500)}
