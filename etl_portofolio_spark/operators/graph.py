@@ -80,3 +80,58 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    rounds: int | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling; returns the surviving
+    ``(node, degree)`` frame — degree measured in the final subgraph.
+
+    Input is an undirected edge list (one row per edge, src < dst).
+    Each peel round is one symmetrize + one degree aggregation + one
+    semi-join filter of the edge list — |edges| shuffled per round on
+    the node key, the Pregel-style cost model; ``localCheckpoint``
+    truncates lineage so round N never replays rounds 1..N-1.
+
+    ``rounds`` runs EXACTLY that many peels (deterministic plan depth —
+    the oracle-checkable form); ``rounds=None`` peels to the fixpoint
+    (the true k-core) and raises after ``max_iters`` instead of
+    spinning forever on a bug — the ``connected_components``
+    discipline.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    n_iters = rounds if rounds is not None else max_iters
+    for _ in range(n_iters):
+        sym = e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n"))
+        )
+        deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("n")
+        e2 = (
+            e.join(keep, F.col("u") == F.col("n"), "left_semi")
+            .join(keep, F.col("v") == F.col("n"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if rounds is None:
+            before = e.count()
+            if e2.count() == before:
+                e = e2
+                break
+            e = e2
+        else:
+            e = e2
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"kcore failed to converge within {max_iters} peels"
+            )
+    sym = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    return sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))

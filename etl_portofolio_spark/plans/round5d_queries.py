@@ -330,3 +330,79 @@ ROUND5D_QUERIES["semantic_cluster_prune"] = (
     q_semantic_cluster_prune,
     _oracle_semantic_prune(),
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling on the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 2
+_KCORE_MIN_COOC = 2
+
+
+def q_part_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peel rounds of the 3-core over the part co-occurrence graph
+    — the density-community member of the graph family (PageRank =
+    influence, connected components = reachability, triangles = local
+    clustering, k-core = global density shells).
+
+    The graph: parts co-ordered in >= 2 distinct orders (the weight
+    floor keeps the co-occurrence graph sparse instead of complete —
+    the same reason basket-pair mining thresholds). Each peel is one
+    degree aggregation + one semi-join edge filter with localCheckpoint
+    lineage truncation (`operators/graph.kcore`); the FIXED round count
+    makes the plan depth deterministic, which is what lets a CTE-unroll
+    oracle check it. The fixpoint variant (rounds=None) is the
+    operator's production mode, convergence-tested separately.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= _KCORE_MIN_COOC)
+        .select("u", "v")
+    )
+    from etl_portofolio_spark.operators import graph
+
+    return graph.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _oracle_kcore() -> str:
+    peels = []
+    prev = "e0"
+    for r in range(_KCORE_ROUNDS):
+        peels.append(f"""d{r} AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+  ) GROUP BY n
+), k{r} AS (
+  SELECT n FROM d{r} WHERE deg >= {_KCORE_K}
+), e{r + 1} AS (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
+)""")
+        prev = f"e{r + 1}"
+    chain = ",\n".join(peels)
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_KCORE_MIN_COOC}
+),
+{chain}
+SELECT node, count(*) AS degree FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+) GROUP BY node
+"""
+
+
+ROUND5D_QUERIES["part_kcore_peel"] = (q_part_kcore_peel, _oracle_kcore())

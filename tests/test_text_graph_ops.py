@@ -173,3 +173,43 @@ def test_pagerank_ranks_hub_highest(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
     assert ranks[1] > max(ranks[s] for s in spokes)
     release_cached()
+
+
+def test_kcore_fixpoint_matches_naive(spark):
+    """kcore(rounds=None) must converge to the exact k-core a naive
+    Python peel computes, and raise rather than spin when given an
+    impossible iteration budget."""
+    import pytest
+
+    from etl_portofolio_spark.operators import graph
+
+    edges = [
+        # a 4-clique (3-core) with pendant chains hanging off it
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+        ("d", "e"), ("e", "f"), ("f", "g"),  # chain peels away
+        ("x", "y"),  # isolated edge peels away
+    ]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {
+        (r.node, r.degree)
+        for r in graph.kcore(df, k=3, rounds=None).collect()
+    }
+    assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+    # naive reference on the same edges
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < 3]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    assert got == {(n, len(nb)) for n, nb in adj.items()}
+
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.kcore(df, k=3, rounds=None, max_iters=1)
