@@ -558,3 +558,65 @@ HAVING count(*) * {_MG_DENOM} > (SELECT count(*) FROM events)
 
 
 ROUND5C_QUERIES["heavy_hitters_sketch"] = (q_heavy_hitters_sketch, ORACLE_MG_HEAVY)
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability score
+# ---------------------------------------------------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Flesch reading-ease approximation — the classic
+    surface-form readability gate next to the statistical quality
+    scores (a doc can pass length/stopword gates and still be
+    unreadably dense).
+
+    All three inputs are regexp COUNTS evaluated at scan speed (no
+    explode, no token rows): words = whitespace runs + 1, sentences =
+    [.!?] runs (floored at 1), syllables ~ vowel groups (the standard
+    cheap proxy; both engines count with the same pattern so the
+    approximation cancels in the hash check). Map-only, zero-shuffle
+    plan; the formula is one rounded double from integer counts.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    words = F.regexp_count(t, F.lit(r"\s+")) + F.lit(1)
+    sentences = F.greatest(F.lit(1), F.regexp_count(t, F.lit(r"[.!?]+")))
+    syllables = F.greatest(F.lit(1), F.regexp_count(t, F.lit("[aeiouy]+")))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(score, 4).alias("flesch_score"),
+    )
+
+
+ORACLE_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(trim(text)), '\s+')) + 1 AS n_words,
+         greatest(1, len(regexp_extract_all(lower(trim(text)), '[.!?]+')))
+           AS n_sentences,
+         greatest(1, len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')))
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             4) AS flesch_score
+FROM c
+"""
+
+
+ROUND5C_QUERIES["text_readability"] = (q_text_readability, ORACLE_READABILITY)
