@@ -620,3 +620,99 @@ FROM c
 
 
 ROUND5C_QUERIES["text_readability"] = (q_text_readability, ORACLE_READABILITY)
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 VARIANT semi-structured path
+# ---------------------------------------------------------------------------
+
+
+def q_variant_props_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the Spark 4 VARIANT type: one
+    ``parse_json`` into a variant column at scan, typed
+    ``variant_get`` extraction downstream — the open-schema companion
+    to ``json_props_extract``'s declared-schema ``from_json`` (VARIANT
+    keeps the full document navigable when the schema is not known
+    up front, at a binary-encoded storage cost instead of re-parsing
+    text per field access).
+
+    Output: per event_type, decile-bucket histogram of the extracted
+    metric — integers only.
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    v = events.withColumn("props_v", F.parse_json("props"))
+    k = F.variant_get(F.col("props_v"), "$.k", "int")
+    return (
+        v.select("event_type", (F.floor(k / 10)).cast("int").alias("k_decile"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_VARIANT_DECILES = """
+SELECT event_type,
+       CAST(floor(CAST(props::JSON->>'k' AS INTEGER) / 10) AS INTEGER)
+         AS k_decile,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+ROUND5C_QUERIES["variant_props_deciles"] = (
+    q_variant_props_deciles,
+    ORACLE_VARIANT_DECILES,
+)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity report
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (segment x nation):
+    every equivalence class with its population and an at-risk flag
+    for classes below k — the data-governance gate run before any
+    customer-level export, next to ``text_pii_redact``'s content-level
+    scrub.
+
+    One combinable groupBy over the quasi-identifier tuple; at 100 TB
+    the class count (not the row count) bounds the result, and the
+    aggregation is map-side-combinable like any count. Suppression /
+    generalization decisions consume this report; the query stays a
+    pure audit.
+    """
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_mktsegment", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_mktsegment",
+            "nation",
+            "class_size",
+            (F.col("class_size") < _KANON_K).alias("at_risk"),
+        )
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+SELECT c_mktsegment, n_name AS nation, count(*) AS class_size,
+       (count(*) < {_KANON_K}) AS at_risk
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+ROUND5C_QUERIES["k_anonymity_report"] = (
+    q_k_anonymity_report,
+    ORACLE_K_ANONYMITY,
+)
