@@ -508,3 +508,198 @@ ROUND5B_QUERIES: dict = {
         ORACLE_IDLE_CUSTOMER_BALANCE,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item top customers
+# ---------------------------------------------------------------------------
+
+_Q10_START = "1996-01-01"
+_Q10_END = "1996-07-01"
+_Q10_TOPN = 20
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by revenue lost to returned items in a half-year
+    window (TPC-H Q10 shape).
+
+    The date filter prunes the orders scan BEFORE its join (pushed
+    predicate), the returnflag filter prunes lineitem likewise, and
+    the top-N is a TakeOrdered (never a global sort).  Joins stay on
+    the orderkey/custkey spine; nation broadcasts.  Revenue in exact
+    1e-4 cents so ordering ties are impossible across engines.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(_Q10_START))
+                & (F.col("o_orderdate") < F.lit(_Q10_END))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
+        .limit(_Q10_TOPN)
+    )
+
+
+ORACLE_RETURNED_ITEM_CUSTOMERS = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(sum({_sql_cents("l_extendedprice * (1 - l_discount)", 4)}) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '{_Q10_START}' AND o_orderdate < DATE '{_Q10_END}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c4 DESC, c_custkey ASC
+LIMIT {_Q10_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier diversity with NOT-IN exclusion
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = (15, 25, 35)
+
+
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, size) for selected sizes,
+    EXCLUDING disqualified suppliers (TPC-H Q16 shape; the exclusion
+    set is negative-balance suppliers, the fixture's stand-in for the
+    complaints filter; part×supplier pairs derive from lineitem).
+
+    The NOT IN subquery becomes a broadcast LEFT ANTI join against the
+    (tiny) exclusion set — the three-valued-logic trap of NOT IN with
+    nullable columns is pinned separately in `not_in_three_valued`;
+    here suppkeys are non-null so anti-join semantics coincide.
+    countDistinct shuffles (brand, size, suppkey) once with map-side
+    partial dedup.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            part.where(F.col("p_size").isin(list(_Q16_SIZES))).select(
+                "p_partkey", "p_brand", "p_size"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_SUPPLIER_DIVERSITY = f"""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested-semi-join chain (excess-stock suppliers)
+# ---------------------------------------------------------------------------
+
+_Q20_NAME_PREFIX = "red%"
+_Q20_YEAR_START = "1996-01-01"
+_Q20_YEAR_END = "1997-01-01"
+_Q20_MIN_QTY = 60
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved an excess quantity of any 'red' part during
+    one year (TPC-H Q20 shape: a chain of nested IN subqueries).
+
+    The literal form is three nested INs (supplier IN (... part IN
+    (...) ... quantity > (SELECT ...))); the Spark plan flattens the
+    chain into aggregates + semi-joins running INward-out: per
+    (part, supplier) year quantities (one groupBy on an already-
+    needed key), semi-joined to the name-filtered part side, HAVING
+    the threshold, then a final semi-join onto supplier.  Every step
+    is keyed; nothing correlates per outer row.  The nation broadcast
+    caps the output dimension.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(_Q20_YEAR_START))
+            & (F.col("l_shipdate") < F.lit(_Q20_YEAR_END))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > _Q20_MIN_QTY)
+    )
+    red = part.where(F.col("p_name").like(_Q20_NAME_PREFIX.replace("%", "") + "%")).select(
+        "p_partkey"
+    )
+    excess = (
+        agg.join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+ORACLE_EXCESS_STOCK_SUPPLIERS = f"""
+SELECT s_suppkey AS suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '{_Q20_NAME_PREFIX}')
+    AND l_shipdate >= DATE '{_Q20_YEAR_START}'
+    AND l_shipdate < DATE '{_Q20_YEAR_END}'
+  GROUP BY l_partkey, l_suppkey
+  HAVING CAST(sum(l_quantity) AS BIGINT) > {_Q20_MIN_QTY}
+)
+"""
+
+
+ROUND5B_QUERIES["returned_item_customers"] = (
+    q_returned_item_customers,
+    ORACLE_RETURNED_ITEM_CUSTOMERS,
+)
+ROUND5B_QUERIES["supplier_diversity"] = (
+    q_supplier_diversity,
+    ORACLE_SUPPLIER_DIVERSITY,
+)
+ROUND5B_QUERIES["excess_stock_suppliers"] = (
+    q_excess_stock_suppliers,
+    ORACLE_EXCESS_STOCK_SUPPLIERS,
+)
