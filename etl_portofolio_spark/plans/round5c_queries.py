@@ -716,3 +716,126 @@ ROUND5C_QUERIES["k_anonymity_report"] = (
     q_k_anonymity_report,
     ORACLE_K_ANONYMITY,
 )
+
+
+# ---------------------------------------------------------------------------
+# Geo proximity join: grid blocking + haversine residual
+# ---------------------------------------------------------------------------
+
+_GEO_RADIUS_KM = 500.0
+_GEO_CELL_DEG = 5
+
+
+def q_geo_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer pairs within 500 km — the geo member of the blocked-
+    join family (the reference's processing table carries latitude/
+    longitude columns; the fixture has none, so coordinates derive
+    deterministically from the same md5 hash both engines share).
+
+    A distance-only join is a cartesian, so points map to a 5° grid
+    and each LEFT point explodes to its 3x5 cell neighborhood (±1 lat
+    cell covers 500 km everywhere; ±2 lon cells cover it up to the
+    |lat| <= 60° domain of the synthetic coordinates, where 5° of
+    longitude is >= 278 km) — the join is an EQUI-join on the cell,
+    haversine runs on candidates only, id_a < id_b dedups the
+    symmetric match. Same shape as the LSH/band/day-bucket blockers:
+    grid granularity trades candidate count against fan-out.
+    Haversine is an identical expression tree on both engines; the
+    ~1-ulp libm differences sit 9 orders of magnitude below the
+    rounded output and the 500.0 threshold margin.
+    """
+    from etl_portofolio_spark.functions.hashing import h32
+
+    apply_runtime_confs(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.col("c_custkey").alias("id"),
+        ((h32("c_name") % 1200).cast("double") / F.lit(10.0) - F.lit(60.0)).alias(
+            "lat"
+        ),
+        (
+            (h32(F.concat(F.col("c_name"), F.lit(":lon"))) % 3600).cast("double")
+            / F.lit(10.0)
+            - F.lit(180.0)
+        ).alias("lon"),
+    )
+    cell_lat = F.floor(F.col("lat") / _GEO_CELL_DEG).cast("int")
+    cell_lon = F.floor(F.col("lon") / _GEO_CELL_DEG).cast("int")
+    n_lon_cells = 360 // _GEO_CELL_DEG
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("dlat"),
+        cell_lat.alias("cla"),
+        cell_lon.alias("clo"),
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        (F.col("cla") + F.col("dlat")).alias("cell_lat"),
+        F.explode(F.array(*[F.lit(d) for d in (-2, -1, 0, 1, 2)])).alias("dlon"),
+        "clo",
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        "cell_lat",
+        # longitude cells wrap at the antimeridian: cell -36 and cell
+        # +35 are neighbors on the globe — pmod closes the ring
+        F.pmod(F.col("clo") + F.col("dlon"), F.lit(n_lon_cells)).alias(
+            "cell_lon"
+        ),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        cell_lat.alias("cell_lat"),
+        F.pmod(cell_lon, F.lit(n_lon_cells)).alias("cell_lon"),
+    )
+    dist = F.lit(12742.0) * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat_b") - F.col("lat_a")) / 2), 2)
+            + F.cos(F.radians("lat_a"))
+            * F.cos(F.radians("lat_b"))
+            * F.pow(F.sin(F.radians(F.col("lon_b") - F.col("lon_a")) / 2), 2)
+        )
+    )
+    return (
+        a.join(b, ["cell_lat", "cell_lon"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist_km"))
+        .where(F.col("dist_km") <= _GEO_RADIUS_KM)
+        .select("id_a", "id_b", F.round("dist_km", 3).alias("dist_km"))
+    )
+
+
+def _oracle_geo_pairs() -> str:
+    from etl_portofolio_spark.functions.hashing import h32_sql
+
+    lat = f"CAST({h32_sql('c_name')} % 1200 AS DOUBLE) / 10.0 - 60.0"
+    lon = f"CAST({h32_sql(chr(39) + chr(39) + ' || c_name || ' + chr(39) + ':lon' + chr(39))} % 3600 AS DOUBLE) / 10.0 - 180.0"
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {lat} AS lat, {lon} AS lon FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(12742.0 * asin(sqrt(
+         pow(sin(radians(b.lat - a.lat) / 2), 2)
+         + cos(radians(a.lat)) * cos(radians(b.lat))
+           * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS dist_km
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE 12742.0 * asin(sqrt(
+        pow(sin(radians(b.lat - a.lat) / 2), 2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= {_GEO_RADIUS_KM}
+"""
+
+
+ROUND5C_QUERIES["geo_proximity_pairs"] = (
+    q_geo_proximity_pairs,
+    _oracle_geo_pairs(),
+)

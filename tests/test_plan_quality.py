@@ -551,3 +551,21 @@ def test_semantic_prune_pairs_keyed_on_cluster(spark):
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*cluster_id", p, re.S
     )
+
+
+def test_geo_proximity_is_grid_equi_join(spark):
+    """The geo proximity join must ride on the grid-cell equi-join
+    (haversine only as a candidate residual), never a distance-only
+    nested loop."""
+    from etl_portofolio_spark.plans.round5c_queries import (
+        q_geo_proximity_pairs,
+    )
+
+    p = _plan(q_geo_proximity_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    import re
+
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*cell_", p, re.S
+    )
