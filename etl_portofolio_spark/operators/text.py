@@ -327,3 +327,43 @@ def chunk_manifest(
         F.size(chunk).cast("long").alias("n_tok_chunk"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+def compression_ratio(
+    df, id_col: str, text_col: str, level: int = 6
+):
+    """Per-doc zlib compression ratio — the Gopher-style redundancy
+    signal (template spam and boilerplate compress far below natural
+    prose; random noise compresses above it).
+
+    zlib is not expressible in SQL, so this is one of the engine's few
+    Arrow ``mapInPandas`` crossings: batches of (id, text) in, batches
+    of (id, n_bytes, n_compressed, ratio) out — no state, no shuffle,
+    scan-parallel. DETERMINISTIC for a fixed zlib version/level
+    (identical input bytes → identical stream), which the operator
+    test pins with known strings; there is no DuckDB oracle twin, so
+    the gate is the test, not the differential.
+    """
+    import pandas as pd
+    import zlib
+
+    def score(batches):
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.str.len()
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "ratio": (
+                        comp / n.where(n > 0, 1)
+                    ).round(6),
+                }
+            )
+
+    schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+    return df.select(id_col, text_col).mapInPandas(score, schema=schema)

@@ -213,3 +213,32 @@ def test_kcore_fixpoint_matches_naive(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         graph.kcore(df, k=3, rounds=None, max_iters=1)
+
+
+def test_compression_ratio_separates_redundancy(spark):
+    """zlib ratio must rank: repeated template << natural-ish prose <
+    incompressible hex noise; values deterministic across calls."""
+    from etl_portofolio_spark.operators import text as T
+
+    rows = [
+        (1, "spam spam spam " * 50),
+        (2, "the quick brown fox jumps over the lazy dog and then "
+            "wanders off toward the river bank looking for food"),
+        (3, "".join(__import__("hashlib").md5(str(i).encode()).hexdigest()
+                    for i in range(8))),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.compression_ratio(df, "doc_id", "text").collect()}
+    # template collapses; hex noise stays near-incompressible (zlib
+    # needs >= 4 bits/char for a 16-symbol alphabet). Prose vs noise
+    # ordering is length-confounded at these sizes, so only the
+    # template<<rest contract is asserted.
+    assert got[1].ratio < 0.1 < got[2].ratio
+    assert got[3].ratio > 0.5
+    assert got[4].n_bytes == 0 and got[4].n_compressed > 0
+    again = {
+        r.doc_id: r.ratio
+        for r in T.compression_ratio(df, "doc_id", "text").collect()
+    }
+    assert all(again[k] == got[k].ratio for k in again)
