@@ -22,7 +22,12 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 from typing import Callable, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 #: The reference's request/response columns (`Ingestion Data (XML).py:95-102`,
@@ -148,6 +153,58 @@ class XmlApiDataSource(DataSource):
     def reader(self, schema: StructType) -> XmlApiReader:
         return XmlApiReader(schema, dict(self.options))
 
+    def streamReader(self, schema: StructType) -> "XmlApiStreamReader":
+        return XmlApiStreamReader(schema, dict(self.options))
+
 
 def register_xml_api(spark) -> None:
     spark.dataSource.register(XmlApiDataSource)
+
+
+class XmlApiStreamReader(DataSourceStreamReader):
+    """Structured-Streaming reader for the same API: the reference's
+    hand-rolled 5-minute ``while`` loop (`Ingestion Data (XML).py:70-162`)
+    as a REAL micro-batch source with checkpointable offsets.
+
+    Offsets are window starts ({"t": "<ts>"}). ``latestOffset``
+    reports what the SOURCE has available — ``endtime``, standing in
+    for "the last complete window before now" in a live deployment —
+    never a function of the committed position (the engine owns that;
+    a reader that advances "committed+1" breaks checkpoint recovery,
+    where a fresh reader instance must still see all available data).
+    Window fetches stay EXECUTOR-side: ``partitions(start, end)``
+    plans one InputPartition per window between the offsets and
+    ``read`` reuses the batch reader's fetch+parse, so the streaming
+    path inherits the distributed-fetch fix over the reference's
+    driver-RAM pandas path. Restart semantics (test-pinned): resuming
+    the checkpoint with no new data is a no-op; extending ``endtime``
+    (new windows became available) reads ONLY the delta windows.
+    """
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._batch = XmlApiReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"t": self._batch.start}
+
+    def latestOffset(self) -> dict:
+        return {"t": self._batch.end}
+
+    def partitions(self, start: dict, end: dict) -> list[WindowPartition]:
+        t0 = datetime.strptime(start["t"], TIME_FMT)
+        t1 = datetime.strptime(end["t"], TIME_FMT)
+        delta = timedelta(minutes=self._batch.window_minutes)
+        out = []
+        while t0 < t1:
+            w_end = min(t0 + delta, t1)
+            out.append(
+                WindowPartition(t0.strftime(TIME_FMT), w_end.strftime(TIME_FMT))
+            )
+            t0 = w_end
+        return out
+
+    def read(self, partition: WindowPartition) -> Iterator[tuple]:
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -1003,3 +1003,47 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
     n_nulls = got_n.count()
     assert must_emit <= n_nulls <= exp_n.count()
     assert n_nulls > 0
+
+
+def test_xml_api_stream_reader_micro_batches(spark, tmp_path):
+    """The streaming face of the xmlapi source: checkpointable window
+    offsets — a drain, an idempotent resume, and an incremental
+    catch-up that reads only the newly-available window."""
+    register_xml_api(spark)
+    opts = {
+        "fetcher": "tests.test_io_streaming:fake_fetch",
+        "starttime": "2024-01-01 00:00:00",
+        "endtime": "2024-01-01 00:15:00",
+        "windowminutes": "5",
+    }
+    # availableNow captures latestOffset once per run, and the reader
+    # advances maxwindowsperbatch=1 window per capture — so each run is
+    # one micro-batch, and restarting from the same checkpoint RESUMES
+    # at the committed offset: counts must step 7 -> 14 -> 21.
+    out = str(tmp_path / "out")
+
+    def run(o):
+        stream = spark.readStream.format("xmlapi").options(**o).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    # first run drains all 3 available windows
+    assert run(opts) == 3 * _FAKE_ROWS
+    # resuming the checkpoint with no new data is a no-op
+    assert run(opts) == 3 * _FAKE_ROWS
+    # a new window became available: ONLY the delta is read
+    opts4 = dict(opts, endtime="2024-01-01 00:20:00")
+    assert run(opts4) == 4 * _FAKE_ROWS
+
+    got = spark.read.parquet(out)
+    batch = spark.read.format("xmlapi").options(**opts4).load()
+    assert got.count() == batch.count() == 4 * _FAKE_ROWS
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
