@@ -1,0 +1,196 @@
+"""Round-5 fourth wave: customer segmentation + incremental view
+maintenance.
+
+Two closers for the analytics surface: RFM segmentation built on
+scalar quantile thresholds (the scale-safe alternative to a global
+``ntile`` — no single-task sort anywhere), and the four-term delta
+expansion of a JOIN materialized view (the join-side companion to
+``incremental_rollup_merge``'s algebraic aggregate maintenance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.plans.analytics_queries import _sql_cents, cents
+from etl_portofolio_spark.session import apply_runtime_confs
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via broadcast quantile thresholds
+# ---------------------------------------------------------------------------
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation: every customer scored
+    1-5 on each axis, segments aggregated.
+
+    The textbook formulation is ``ntile(5) OVER (ORDER BY metric)`` —
+    three SINGLE-TASK global sorts.  Here each axis instead gets its
+    exact interpolating quintile thresholds from ONE aggregate row
+    (``percentile`` — sort-based exact, fine for 3 scalars; the
+    sketch form is the 100 TB default) broadcast into a map-side
+    bucket compare: score = 1 + Σ (metric > q_i).  Equal-value runs
+    land in one bucket on both engines (ntile would split them
+    arbitrarily), which is also what makes the result hash-stable.
+    Recency is days-since-last-order against the corpus max date
+    (broadcast scalar), so LOWER r_days means a fresher customer.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum(cents("o_totalprice")).alias("m_cents"),
+    )
+    maxday = per_cust.agg(F.max("last_day").alias("corpus_max"))
+    rfm = per_cust.crossJoin(F.broadcast(maxday)).select(
+        "o_custkey",
+        F.datediff("corpus_max", "last_day").cast("long").alias("r_days"),
+        "f_orders",
+        "m_cents",
+    )
+    th = rfm.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c}_q{int(p * 100)}")
+            for c in ("r_days", "f_orders", "m_cents")
+            for p in _RFM_QS
+        ]
+    )
+
+    def score(c: str):
+        s = F.lit(1)
+        for p in _RFM_QS:
+            s = s + (F.col(c) > F.col(f"{c}_q{int(p * 100)}")).cast("int")
+        return s
+
+    return (
+        rfm.crossJoin(F.broadcast(th))
+        .select(
+            score("r_days").alias("r_score"),
+            score("f_orders").alias("f_score"),
+            score("m_cents").alias("m_score"),
+            "m_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").alias("segment_m_cents"),
+        )
+    )
+
+
+def _oracle_rfm() -> str:
+    th_cols = ", ".join(
+        f"quantile_cont({c}, {p}) AS {c}_q{int(p * 100)}"
+        for c in ("r_days", "f_orders", "m_cents")
+        for p in _RFM_QS
+    )
+
+    def score(c: str) -> str:
+        terms = " + ".join(
+            f"CASE WHEN {c} > {c}_q{int(p * 100)} THEN 1 ELSE 0 END"
+            for p in _RFM_QS
+        )
+        return f"(1 + {terms})"
+
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*) AS f_orders,
+         CAST(sum({_sql_cents("o_totalprice")}) AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+), rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_day,
+              (SELECT max(last_day) FROM per_cust)) AS BIGINT) AS r_days,
+         f_orders, m_cents
+  FROM per_cust
+), th AS (
+  SELECT {th_cols} FROM rfm
+)
+SELECT {score('r_days')} AS r_score,
+       {score('f_orders')} AS f_score,
+       {score('m_cents')} AS m_score,
+       count(*) AS n_customers,
+       CAST(sum(m_cents) AS BIGINT) AS segment_m_cents
+FROM rfm, th
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN view maintenance: the four-term delta expansion
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOVER = "2000-01-01"
+
+
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join materialized-view maintenance: with both sides split into
+    (base, delta) — orders by order date, lineitem by ship date —
+    the refreshed view is the FOUR-TERM expansion
+
+        (A₀∪ΔA) ⋈ (L₀∪ΔL) = A₀⋈L₀ ∪ ΔA⋈L₀ ∪ A₀⋈ΔL ∪ ΔA⋈ΔL
+
+    aggregated to revenue per priority.  The oracle computes the
+    plain full join; the hash match proves the algebra.  At 100 TB
+    the A₀⋈L₀ term is the STORED view (not recomputed — here it is,
+    because the fixture has no persisted MV) and the three delta
+    terms are each bounded by a delta side — the whole point of
+    incremental maintenance; the aggregate merge on top is the
+    ``incremental_rollup_merge`` combinable-partials discipline.
+    Every term is the same keyed equi-join on orderkey; the date
+    splits push into both scans as pushed filters.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cut = F.lit(_IVM_CUTOVER)
+    a0 = orders.where(F.col("o_orderdate") < cut)
+    da = orders.where(F.col("o_orderdate") >= cut)
+    l0 = li.where(F.col("l_shipdate") < cut)
+    dl = li.where(F.col("l_shipdate") >= cut)
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+
+    def term(o: DataFrame, ln: DataFrame) -> DataFrame:
+        return o.join(ln, F.col("o_orderkey") == F.col("l_orderkey")).select(
+            "o_orderpriority", rev.alias("rev_c4")
+        )
+
+    unioned = (
+        term(a0, l0)
+        .unionAll(term(da, l0))
+        .unionAll(term(a0, dl))
+        .unionAll(term(da, dl))
+    )
+    return unioned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev_c4").alias("revenue_c4"),
+    )
+
+
+ORACLE_JOIN_IVM = f"""
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum({_sql_cents("l_extendedprice * (1 - l_discount)", 4)}) AS BIGINT)
+         AS revenue_c4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+#: dict the registry splices in: name -> (query fn, oracle sql or None)
+ROUND5E_QUERIES: dict = {
+    "rfm_segments": (q_rfm_segments, _oracle_rfm()),
+    "incremental_join_maintenance": (
+        q_incremental_join_maintenance,
+        ORACLE_JOIN_IVM,
+    ),
+}
