@@ -1047,3 +1047,24 @@ def test_xml_api_stream_reader_micro_batches(spark, tmp_path):
     assert got.count() == batch.count() == 4 * _FAKE_ROWS
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across incremental batches: a later batch adds
+    a column; mergeSchema reconciles and the old rows surface NULLs —
+    the read-side contract an append-forever ingest layout relies on."""
+    path = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "k long, a string").write.parquet(
+        path + "/ds=20240101"
+    )
+    spark.createDataFrame(
+        [(2, "b", 1.5)], "k long, a string, extra double"
+    ).write.parquet(path + "/ds=20240102")
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(path + "/ds=*")
+    )
+    assert {f.name for f in got.schema.fields} == {"k", "a", "extra", "ds"}
+    rows = {r.k: r for r in got.collect()}
+    assert rows[1].extra is None and rows[2].extra == 1.5

@@ -38,6 +38,14 @@ DEFAULT_QUERIES = (
     "ann_lsh_recall",
     "doc_chunk_overlap",
     "equi_depth_histogram",
+    "sole_late_supplier",
+    "idle_customer_balance",
+    "token_pmi_pairs",
+    "interval_overlap_campaigns",
+    "ann_pq_adc_topk",
+    "semantic_cluster_prune",
+    "geo_proximity_pairs",
+    "heavy_hitters_sketch",
 )
 
 
