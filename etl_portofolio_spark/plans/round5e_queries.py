@@ -194,3 +194,75 @@ ROUND5E_QUERIES: dict = {
         ORACLE_JOIN_IVM,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast error (per day-of-week backtest)
+# ---------------------------------------------------------------------------
+
+_FC_CUTOVER = "2001-01-01"
+
+
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster: a test day's revenue
+    is predicted by the TRAIN-period mean for its day-of-week; output
+    is the per-dow mean absolute error — the baseline every real
+    forecasting pipeline must beat, runnable as a query.
+
+    Exactness discipline: the prediction is the rational sum/cnt, so
+    the error is computed by cross-multiplication —
+    |actual·cnt − sum_train| is an exact integer, summed exactly, and
+    divided ONCE at the end (never a float mean of floats). Two
+    aggregations (daily revenue → dow stats), both on tiny keyed
+    domains after the first fact-scale groupBy; train/test split
+    prunes by date at the scan.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    daily = daily.withColumn("dow", F.dayofweek("day"))
+    train = daily.where(F.col("day") < F.lit(_FC_CUTOVER))
+    test = daily.where(F.col("day") >= F.lit(_FC_CUTOVER))
+    tr = train.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_train"), F.sum("rev_c").alias("sum_train")
+    )
+    joined = test.join(tr, "dow")
+    err = F.abs(F.col("rev_c") * F.col("n_train") - F.col("sum_train"))
+    return joined.groupBy("dow").agg(
+        F.max("n_train").alias("n_train"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            (F.sum(err) / (F.count(F.lit(1)) * F.max("n_train"))).cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("mae_dollars"),
+    )
+
+
+ORACLE_SEASONAL_NAIVE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum({_sql_cents("o_totalprice")}) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT day, rev_c, dayofweek(day) + 1 AS dow FROM daily
+), tr AS (
+  SELECT dow, count(*) AS n_train, CAST(sum(rev_c) AS BIGINT) AS sum_train
+  FROM d WHERE day < DATE '{_FC_CUTOVER}' GROUP BY dow
+)
+SELECT d.dow, max(n_train) AS n_train, count(*) AS n_test,
+       round(CAST(sum(abs(rev_c * n_train - sum_train))
+                  / (count(*) * max(n_train)) AS DOUBLE) / 100.0, 4)
+         AS mae_dollars
+FROM d JOIN tr ON d.dow = tr.dow
+WHERE d.day >= DATE '{_FC_CUTOVER}'
+GROUP BY d.dow
+"""
+
+
+ROUND5E_QUERIES["seasonal_naive_error"] = (
+    q_seasonal_naive_error,
+    ORACLE_SEASONAL_NAIVE,
+)
