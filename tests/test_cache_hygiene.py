@@ -31,6 +31,7 @@ _CACHING_QUERIES = (
     "contamination_report",
     "brand_pagerank_weighted",
     "minhash_threshold_sweep",
+    "semantic_cluster_prune",
 )
 
 
