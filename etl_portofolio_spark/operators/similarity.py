@@ -878,3 +878,46 @@ def l2sq(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def pq_encode_np(
+    emb: DataFrame,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy fast path for PQ encoding: one float64 matmul per
+    (batch, subspace) instead of the m·k·sub-term expression tree.
+
+    The expression form (:func:`pq_encode`) is the oracle-exact
+    comparator but pays plan-size costs (≈2k-node trees through
+    analysis + codegen); this path moves the same argmin into a BLAS
+    kernel per Arrow batch — same shape as :func:`brute_force_topk_np`.
+    Scores are computed in float64 with the same |c|²−2·x·c surrogate;
+    ties broken toward the lowest centroid index (argmin's first-hit),
+    matching the expression path. BLAS summation order can differ from
+    the sequential fold in the last ulp, so exact code equality is
+    TEST-asserted on the fixtures rather than assumed; the registered
+    oracle queries keep the expression path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = codebook if codebook is not None else pq_seed_codebook(emb, id_col=id_col, vec_col=vec_col)
+    C = [np.asarray(cents, dtype=np.float64) for cents in cb]  # k x sub each
+    norms = [(c * c).sum(axis=1) for c in C]
+    m = len(cb)
+    sub = C[0].shape[1]
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            out = {id_col: pdf[id_col]}
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                scores = norms[j][None, :] - 2.0 * (Xj @ C[j].T)
+                out[f"code_{j}"] = scores.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"code_{j} int" for j in range(m))
+    return emb.select(id_col, vec_col).mapInPandas(encode, schema=schema)

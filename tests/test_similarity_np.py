@@ -127,3 +127,21 @@ def test_pq_codes_in_range_and_recall_floor(spark):
     assert rec and all(0 <= r.n_hits <= r.k for r in rec)
     mean_recall = sum(r.n_hits / r.k for r in rec) / len(rec)
     assert mean_recall >= 0.2, f"PQ recall collapsed: {mean_recall}"
+
+
+def test_pq_encode_np_matches_expression_path(spark):
+    """The BLAS encode must produce the SAME codes as the oracle-exact
+    expression encode on the fixture corpus (ulp-level summation
+    differences must not flip any argmin here)."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators import similarity
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = similarity.pq_seed_codebook(emb)
+    a = similarity.pq_encode(emb, cb).collect()
+    b = similarity.pq_encode_np(emb, cb).collect()
+    ka = {r.vec_id: tuple(r)[1:] for r in a}
+    kb = {r.vec_id: tuple(r)[1:] for r in b}
+    assert ka == kb
