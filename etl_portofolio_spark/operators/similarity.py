@@ -921,3 +921,86 @@ def pq_encode_np(
 
     schema = f"{id_col} long, " + ", ".join(f"code_{j} int" for j in range(m))
     return emb.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+
+
+def pq_search(
+    emb: DataFrame,
+    query_ids: tuple[int, ...] = (20, 21, 22, 23, 24),
+    codebook: list[list[list[float]]] | None = None,
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Library entry point for PQ serving: BLAS encode + expression
+    ADC/rerank.
+
+    Corpus codes come from :func:`pq_encode_np` (the plan-size and
+    per-row fast path; test-asserted code-identical to the expression
+    encoder), the per-query LUTs and the exact rerank stay in
+    expression land (tiny frames — 5 LUT rows, |Q|·shortlist rerank
+    pairs). Falls back to the all-expression :func:`pq_search_topk`
+    when numpy is unavailable; that form is also the oracle
+    comparator the registered queries use.
+    """
+    try:
+        import numpy  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy ships in the env
+        return pq_search_topk(emb, query_ids, codebook, k, shortlist, id_col, vec_col)
+    cb = codebook if codebook is not None else pq_seed_codebook(emb, id_col=id_col, vec_col=vec_col)
+    sub = len(cb[0][0])
+    codes = pq_encode_np(emb, cb, id_col, vec_col)
+    qv = emb.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    luts = qv.select(
+        "query_id",
+        *[
+            F.array(
+                *[_pq_score(F.col("qv"), j, cents[c], sub) for c in range(len(cents))]
+            ).alias(f"lut_{j}")
+            for j, cents in enumerate(cb)
+        ],
+    )
+    approx: Column | None = None
+    for j in range(len(cb)):
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        approx = term if approx is None else approx + term
+    assert approx is not None
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").asc(), F.col("neighbor_id").asc()
+    )
+    sl = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), approx.alias("adc_score")
+        )
+        .withColumn("sl_rank", F.row_number().over(w_sl))
+        .where(F.col("sl_rank") <= shortlist)
+    )
+    v = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sl.join(v, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq(F.col("qv"), F.col("nv")).alias("exact_d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("exact_d2", 6).alias("exact_d2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -145,3 +145,26 @@ def test_pq_encode_np_matches_expression_path(spark):
     ka = {r.vec_id: tuple(r)[1:] for r in a}
     kb = {r.vec_id: tuple(r)[1:] for r in b}
     assert ka == kb
+
+
+def test_pq_search_facade_matches_expression_search(spark):
+    """The BLAS-encode facade must return exactly the expression
+    search's rows (codes are test-identical, LUT/rerank shared)."""
+    import time
+
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators import similarity
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = similarity.pq_seed_codebook(emb)
+    t0 = time.time()
+    fast = {tuple(r) for r in similarity.pq_search(emb, codebook=cb).collect()}
+    t_fast = time.time() - t0
+    t0 = time.time()
+    slow = {tuple(r) for r in similarity.pq_search_topk(emb, codebook=cb).collect()}
+    t_slow = time.time() - t0
+    assert fast == slow and len(fast) > 0
+    # informational: the facade should not be slower by more than noise
+    assert t_fast < t_slow * 2
