@@ -703,3 +703,81 @@ ROUND5B_QUERIES["excess_stock_suppliers"] = (
     q_excess_stock_suppliers,
     ORACLE_EXCESS_STOCK_SUPPLIERS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product profit by nation and year
+# ---------------------------------------------------------------------------
+
+_Q9_NAME_TOKEN = "red"
+
+
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on a product line per supplier nation per year (TPC-H Q9
+    shape; the fixture has no partsupp.ps_supplycost, so cost is the
+    documented proxy 60% of p_retailprice — the join topology and the
+    profit expression structure are what this query pins).
+
+    Six relations: lineitem joins part (name-token filter pruned
+    before the join), supplier, orders (for the year), nation
+    (broadcast). profit = revenue − cost·quantity in exact integer
+    cents computed per line BEFORE aggregation — the sum is one
+    combinable aggregate; no float money ever crosses an exchange.
+    Join order: the name filter cuts part to a fraction, so AQE
+    broadcasts the filtered part side into the fact scan first — the
+    Q9 plan risk (joining orders before part explodes the
+    intermediate) is left to the optimizer and pinned by the runtime
+    bloom/broadcast tests rather than hints.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - (
+        cents(F.col("p_retailprice") * F.lit(0.6)) * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(
+            part.where(F.col("p_name").contains(_Q9_NAME_TOKEN)).select(
+                "p_partkey", "p_retailprice"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(profit_c).alias("profit_c"),
+        )
+    )
+
+
+ORACLE_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       count(*) AS n_lines,
+       CAST(sum({_sql_cents("l_extendedprice * (1 - l_discount)")}
+                - {_sql_cents("p_retailprice * 0.6")}
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{_Q9_NAME_TOKEN}%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+ROUND5B_QUERIES["product_profit_by_nation"] = (
+    q_product_profit_by_nation,
+    ORACLE_PRODUCT_PROFIT,
+)
