@@ -367,3 +367,43 @@ def test_maintain_tables_sweeps_and_compacts(spark, tmp_path):
         spark, path, keep_from="20240102", max_files_per_partition=8
     )
     assert summary2["dropped"] == [] and summary2["compacted"] == {}
+
+
+def test_ivfpq_index_build_and_probe(spark, tmp_path):
+    """IVF+PQ artifact: cluster-partitioned PQ codes + codebook table;
+    probe reads only nprobe partitions and the ADC ranking finds the
+    query vector itself first, plus at least one true neighbor."""
+    from etl_portofolio_spark.jobs import build_ann_index
+    from etl_portofolio_spark.operators.similarity import brute_force_topk
+
+    target = str(tmp_path / "idx")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    counts = build_ann_index.build_index_pq(
+        spark, emb, target, k=4, iterations=2
+    )
+    assert counts["vectors"] == emb.count()
+    lists = spark.read.parquet(f"{target}/lists")
+    assert {f"code_{j}" for j in range(8)} <= set(lists.columns)
+    assert spark.read.parquet(f"{target}/pq_codebook").count() == 8 * 8
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = build_ann_index.probe_index_pq(spark, target, qvec, nprobe=2, k=4)
+    # partition pruning: the scan must carry a cluster_id filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan
+    rows = got.collect()
+    assert len(rows) == 4
+    ids = [r["vec_id"] for r in rows]
+    assert ids[0] == 0  # ADC finds the query itself first
+
+    truth = {
+        r["neighbor_id"]
+        for r in brute_force_topk(emb, query_ids=(0,), k=5).collect()
+    }
+    assert truth & set(ids[1:]), f"no true neighbor in {ids}, truth {truth}"
+
+    # rerun idempotency: same artifact counts
+    counts2 = build_ann_index.build_index_pq(
+        spark, emb, target, k=4, iterations=2
+    )
+    assert counts2 == counts
