@@ -266,3 +266,154 @@ ROUND5E_QUERIES["seasonal_naive_error"] = (
     q_seasonal_naive_error,
     ORACLE_SEASONAL_NAIVE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Daily-count anomaly detection (3-sigma, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_event_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose per-type event count sits more than 2 sigma from that
+    type's daily mean — the monitoring alarm a pipeline runs over its
+    own volumes (the reference logs row counts per batch,
+    `Ingestion Data (MySQL).py:172`; this is that signal with a
+    defensible threshold instead of eyeballs).
+
+    Integer-exact two-sigma (2σ keeps the synthetic volumes'
+    anomalies visible; the multiplier is the policy dial): with
+    S = Σx and Sxx = Σx² per type,
+    (x−μ)² > 4σ²  ⇔  (n·x − S)² > 4·(n·Sxx − S²) — both sides exact
+    BIGINTs, no float mean or variance ever materializes (the
+    ``stats_corr_exact`` discipline applied to anomaly flagging).
+    Two aggregations, both map-side combinable; the per-type stats
+    frame is |types| rows and broadcasts into the flag pass.
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s")
+    var_n2 = F.col("n_days") * F.col("sxx") - F.col("s") * F.col("s")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(dev * dev > F.lit(4) * var_n2)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(F.col("s").cast("double") / F.col("n_days").cast("double"), 4)
+            .alias("daily_mean"),
+        )
+    )
+
+
+ORACLE_EVENT_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n_events,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS daily_mean
+FROM daily d JOIN stats st ON d.event_type = st.event_type
+WHERE (n_days * n_events - s) * (n_days * n_events - s)
+        > 4 * (n_days * sxx - s * s)
+"""
+
+
+ROUND5E_QUERIES["event_count_anomalies"] = (
+    q_event_count_anomalies,
+    ORACLE_EVENT_ANOMALIES,
+)
+
+
+# ---------------------------------------------------------------------------
+# Column profile: the one-pass data-profiling report
+# ---------------------------------------------------------------------------
+
+
+def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass profiling of the orders table: per column — null count,
+    exact distinct count, and min/max rendered to strings — the
+    first-contact report every ingestion of an unknown table starts
+    with (the reference infers everything and hopes;
+    SURVEY.md §1.3 calls that out as its reliability bug).
+
+    One aggregation computes every column's stats in a single scan
+    (count_distinct per column widens the agg buffer, not the pass
+    count); the per-column rows come from an unpivot of that single
+    row — |columns| rows of metadata, no second scan. At 100 TB
+    exact NDV per column is the one expensive term; the sketch form
+    (approx_count_distinct) is the default there, with this exact
+    query as its audit twin (the ``approx_distinct_gate`` pattern).
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def _oracle_column_profile() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    selects = []
+    for c in cols:
+        selects.append(f"""
+SELECT '{c}' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str
+FROM orders""")
+    return " UNION ALL ".join(selects)
+
+
+ROUND5E_QUERIES["column_profile_orders"] = (
+    q_column_profile_orders,
+    _oracle_column_profile(),
+)
