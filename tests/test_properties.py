@@ -437,3 +437,67 @@ def test_pagerank_conserves_mass_on_symmetric_graphs(spark, raw_edges, iters):
     assert len(ranks) == n_nodes
     assert abs(sum(ranks) - n_nodes) < 1e-6 * max(n_nodes, 1)
     assert all(r >= 0.15 - 1e-9 for r in ranks)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ws=st.lists(st.integers(min_value=1, max_value=900), min_size=3, max_size=60),
+    target=st.integers(min_value=2, max_value=20),
+)
+def test_weighted_systematic_pick_invariants(spark, ws, target):
+    """The scale-safe prefix-sum sampler must match the naive sequential
+    formulation exactly: per-doc picks = floor(cum_hi/s) − floor(cum_lo/s),
+    and the telescoping total Σ picks = floor(total/s)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, w) for i, w in enumerate(ws)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    total = sum(ws)
+    stride = max(1, total // target)
+
+    # the production decomposition (pre-bin + offsets), mirrored from
+    # q_weighted_systematic_sample with the same bin count
+    P = 16
+    lo_id, hi_id = 0, len(ws) - 1
+    binned = docs.select(
+        "doc_id",
+        "w",
+        ((F.col("doc_id") - lo_id) * P / (hi_id - lo_id + 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    win = (
+        Window.partitionBy("bin")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = binned.withColumn("cum_in_bin", F.sum("w").over(win))
+    cnts = binned.groupBy("bin").agg(F.sum("w").alias("bw"))
+    lower = cnts.select(F.col("bin").alias("lbin"), F.col("bw").alias("lw"))
+    offsets = (
+        cnts.join(F.broadcast(lower), F.col("lbin") < F.col("bin"), "left")
+        .groupBy("bin")
+        .agg(F.coalesce(F.sum("lw"), F.lit(0)).alias("off"))
+    )
+    cum_hi = F.col("off") + F.col("cum_in_bin")
+    picks = (
+        F.floor(cum_hi / stride) - F.floor((cum_hi - F.col("w")) / stride)
+    ).cast("long")
+    got = {
+        r.doc_id: (r.cum, r.p)
+        for r in within.join(F.broadcast(offsets), "bin")
+        .select("doc_id", cum_hi.alias("cum"), picks.alias("p"))
+        .collect()
+    }
+
+    # naive sequential reference
+    cum = 0
+    expect_total = 0
+    for i, w in enumerate(ws):
+        lo, hi = cum, cum + w
+        n = hi // stride - lo // stride
+        assert got[i] == (hi, n), (i, got[i], (hi, n))
+        expect_total += n
+        cum = hi
+    assert sum(p for _, p in got.values()) == expect_total == total // stride
