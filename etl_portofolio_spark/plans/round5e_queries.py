@@ -417,3 +417,48 @@ ROUND5E_QUERIES["column_profile_orders"] = (
     q_column_profile_orders,
     _oracle_column_profile(),
 )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: open-schema props as a map column
+# ---------------------------------------------------------------------------
+
+
+def q_props_map_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key metrics over props parsed as ``map<string,long>`` — the
+    MapType member of the semi-structured family (declared-schema
+    struct = ``json_props_extract``, open-schema navigable binary =
+    ``variant_props_deciles``, and here the map form: unknown KEY SET
+    with a known value type, the shape of sparse feature bags and
+    metric tags).
+
+    ``from_json`` to a map parses once at scan; ``explode`` fans out
+    to (key, value) rows whose count is bounded by per-row key
+    cardinality (like every bounded fan-out in this engine); one
+    combinable aggregation per key follows.
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+ORACLE_PROPS_MAP = """
+WITH kv AS (
+  SELECT k AS key, CAST(json_extract(props::JSON, '$.' || k) AS BIGINT) AS val
+  FROM (SELECT unnest(json_keys(props::JSON)) AS k, props FROM events)
+)
+SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
+       min(val) AS min_val, max(val) AS max_val
+FROM kv GROUP BY key
+"""
+
+
+ROUND5E_QUERIES["props_map_metrics"] = (q_props_map_metrics, ORACLE_PROPS_MAP)
