@@ -569,3 +569,25 @@ def test_geo_proximity_is_grid_equi_join(spark):
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*cell_", p, re.S
     )
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The hint surface a migrating user relies on: MERGE forces
+    sort-merge even where broadcast would win; SHUFFLE_HASH forces a
+    shuffled hash join; BROADCAST forces broadcast. (AQE may re-plan
+    unhinted joins, but hints must pin the strategy.)"""
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, SF_DIR, "nation")
+
+    p = _plan(cust.join(nat.hint("merge"), cust.c_nationkey == nat.n_nationkey))
+    assert "SortMergeJoin" in p
+
+    p = _plan(
+        cust.join(nat.hint("shuffle_hash"), cust.c_nationkey == nat.n_nationkey)
+    )
+    assert "ShuffledHashJoin" in p
+
+    p = _plan(
+        cust.join(nat.hint("broadcast"), cust.c_nationkey == nat.n_nationkey)
+    )
+    assert "BroadcastHashJoin" in p
