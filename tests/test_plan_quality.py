@@ -461,11 +461,15 @@ def test_decorrelated_tpch_shapes(spark):
     assert "CartesianProduct" not in p
     assert "Window" not in p  # max() OVER () would single-task the frame
 
-    # Q21: both correlated EXISTS probes folded into one conditional
-    # aggregation -> lineitem is scanned exactly once.
+    # Q21: both correlated EXISTS probes folded into conditional
+    # aggregation -> lineitem is scanned exactly once, and the
+    # two-level (orderkey, suppkey) -> orderkey rollup means no
+    # double-countDistinct Expand multiplying the joined rows x3
+    # through the shuffle.
     p = _plan(q_sole_late_supplier(spark, SF_DIR))
     assert p.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in p
+    assert "Expand" not in p
 
     # Q22: scalar avg broadcast (an inequality compare, so it stays a
     # 1-row-side nested loop) + NOT EXISTS as a hash anti join.
