@@ -281,29 +281,31 @@ def simhash_fingerprints(
     tok = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     hashed = tok.withColumn("h", h60("tok"))
     n_acc = (bits + _PACK_FIELDS - 1) // _PACK_FIELDS
+    # Both unrolled loops are emitted as SQL strings — ONE F.expr/py4j
+    # call per aggregate / per fingerprint instead of ~5 Column calls
+    # per bit (~700 driver round-trips for 60 bits; measured ~1.1 s of
+    # pure plan-build per invocation before, ~0.1 s after). The parsed
+    # trees are the same shift/mask adds, all-integer, so results are
+    # unchanged bit-for-bit.
     packs = []
     for j in range(n_acc):
-        terms = None
-        for k in range(_PACK_FIELDS):
-            b = _PACK_FIELDS * j + k
-            if b >= bits:
-                break
-            t = F.shiftleft(
-                F.shiftright(F.col("h"), b).bitwiseAND(1), _PACK_WIDTH * k
-            )
-            terms = t if terms is None else terms + t
-        packs.append(F.sum(terms).alias(f"acc{j:02d}"))
+        terms = " + ".join(
+            f"shiftleft(shiftright(h, {_PACK_FIELDS * j + k}) & 1, {_PACK_WIDTH * k})"
+            for k in range(_PACK_FIELDS)
+            if _PACK_FIELDS * j + k < bits
+        )
+        packs.append(F.expr(f"sum({terms})").alias(f"acc{j:02d}"))
     per_doc = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"), *packs
     )
-    fp = None
+    fp_terms = []
     for b in range(bits):
         j, k = divmod(b, _PACK_FIELDS)
-        ones = F.shiftright(F.col(f"acc{j:02d}"), _PACK_WIDTH * k).bitwiseAND(
-            _PACK_MASK
+        fp_terms.append(
+            f"CASE WHEN (shiftright(acc{j:02d}, {_PACK_WIDTH * k}) & {_PACK_MASK})"
+            f" * 2 > __n THEN {1 << b}L ELSE 0L END"
         )
-        term = F.when(ones * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
+    fp = F.expr(" + ".join(fp_terms))
     # Overflow guard: a doc with >= 2^21 tokens would carry into the
     # neighboring packed counter and silently corrupt the fingerprint.
     # assert_true is codegen'd per row and returns NULL on success, so
