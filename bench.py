@@ -115,6 +115,17 @@ def _cdc_apply_once(spark, workdir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _pq_serve_df(spark):
+    """The PQ serving facade (`similarity.pq_search`: BLAS encode +
+    expression ADC/rerank) — the entry point callers use, benched
+    beside its oracle-exact expression twin `ann_pq_adc_topk` so both
+    paths get round-over-round tracking."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators.similarity import pq_search
+
+    return pq_search(load_table(spark, SF_DIR, "embeddings"))
+
+
 def main() -> None:
     load_before = os.getloadavg()
     spark = build_session("bench")
@@ -143,6 +154,14 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             samples.setdefault(name, []).append(time.perf_counter() - t0)
+    _force(_pq_serve_df(spark))  # warmup
+    for _ in range(n_passes):
+        release_cached()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _force(_pq_serve_df(spark))
+        samples.setdefault("ann_pq_serve", []).append(time.perf_counter() - t0)
+
     import tempfile
 
     with tempfile.TemporaryDirectory() as workdir:
