@@ -24,7 +24,9 @@ size without a pre-write shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # reference's 128 MiB target
@@ -436,3 +438,152 @@ def partition_file_stats(
                     n_bytes += f.getLen()
             out.append((name[len(prefix):], n_files, n_bytes))
     return sorted(out)
+
+
+# --- write-audit-publish: versioned snapshots, atomic pointer flip -----------
+#
+# The publication protocol a 1000-executor pipeline needs and plain
+# `mode("overwrite")` cannot give: overwrite DELETES the live table
+# before the new write finishes, so a concurrent reader (or a failed
+# job) sees a partial or empty table. WAP stages the new snapshot in a
+# version directory nobody reads, audits WHAT WAS ACTUALLY WRITTEN
+# (read back from the staged files — a writer bug is caught here, not
+# by auditing the in-memory frame), and only then flips a tiny pointer
+# file. Readers resolve the pointer first, so they see the old snapshot
+# or the new one — never a mix, never a partial write. This is the
+# version-pointer half of what Delta's `_last_checkpoint` / Iceberg's
+# `version-hint.text` do, from plain Spark + parquet.
+
+
+class AuditError(RuntimeError):
+    """A staged snapshot failed its publication audits; the live
+    pointer was left untouched and the staged files were removed."""
+
+
+_WAP_POINTER = "_CURRENT"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _read_pointer(spark: SparkSession, root: str) -> int | None:
+    ptr, fs = _hadoop_fs(spark, f"{root}/{_WAP_POINTER}")
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        raw = bytes(stream.readAllBytes()).decode("ascii").strip()
+    finally:
+        stream.close()
+    return int(raw.removeprefix("v="))
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
+    """All staged/published version numbers under ``root`` (ascending),
+    from a filesystem listing — metadata only."""
+    jroot, fs = _hadoop_fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for entry in fs.listStatus(jroot):
+        name = entry.getPath().getName()
+        if entry.isDirectory() and name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    audits: Mapping[str, Column] | None = None,
+    min_rows: int = 1,
+    keep_versions: int = 3,
+) -> int:
+    """Write-audit-publish one snapshot of ``df`` under ``root``;
+    returns the published version number.
+
+    1. **Write**: stage to ``root/v=<n>/`` (n = max existing + 1 — a
+       directory no reader resolves yet, so a failed job leaves only
+       dead files, never a broken table).
+    2. **Audit**: read the STAGED parquet back and evaluate ``audits``
+       (boolean rules, "violation when false" — the
+       :func:`operators.contracts.violations_report` contract) plus a
+       ``min_rows`` floor (an empty snapshot is a pipeline bug, the
+       reference's empty-write gate as a publication rule). One
+       combinable aggregation pass regardless of rule count. Any
+       violation deletes the staged directory and raises
+       :class:`AuditError`; the live pointer never moves.
+    3. **Publish**: write ``root/_CURRENT.tmp`` and rename it over
+       ``root/_CURRENT``. POSIX rename replaces atomically; on HDFS
+       (rename-to-existing fails) the tmp+delete+rename leaves a
+       sub-ms pointer-absent window readers should retry through —
+       production HDFS would use FileContext.rename(OVERWRITE); on
+       object stores the single-key pointer PUT is itself atomic.
+       Either way data files are immutable once published.
+    4. **Retire**: drop all but the newest ``keep_versions`` version
+       directories (never the one just published) — bounded storage,
+       and the kept tail is the time-travel window
+       (``read_snapshot(version=...)``).
+    """
+    from etl_portofolio_spark.operators.contracts import violations_report
+
+    version = (max(snapshot_versions(spark, root), default=0)) + 1
+    staged = f"{root}/v={version}"
+    df.write.format("parquet").mode("overwrite").save(staged)
+
+    back = spark.read.parquet(staged)
+    if audits:
+        report = violations_report(back, dict(audits)).first()
+        bad = {
+            k: report[k]
+            for k in report.asDict()
+            if k.startswith("v_") and report[k] > 0
+        }
+        n_rows = report["n_rows"]
+    else:
+        bad = {}
+        n_rows = back.count()
+    if n_rows < min_rows or bad:
+        jstaged, fs = _hadoop_fs(spark, staged)
+        fs.delete(jstaged, True)
+        detail = f"rows={n_rows} (min {min_rows})" if n_rows < min_rows else ""
+        raise AuditError(
+            f"snapshot v={version} failed audits: {bad or detail} — not published"
+        )
+
+    ptr, fs = _hadoop_fs(spark, f"{root}/{_WAP_POINTER}")
+    tmp, _ = _hadoop_fs(spark, f"{root}/{_WAP_POINTER}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(f"v={version}\n".encode("ascii"))
+    finally:
+        out.close()
+    if not fs.rename(tmp, ptr):  # POSIX rename-over failed (e.g. HDFS)
+        fs.delete(ptr, False)
+        if not fs.rename(tmp, ptr):
+            raise OSError(f"could not flip pointer {ptr}")
+
+    for old in snapshot_versions(spark, root)[:-keep_versions]:
+        if old != version:
+            jold, _ = _hadoop_fs(spark, f"{root}/v={old}")
+            fs.delete(jold, True)
+    refresh_path(spark, root)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read the published snapshot (or a kept older ``version`` — time
+    travel within the retention window). Resolves the pointer FIRST,
+    then reads only that version's directory, so a publish racing this
+    read flips between complete snapshots, never a partial one."""
+    v = version if version is not None else _read_pointer(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no published snapshot under {root}")
+    if v not in snapshot_versions(spark, root):
+        raise FileNotFoundError(f"snapshot v={v} not present under {root}")
+    return spark.read.parquet(f"{root}/v={v}")
