@@ -45,7 +45,7 @@ from etl_portofolio_spark.operators.dedup import (
     normalized_text,
 )
 from etl_portofolio_spark.session import build_session
-from etl_portofolio_spark.sinks.writer import write_partitioned
+from etl_portofolio_spark.sinks.writer import publish_snapshot, write_partitioned
 
 _SPLIT_SALT = "split:"
 
@@ -107,8 +107,20 @@ def run(
     chunk_stride: int = 48,
     near_dup: bool = False,
     near_dup_threshold: float = 0.7,
+    publish: bool = False,
 ) -> dict[str, int]:
-    """Run the full curation and return per-output row counts."""
+    """Run the full curation and return per-output row counts.
+
+    With ``publish=True`` the outputs go through the write-audit-
+    publish protocol instead of in-place dynamic overwrite: each run
+    stages a new ``v=<n>`` snapshot under ``docs_snapshots`` /
+    ``chunks_snapshots``, audits the staged read-back (non-empty text,
+    a legal split value, a content hash on every row; chunk↔doc
+    consistency is the chunks' doc_id join by construction), and flips
+    the ``_CURRENT`` pointer only when clean — a downstream trainer
+    reading ``read_snapshot(...)`` can never observe a half-written
+    corpus, and the previous snapshot stays readable as rollback.
+    """
     docs = load_table(spark, sf_dir, "documents")
     curated = curated_docs(docs)
     if near_dup:
@@ -116,16 +128,39 @@ def run(
     curated = curated.persist()
     try:
         n_docs = curated.count()
-        write_partitioned(
-            curated, f"{target_dir}/docs", ["split", "lang"], target_file_bytes=None
-        )
         chunks = text.chunk_manifest(
             curated, "doc_id", "text", window=chunk_window, stride=chunk_stride
         ).join(curated.select("doc_id", "split"), "doc_id")
-        write_partitioned(
-            chunks, f"{target_dir}/chunks", "split", target_file_bytes=None
-        )
-        n_chunks = spark.read.parquet(f"{target_dir}/chunks").count()
+        if publish:
+            publish_snapshot(
+                spark,
+                curated,
+                f"{target_dir}/docs_snapshots",
+                audits={
+                    "nonempty_text": F.length("text") > 0,
+                    "legal_split": F.col("split").isin("train", "val", "test"),
+                    "has_hash": F.length("content_hash") == 32,
+                },
+                partition_by=("split", "lang"),
+            )
+            publish_snapshot(
+                spark,
+                chunks,
+                f"{target_dir}/chunks_snapshots",
+                audits={"legal_split": F.col("split").isin("train", "val", "test")},
+                partition_by=("split",),
+            )
+            from etl_portofolio_spark.sinks.writer import read_snapshot
+
+            n_chunks = read_snapshot(spark, f"{target_dir}/chunks_snapshots").count()
+        else:
+            write_partitioned(
+                curated, f"{target_dir}/docs", ["split", "lang"], target_file_bytes=None
+            )
+            write_partitioned(
+                chunks, f"{target_dir}/chunks", "split", target_file_bytes=None
+            )
+            n_chunks = spark.read.parquet(f"{target_dir}/chunks").count()
     finally:
         curated.unpersist()
         release_cached()  # near-dup stage's scoped shingle persist
@@ -144,6 +179,11 @@ def main() -> None:
         help="absorb MinHash near-dup clusters into their canonical doc",
     )
     p.add_argument("--near-dup-threshold", type=float, default=0.7)
+    p.add_argument(
+        "--publish",
+        action="store_true",
+        help="write-audit-publish versioned snapshots instead of in-place overwrite",
+    )
     args = p.parse_args()
     spark = build_session("curate-corpus")
     counts = run(
@@ -154,6 +194,7 @@ def main() -> None:
         chunk_stride=args.chunk_stride,
         near_dup=args.near_dup,
         near_dup_threshold=args.near_dup_threshold,
+        publish=args.publish,
     )
     print(f"curated: {counts}")
 

@@ -501,6 +501,7 @@ def publish_snapshot(
     audits: Mapping[str, Column] | None = None,
     min_rows: int = 1,
     keep_versions: int = 3,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Write-audit-publish one snapshot of ``df`` under ``root``;
     returns the published version number.
@@ -532,7 +533,12 @@ def publish_snapshot(
 
     version = (max(snapshot_versions(spark, root), default=0)) + 1
     staged = f"{root}/v={version}"
-    df.write.format("parquet").mode("overwrite").save(staged)
+    writer = df.write.format("parquet").mode("overwrite")
+    if partition_by:
+        # A snapshot may keep an inner partition layout (e.g. split/lang)
+        # for pruned reads; the version directory is still the atomic unit.
+        writer = writer.partitionBy(*partition_by)
+    writer.save(staged)
 
     back = spark.read.parquet(staged)
     if audits:

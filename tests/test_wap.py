@@ -84,3 +84,33 @@ def test_audit_runs_against_staged_files_not_input_frame(spark, tmp_path):
     with pytest.raises(AuditError, match="rows=1"):
         publish_snapshot(spark, df, root, min_rows=2)
     assert snapshot_versions(spark, root) == []
+
+
+def test_curate_corpus_published_mode_matches_direct_write(spark, tmp_path):
+    """The job's --publish path: snapshots carry the same rows as the
+    overwrite path, a rerun publishes a NEW version with the old one
+    readable as rollback, and the pointer always resolves complete."""
+    from etl_portofolio_spark.jobs import curate_corpus
+    from tests.conftest import SF_DIR
+
+    direct = str(tmp_path / "direct")
+    wap = str(tmp_path / "wap")
+    c1 = curate_corpus.run(spark, SF_DIR, direct)
+    c2 = curate_corpus.run(spark, SF_DIR, wap, publish=True)
+    assert c1 == c2
+
+    snap = read_snapshot(spark, f"{wap}/docs_snapshots")
+    plain = spark.read.parquet(f"{direct}/docs")
+    assert snap.count() == plain.count()
+    assert sorted(snap.columns) == sorted(plain.columns)
+    assert snapshot_versions(spark, f"{wap}/docs_snapshots") == [1]
+    # inner partition layout preserved inside the version dir
+    assert (tmp_path / "wap" / "docs_snapshots" / "v=1" / "split=train").exists()
+
+    curate_corpus.run(spark, SF_DIR, wap, publish=True)
+    assert snapshot_versions(spark, f"{wap}/docs_snapshots") == [1, 2]
+    assert read_snapshot(spark, f"{wap}/docs_snapshots").count() == c1["docs"]
+    assert (
+        read_snapshot(spark, f"{wap}/docs_snapshots", version=1).count()
+        == c1["docs"]
+    )
