@@ -593,3 +593,25 @@ def read_snapshot(
     if v not in snapshot_versions(spark, root):
         raise FileNotFoundError(f"snapshot v={v} not present under {root}")
     return spark.read.parquet(f"{root}/v={v}")
+
+
+def vacuum_snapshots(spark: SparkSession, root: str) -> list[int]:
+    """Remove orphaned version directories a crashed publish left
+    behind: any version NEWER than the live pointer was staged but
+    never published (its job died between write and flip), so no
+    reader can resolve it and the next publish will skip past it.
+    Published-but-retired versions are `publish_snapshot`'s own
+    retention concern, not vacuum's. Returns the removed versions;
+    no-op (empty) when nothing is published yet — staged work in a
+    root with no pointer might be a first publish in flight, and
+    vacuuming it would race that job."""
+    current = _read_pointer(spark, root)
+    if current is None:
+        return []
+    removed = []
+    for v in snapshot_versions(spark, root):
+        if v > current:
+            jold, fs = _hadoop_fs(spark, f"{root}/v={v}")
+            fs.delete(jold, True)
+            removed.append(v)
+    return removed

@@ -114,3 +114,23 @@ def test_curate_corpus_published_mode_matches_direct_write(spark, tmp_path):
         read_snapshot(spark, f"{wap}/docs_snapshots", version=1).count()
         == c1["docs"]
     )
+
+
+def test_vacuum_removes_only_crashed_staging(spark, tmp_path):
+    from etl_portofolio_spark.sinks.writer import vacuum_snapshots
+
+    root = str(tmp_path / "tbl")
+    # nothing published yet: vacuum must not touch an in-flight staging
+    _frame(spark, [9]).write.parquet(f"{root}/v=1")
+    assert vacuum_snapshots(spark, root) == []
+    assert snapshot_versions(spark, root) == [1]
+
+    publish_snapshot(spark, _frame(spark, [1]), root)  # becomes v=2
+    # simulate a publish that wrote v=3 then died before the flip
+    _frame(spark, [3]).write.parquet(f"{root}/v=3")
+    assert snapshot_versions(spark, root) == [1, 2, 3]
+    assert vacuum_snapshots(spark, root) == [3]
+    # live + retired versions untouched, next publish reuses the slot
+    assert snapshot_versions(spark, root) == [1, 2]
+    assert [r["v"] for r in read_snapshot(spark, root).collect()] == [1]
+    assert publish_snapshot(spark, _frame(spark, [4]), root) == 3
