@@ -38,6 +38,7 @@ from etl_portofolio_spark.sinks.writer import (
     compact_partition,
     partition_file_stats,
     retention_sweep,
+    vacuum_snapshots,
 )
 
 
@@ -50,6 +51,7 @@ def run_maintenance(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: tuple[str, ...] = (),
     analyze_as: str | None = None,
+    snapshot_roots: tuple[str, ...] = (),
 ) -> dict:
     """Run the maintenance loop once; returns a summary dict
     (dropped partitions, compacted partitions with before/after file
@@ -74,10 +76,18 @@ def run_maintenance(
             compacted[value] = (n_files, after)
     if analyze_as:
         analyze_table(spark, analyze_as)
+    # WAP roots (curate_corpus --publish outputs): sweep staging dirs
+    # orphaned by crashed publishes — published/retired versions are
+    # publish_snapshot's own retention, not maintenance's.
+    vacuumed = {
+        root: vacuum_snapshots(spark, root)
+        for root in snapshot_roots
+    }
     return {
         "dropped": dropped,
         "compacted": compacted,
         "partitions_seen": len(stats),
+        "vacuumed": {k: v for k, v in vacuumed.items() if v},
     }
 
 
@@ -90,6 +100,11 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--sort-cols", default="")
     ap.add_argument("--analyze-as", default=None)
+    ap.add_argument(
+        "--snapshot-roots",
+        default="",
+        help="comma-separated WAP roots to vacuum crashed staging from",
+    )
     args = ap.parse_args()
     spark = build_session("maintain_tables")
     summary = run_maintenance(
@@ -101,6 +116,7 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         target_file_bytes=args.target_file_mb * 1024 * 1024,
         sort_cols=tuple(c for c in args.sort_cols.split(",") if c),
         analyze_as=args.analyze_as,
+        snapshot_roots=tuple(r for r in args.snapshot_roots.split(",") if r),
     )
     print(summary)
 

@@ -134,3 +134,17 @@ def test_vacuum_removes_only_crashed_staging(spark, tmp_path):
     assert snapshot_versions(spark, root) == [1, 2]
     assert [r["v"] for r in read_snapshot(spark, root).collect()] == [1]
     assert publish_snapshot(spark, _frame(spark, [4]), root) == 3
+
+
+def test_maintenance_vacuums_snapshot_roots(spark, tmp_path):
+    from etl_portofolio_spark.jobs.maintain_tables import run_maintenance
+
+    root = str(tmp_path / "snaps")
+    publish_snapshot(spark, _frame(spark, [1]), root)
+    _frame(spark, [2]).write.parquet(f"{root}/v=2")  # crashed publish
+    # maintenance target table (empty dir is fine for the sweep steps)
+    tbl = tmp_path / "tbl"
+    tbl.mkdir()
+    summary = run_maintenance(spark, str(tbl), snapshot_roots=(root,))
+    assert summary["vacuumed"] == {root: [2]}
+    assert snapshot_versions(spark, root) == [1]
