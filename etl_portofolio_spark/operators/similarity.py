@@ -717,10 +717,27 @@ def _pq_score_sql(vec_name: str, j: int, centroid: list[float], sub: int) -> str
     arithmetic costs ~26 py4j round-trips per (subspace, centroid) —
     measured 3.9 s of driver time per encode at m=k=8 vs 0.7 s for
     the string form, with bit-identical codes (``repr(float)`` + a
-    ``D`` suffix round-trips every IEEE double exactly)."""
+    ``D`` suffix round-trips every FINITE IEEE double exactly).
+
+    Non-finite literals are rejected loudly: ``repr(inf)`` would emit
+    ``infD`` (parsed as a column name → confusing analysis error), and
+    a centroid whose |c|² overflows cannot rank candidates anyway —
+    property-tested in ``test_properties.py``."""
+    import math
+
     k_const = 0.0
     for w in centroid:
+        if not math.isfinite(w):
+            raise ValueError(
+                f"PQ centroid contains non-finite value {w!r}; clean the "
+                "embedding column before building a codebook"
+            )
         k_const = k_const + w * w
+    if not math.isfinite(k_const):
+        raise ValueError(
+            "PQ centroid norm |c|^2 overflowed to non-finite; rescale the "
+            "embedding column before building a codebook"
+        )
     dot = " + ".join(
         f"element_at({vec_name}, {j * sub + d + 1}) * {w!r}D"
         for d, w in enumerate(centroid)

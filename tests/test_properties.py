@@ -501,3 +501,59 @@ def test_weighted_systematic_pick_invariants(spark, ws, target):
         expect_total += n
         cum = hi
     assert sum(p for _, p in got.values()) == expect_total == total // stride
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            allow_subnormal=False,
+            width=64,
+            min_value=-1e75,
+            max_value=1e75,  # |c|^2 stays finite: the emitter's domain
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pq_score_sql_literal_roundtrip_is_bit_exact(spark, centroid):
+    """The SQL-string emitters (`similarity._pq_score_sql`, the simhash
+    pack strings) rest on `repr(float) + "D"` parsing back to the SAME
+    IEEE double for every finite value — including negative and
+    scientific-notation reprs — and on the parsed tree reproducing the
+    Python-side left-fold order. Property-pinned against a pure-Python
+    reference of the identical fold."""
+    from etl_portofolio_spark.operators.similarity import _pq_score_sql
+
+    sub = len(centroid)
+    vec = [float(i + 1) / 7.0 for i in range(sub)]
+    sql = _pq_score_sql("v", 0, centroid, sub)
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.select(F.expr(sql).alias("s")).first()["s"]
+
+    k = 0.0
+    for w in centroid:
+        k = k + w * w
+    acc = None
+    for x, w in zip(vec, centroid):
+        t = x * w
+        acc = t if acc is None else acc + t
+    expect = k - 2.0 * acc
+    assert got == expect or (got != got and expect != expect), (centroid, got, expect)
+
+
+def test_pq_score_sql_rejects_non_finite_literals():
+    """An overflowing |c|² would emit `infD` (parsed as a COLUMN name —
+    the failure hypothesis found); the emitter must refuse loudly
+    instead. Found by the property test above before the bound was
+    added; pinned as explicit cases."""
+    import pytest as _pytest
+
+    from etl_portofolio_spark.operators.similarity import _pq_score_sql
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        _pq_score_sql("v", 0, [float("nan")], 1)
+    with _pytest.raises(ValueError, match="overflowed"):
+        _pq_score_sql("v", 0, [1e160, 1e160], 2)
