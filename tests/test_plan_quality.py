@@ -595,3 +595,41 @@ def test_join_strategy_hints_are_honored(spark):
         cust.join(nat.hint("broadcast"), cust.c_nationkey == nat.n_nationkey)
     )
     assert "BroadcastHashJoin" in p
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """Q4/Q6/Q11/Q12/Q14 closers: Q4's EXISTS is one semi join (no
+    re-probe scan), Q6's predicates reach the parquet scan with zero
+    joins, Q11's scalar total enters as a 1-row broadcast (never a
+    cartesian of two fact sides), Q12/Q14 shuffle the fact exactly
+    once."""
+    from etl_portofolio_spark.plans.round5f_queries import (
+        q_forecast_revenue_delta,
+        q_important_part_stock,
+        q_late_order_priorities,
+        q_promo_revenue_share,
+        q_shipmode_priority_counts,
+    )
+
+    spark.catalog.clearCache()
+    p = _plan(q_late_order_priorities(spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert p.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in p
+
+    p = _plan(q_forecast_revenue_delta(spark, SF_DIR))
+    assert "Join" not in p  # pure scan-aggregate
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1]
+
+    p = _plan(q_important_part_stock(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert p.count("lineitem.parquet") <= 2  # per-part + total branches
+    assert "Window" not in p  # scalar never via max()/sum() OVER ()
+
+    p = _plan(q_shipmode_priority_counts(spark, SF_DIR))
+    assert p.count("lineitem.parquet") == 1
+    assert "Expand" not in p  # conditional sums, not distinct rewrites
+
+    p = _plan(q_promo_revenue_share(spark, SF_DIR))
+    assert p.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in p
