@@ -68,6 +68,8 @@ HEADLINE = (
     "bigram_surprise_score",
     "ann_pq_adc_topk",
     "interval_overlap_campaigns",
+    "forecast_revenue_delta",
+    "promo_revenue_share",
 )
 
 

@@ -38,6 +38,8 @@ DEFAULT_QUERIES = (
     "ann_lsh_recall",
     "doc_chunk_overlap",
     "equi_depth_histogram",
+    "forecast_revenue_delta",
+    "late_order_priorities",
     "sole_late_supplier",
     "idle_customer_balance",
     "token_pmi_pairs",
