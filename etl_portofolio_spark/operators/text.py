@@ -208,6 +208,14 @@ def tfidf_topk(
     doc_id. idf uses the smoothed form ln((N+1)/(df+1)) + 1, N computed
     as a broadcast scalar, not a driver constant baked into the plan.
     Ties rank deterministically (score desc, token asc).
+
+    The score is rounded to 6 decimals BEFORE ranking: ``ln`` is not
+    correctly rounded, and JVM Math.log vs DuckDB libm disagree by one
+    ulp on some inputs (first observed at sf0.1 — the sf0.01 gate never
+    hit a disagreeing argument). Ranking on the rounded score means
+    neither the emitted value nor the rank order can depend on which
+    libm computed it; sub-1e-6 score gaps resolve by the token
+    tiebreak identically on both engines.
     """
     from etl_portofolio_spark.operators.util import spread
 
@@ -220,10 +228,13 @@ def tfidf_topk(
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.col("tf")
-            * (
-                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
-                + F.lit(1.0)
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
             ),
         )
     )

@@ -968,7 +968,8 @@ WITH tok AS (
   SELECT count(DISTINCT doc_id) AS n_docs FROM documents
 ), scored AS (
   SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
-         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1.0) AS score
+         round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1.0), 6)
+           AS score
   FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
