@@ -1,0 +1,142 @@
+"""Read-side data skipping: zone-map file pruning over clustered layouts.
+
+The read-side half of ``sinks.writer.write_range_clustered`` (which
+lays files out with disjoint per-file [min, max] envelopes on the
+cluster column).  A point or range predicate on that column should
+read ONE file, not all of them — this module makes that happen from
+plain Spark + parquet, the way Delta's file-level stats / Iceberg's
+manifest min-max do it:
+
+- ``build_zonemap``: one distributed scan produces the per-file
+  (file, min, max, rows) table — O(#files) rows, built ONCE and
+  amortized over every subsequent query.  At 100 TB the zonemap for a
+  100k-file table is ~100k rows: driver-collectable metadata, the same
+  scale contract as Iceberg's manifests.
+- ``footer_zonemap``: the no-extra-scan variant — reads parquet FOOTER
+  statistics via pyarrow (pure metadata IO, no data pages touched).
+  Right after a write, when the files were just produced and a full
+  scan would be wasteful; footer stats are what the writer already
+  persisted for free.
+- ``skipping_scan``: prunes the file list against the predicate's
+  [lo, hi] envelope, reads only surviving files, and RE-APPLIES the
+  exact predicate (the zonemap admits false positives — a surviving
+  file can still hold rows outside the range; it can never hold a
+  false negative, which is the correctness contract).
+
+Parity note: mirrors the file/row-group statistics pruning of the
+reference's scan path at the FILE granularity; row-group granularity
+inside each surviving file is Spark's own parquet filter pushdown,
+which composes with this (``PushedFilters`` in the scan node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_zonemap(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """Per-file [min, max, rows] envelope table for ``col``.
+
+    One aggregation grouped on ``input_file_name()`` — combinable
+    map-side, shuffles only #files rows.  Persist the result next to
+    the table (a normal parquet write) and every reader prunes from it
+    without touching the data again.
+    """
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col).alias("zmin"),
+            F.max(col).alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def footer_zonemap(path: str, col: str) -> list[tuple[str, object, object, int]]:
+    """Per-file envelopes from parquet FOOTER statistics — metadata-only
+    IO (no data pages), no Spark job.
+
+    Returns ``[(file_path, min, max, n_rows), ...]``.  Driver-side by
+    design: footers are a few KiB each and the file count bounds the
+    work — the same O(#files) contract as a manifest listing.  On an
+    object store this is one ranged GET per file; for hot tables
+    prefer the persisted ``build_zonemap`` output.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, object, object, int]] = []
+    pattern = os.path.join(path, "**", "*.parquet")
+    for f in sorted(glob.glob(pattern, recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo, hi, rows = None, None, 0
+        prunable = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            rows += md.row_group(rg).num_rows
+            if st is None or not st.has_min_max:
+                # a row group without stats makes the file unprunable
+                prunable = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((f, lo, hi, rows) if prunable else (f, None, None, rows))
+    return out
+
+
+def prune_files(
+    zonemap: list[tuple[str, object, object, int]],
+    lo: object | None,
+    hi: object | None,
+) -> list[str]:
+    """Files whose [zmin, zmax] envelope intersects [lo, hi].
+
+    ``None`` bounds are open (half-range predicates).  A file with
+    unknown stats (``zmin is None``) always survives — skipping may
+    only ever drop files PROVEN irrelevant.
+    """
+    keep = []
+    for f, zmin, zmax, _rows in zonemap:
+        if zmin is None or zmax is None:
+            keep.append(f)
+            continue
+        if lo is not None and zmax < lo:
+            continue
+        if hi is not None and zmin > hi:
+            continue
+        keep.append(f)
+    return keep
+
+
+def skipping_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo: object | None = None,
+    hi: object | None = None,
+    zonemap: list[tuple[str, object, object, int]] | None = None,
+) -> DataFrame:
+    """Range scan that reads only files whose envelope can match.
+
+    The exact predicate is re-applied after pruning: the envelope test
+    is necessary, not sufficient.  With a ``write_range_clustered``
+    layout the surviving set for a point lookup is one file; with an
+    unclustered layout pruning degrades gracefully to a full file
+    list — never a wrong answer.
+    """
+    zmap = zonemap if zonemap is not None else footer_zonemap(path, col)
+    files = prune_files(zmap, lo, hi)
+    if not files:
+        # no file can match: an empty frame with the table's schema
+        return spark.read.parquet(path).where(F.lit(False))
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.where(F.col(col) <= F.lit(hi))
+    return df
