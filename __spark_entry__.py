@@ -101,6 +101,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from etl_portofolio_spark.plans.round5g_queries import ROUND5G_QUERIES
+
+    _ALL.update(ROUND5G_QUERIES)
+except ImportError:
+    pass
+
 
 # Registry rotation: the driver's correctness gate checks only the
 # FIRST 50 registry entries each round, so ordering IS evidence

@@ -70,6 +70,9 @@ HEADLINE = (
     "interval_overlap_campaigns",
     "forecast_revenue_delta",
     "promo_revenue_share",
+    "bm25_topk",
+    "embedding_norm_audit",
+    "daily_revenue_anomaly",
 )
 
 

@@ -633,3 +633,45 @@ def test_tpch_completion_plan_shapes(spark):
     p = _plan(q_promo_revenue_share(spark, SF_DIR))
     assert p.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in p
+
+
+def test_round5g_scale_shapes(spark):
+    """The retrieval/QA/economics wave keeps its scale claims:
+    distributed top-k, filtered explode, map-only bucketing."""
+    from etl_portofolio_spark.plans.round5g_queries import (
+        q_bm25_topk,
+        q_daily_revenue_anomaly,
+        q_embedding_norm_audit,
+        q_length_bucket_padding,
+    )
+
+    spark.catalog.clearCache()
+    p = _plan(q_bm25_topk(spark, SF_DIR))
+    # the global rank runs on the <=k-row TakeOrderedAndProject result,
+    # never as a corpus-wide single-partition sort
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # tf and stats frames broadcast into the scoring projection
+    assert "BroadcastHashJoin" in p
+
+    p = _plan(q_embedding_norm_audit(spark, SF_DIR))
+    # one combinable aggregation on the label — exactly one hash exchange
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in p
+
+    p = _plan(q_length_bucket_padding(spark, SF_DIR))
+    # map-only bucketing into one combinable groupBy; the CASE chain
+    # stays in codegen (no python, no explode of token rows)
+    assert "Generate" not in p  # size(), not explode, counts tokens
+    assert p.count("Arguments: hashpartitioning") == 1
+
+    p = _plan(q_daily_revenue_anomaly(spark, SF_DIR))
+    # the single-partition trailing window runs on the DAY-level frame:
+    # below it sits the combinable daily aggregation (partial+final),
+    # so the fact table shuffles once on the day key, bounded by the
+    # calendar thereafter
+    assert p.count("HashAggregate") >= 2  # partial + final daily sum
+    # column pruning: only the date and price reach the scan
+    read_schema = p.split("ReadSchema", 1)[1].split("\n")[0]
+    assert "o_orderdate" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema
