@@ -402,3 +402,184 @@ ROUND5G_QUERIES: dict = {
     "length_bucket_padding": (q_length_bucket_padding, _oracle_length_buckets()),
     "daily_revenue_anomaly": (q_daily_revenue_anomaly, ORACLE_DAILY_ANOMALY),
 }
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: distribution drift between snapshot cuts
+# ---------------------------------------------------------------------------
+
+from etl_portofolio_spark.plans.extension_queries import (  # noqa: E402
+    _CDC_CUT_NEW,
+    _CDC_CUT_OLD,
+)
+
+#: fixed integer-cents band edges — constant boundaries, so bucketing is
+#: engine-exact (baseline-quantile buckets would couple the bucket map
+#: to a percentile implementation)
+_PSI_EDGES_C = (5_000_00, 10_000_00, 15_000_00, 20_000_00, 30_000_00)
+
+
+def q_histogram_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution
+    between the two CDC snapshot cuts — the numeric companion to
+    ``schema_drift_report``: schema equality and min/max can both hold
+    while the SHAPE of the distribution walks away; PSI is the
+    standard promote-or-alarm score for that.
+
+    Each snapshot histograms once over fixed integer-cents bands (one
+    combinable groupBy over a 6-value domain — map-side partials
+    collapse it); the band frames full-outer join on the band id
+    (≤6 rows — free), counts get +1 Laplace smoothing (integer-exact,
+    no epsilon constants), and the PSI term
+    (share_new − share_old)·ln(share_new/share_old) is the only
+    double, rounded to 6. At 100 TB each snapshot pass is one scan;
+    the report is O(bands).
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    band = F.lit(len(_PSI_EDGES_C))
+    for i, e in reversed(list(enumerate(_PSI_EDGES_C))):
+        band = F.when(c < F.lit(e), F.lit(i)).otherwise(band)
+
+    def hist(cut, tag):
+        return (
+            orders.where(
+                F.col("o_orderdate") < F.lit(cut).cast("timestamp")
+            )
+            .groupBy(band.alias("band"))
+            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        )
+
+    old = hist(_CDC_CUT_OLD, "old")
+    new = hist(_CDC_CUT_NEW, "new")
+    joined = (
+        old.join(new, "band", "full_outer")
+        .select(
+            "band",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum(F.col("n_old") + 1).alias("t_old"),
+        F.sum(F.col("n_new") + 1).alias("t_new"),
+    )
+    p_old = (F.col("n_old") + 1).cast("double") / F.col("t_old").cast("double")
+    p_new = (F.col("n_new") + 1).cast("double") / F.col("t_new").cast("double")
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_old",
+        "n_new",
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )
+
+
+def _oracle_psi() -> str:
+    chain = str(len(_PSI_EDGES_C))
+    for i, e in reversed(list(enumerate(_PSI_EDGES_C))):
+        chain = f"CASE WHEN c < {e} THEN {i} ELSE {chain} END"
+    return f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c, o_orderdate
+  FROM orders
+), old AS (
+  SELECT {chain} AS band, count(*) AS n_old FROM base
+  WHERE o_orderdate < TIMESTAMP '{_CDC_CUT_OLD} 00:00:00' GROUP BY 1
+), new AS (
+  SELECT {chain} AS band, count(*) AS n_new FROM base
+  WHERE o_orderdate < TIMESTAMP '{_CDC_CUT_NEW} 00:00:00' GROUP BY 1
+), j AS (
+  SELECT COALESCE(old.band, new.band) AS band,
+         COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM old FULL OUTER JOIN new ON old.band = new.band
+), t AS (
+  SELECT sum(n_old + 1) AS t_old, sum(n_new + 1) AS t_new FROM j
+)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+       round((CAST(n_new + 1 AS DOUBLE) / CAST(t_new AS DOUBLE)
+              - CAST(n_old + 1 AS DOUBLE) / CAST(t_old AS DOUBLE))
+             * ln((CAST(n_new + 1 AS DOUBLE) / CAST(t_new AS DOUBLE))
+                  / (CAST(n_old + 1 AS DOUBLE) / CAST(t_old AS DOUBLE))), 6)
+         AS psi_term
+FROM j, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation audit
+# ---------------------------------------------------------------------------
+
+#: candidate FDs: (name, table, lhs, rhs) — one holds by construction
+#: (TPC-H brand embeds the manufacturer), two genuinely fail
+_FD_CANDIDATES = (
+    ("partkey_determines_brand", "part", "p_partkey", "p_brand"),
+    ("type_determines_size", "part", "p_type", "p_size"),
+    ("nation_determines_segment", "customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the columns obey their assumed functional dependencies?
+    For each candidate ``lhs → rhs``: distinct lhs keys, keys mapping
+    to MORE than one rhs value (violations), the worst fan-out, and
+    the violation share — the contract check a warehouse runs before
+    trusting a denormalization or building a dimension from the pair.
+    The key-FD (partkey → brand) holds by construction and anchors the
+    report's zero line; the other two measure real violation mass.
+
+    Per FD: a two-level aggregation — groupBy(lhs, rhs) count (one
+    combinable shuffle on the pair), then groupBy(lhs) variant count
+    (narrow second shuffle on lhs), then ONE row of audit scalars.
+    The per-FD rows union into the report; each FD is independent, so
+    at 100 TB the audits run as parallel stages of one job, never a
+    cross-FD join.
+    """
+    apply_runtime_confs(spark)
+    out = None
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        variants = (
+            df.groupBy(lhs, rhs)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy(lhs)
+            .agg(F.count(F.lit(1)).alias("n_variants"))
+        )
+        audit = variants.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("n_variants") > 1).cast("long")).alias(
+                "n_violating_keys"
+            ),
+            F.max("n_variants").alias("max_variants"),
+            F.round(
+                F.sum((F.col("n_variants") > 1).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("violation_share"),
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out
+
+
+def _oracle_fd() -> str:
+    parts = []
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{name}' AS fd, count(*) AS n_keys,
+       CAST(sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(max(n_variants) AS BIGINT) AS max_variants,
+       round(CAST(sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS violation_share
+FROM (
+  SELECT {lhs}, count(*) AS n_variants
+  FROM (SELECT DISTINCT {lhs}, {rhs} FROM {table})
+  GROUP BY {lhs}
+)""")
+    return " UNION ALL ".join(parts)
+
+
+ROUND5G_QUERIES["histogram_drift_psi"] = (q_histogram_drift_psi, _oracle_psi())
+ROUND5G_QUERIES["fd_violation_audit"] = (q_fd_violation_audit, _oracle_fd())
