@@ -33,6 +33,7 @@ import argparse
 from pyspark.sql import SparkSession
 
 from etl_portofolio_spark.session import build_session
+from etl_portofolio_spark.sources.skipping import persist_zonemap
 from etl_portofolio_spark.sinks.writer import (
     analyze_table,
     compact_partition,
@@ -52,6 +53,7 @@ def run_maintenance(
     sort_cols: tuple[str, ...] = (),
     analyze_as: str | None = None,
     snapshot_roots: tuple[str, ...] = (),
+    zonemap_col: str | None = None,
 ) -> dict:
     """Run the maintenance loop once; returns a summary dict
     (dropped partitions, compacted partitions with before/after file
@@ -83,11 +85,19 @@ def run_maintenance(
         root: vacuum_snapshots(spark, root)
         for root in snapshot_roots
     }
+    # zonemap refresh LAST — compaction just changed the file set, and
+    # the persisted map must describe the files readers will actually
+    # open (a stale map is still safe via load_zonemap's reconciliation,
+    # but refreshed here the very next reader prunes at full strength)
+    zonemap_files = (
+        persist_zonemap(spark, path, zonemap_col) if zonemap_col else None
+    )
     return {
         "dropped": dropped,
         "compacted": compacted,
         "partitions_seen": len(stats),
         "vacuumed": {k: v for k, v in vacuumed.items() if v},
+        "zonemap_files": zonemap_files,
     }
 
 
@@ -105,6 +115,12 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         default="",
         help="comma-separated WAP roots to vacuum crashed staging from",
     )
+    ap.add_argument(
+        "--zonemap-col",
+        default=None,
+        help="refresh the persisted zonemap for this column after "
+        "compaction (sources/skipping.py readers prune from it)",
+    )
     args = ap.parse_args()
     spark = build_session("maintain_tables")
     summary = run_maintenance(
@@ -117,6 +133,7 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         sort_cols=tuple(c for c in args.sort_cols.split(",") if c),
         analyze_as=args.analyze_as,
         snapshot_roots=tuple(r for r in args.snapshot_roots.split(",") if r),
+        zonemap_col=args.zonemap_col,
     )
     print(summary)
 

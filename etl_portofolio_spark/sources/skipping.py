@@ -54,6 +54,24 @@ def build_zonemap(spark: SparkSession, path: str, col: str) -> DataFrame:
     )
 
 
+def _data_files(path: str) -> list[str]:
+    """Parquet DATA files under ``path`` — excludes entries under
+    ``_``/``.``-prefixed components (Spark's hidden-file convention:
+    `_SUCCESS`, `_zonemap`, checkpoint metadata), matching what
+    ``spark.read.parquet`` itself would list.
+    """
+    import glob
+    import os
+
+    out = []
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(f, path)
+        if any(p.startswith(("_", ".")) for p in rel.split(os.sep)):
+            continue
+        out.append(f)
+    return out
+
+
 def footer_zonemap(path: str, col: str) -> list[tuple[str, object, object, int]]:
     """Per-file envelopes from parquet FOOTER statistics — metadata-only
     IO (no data pages), no Spark job.
@@ -70,8 +88,7 @@ def footer_zonemap(path: str, col: str) -> list[tuple[str, object, object, int]]
     import pyarrow.parquet as pq
 
     out: list[tuple[str, object, object, int]] = []
-    pattern = os.path.join(path, "**", "*.parquet")
-    for f in sorted(glob.glob(pattern, recursive=True)):
+    for f in sorted(_data_files(path)):
         md = pq.ParquetFile(f).metadata
         idx = md.schema.names.index(col)
         lo, hi, rows = None, None, 0
@@ -140,3 +157,59 @@ def skipping_scan(
     if hi is not None:
         df = df.where(F.col(col) <= F.lit(hi))
     return df
+
+
+# --- persisted zonemaps: the maintenance-loop artifact -----------------------
+
+#: zonemap artifacts live under an underscore directory — Spark's file
+#: listing ignores `_`/`.`-prefixed entries, so the map never pollutes
+#: reads of the table itself (the `_SUCCESS` convention)
+_ZONEMAP_DIR = "_zonemap"
+
+
+def persist_zonemap(spark: SparkSession, path: str, col: str) -> int:
+    """Build and persist the zonemap for ``col`` at
+    ``<path>/_zonemap/<col>/`` — the nightly-maintenance artifact that
+    lets every subsequent reader prune without touching data OR
+    footers.  Returns the number of files mapped.
+    """
+    zmap = build_zonemap(spark, path, col)
+    target = f"{path}/{_ZONEMAP_DIR}/{col}"
+    zmap.coalesce(1).write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target).count()
+
+
+def load_zonemap(
+    spark: SparkSession, path: str, col: str
+) -> list[tuple[str, object, object, int]] | None:
+    """Load a persisted zonemap and RECONCILE it against the live file
+    listing — the property that makes a stale map safe:
+
+    - a file in the map but gone from disk (compacted away) is dropped
+      from the map (reading it would error);
+    - a file on disk but missing from the map (appended since the last
+      refresh) enters with unknown stats, so it ALWAYS survives
+      pruning — skipping degrades, correctness doesn't.
+
+    Returns ``None`` when no map was ever persisted (callers fall back
+    to ``footer_zonemap``).  Reconciliation is a driver-side directory
+    listing — O(#files), the same metadata contract as pruning itself.
+    """
+    import os
+
+    target = f"{path}/{_ZONEMAP_DIR}/{col}"
+    if not os.path.isdir(target):
+        return None
+    mapped = {
+        r["file"].removeprefix("file://"): (r["zmin"], r["zmax"], r["n_rows"])
+        for r in spark.read.parquet(target).collect()
+    }
+    live = set(_data_files(path))
+    out: list[tuple[str, object, object, int]] = []
+    for f in sorted(live):
+        if f in mapped:
+            lo, hi, rows = mapped[f]
+            out.append((f, lo, hi, rows))
+        else:
+            out.append((f, None, None, -1))  # unmapped: never pruned
+    return out

@@ -113,3 +113,78 @@ def test_prune_files_keeps_stat_less_files():
     assert skipping.prune_files(zmap, 12, 18) == ["b"]
     assert skipping.prune_files(zmap, None, 5) == ["a", "b"]
     assert skipping.prune_files(zmap, 25, None) == ["b", "c"]
+
+
+def test_persisted_zonemap_roundtrip_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    write_range_clustered(ev, path, "event_id", n_files=6)
+    n = skipping.persist_zonemap(spark, path, "event_id")
+    assert n == 6
+    zmap = skipping.load_zonemap(spark, path, "event_id")
+    assert zmap is not None and len(zmap) == 6
+    # scanning with the persisted map matches the footer-stat scan
+    ids = spark.read.parquet(path).agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    mid = (ids["lo"] + ids["hi"]) // 2
+    via_map = skipping.skipping_scan(
+        spark, path, "event_id", ids["lo"], mid, zonemap=zmap
+    )
+    via_footer = skipping.skipping_scan(spark, path, "event_id", ids["lo"], mid)
+    assert _rows(via_map) == _rows(via_footer)
+    assert len(via_map.inputFiles()) < 6
+    # the _zonemap artifact dir is invisible to table reads
+    assert spark.read.parquet(path).columns == ["event_id", "value"]
+
+
+def test_stale_zonemap_reconciles_appends_and_rewrites(spark, tmp_path):
+    """Files appended after the map refresh always survive pruning;
+    files compacted away are dropped from the map — a stale map
+    degrades skipping, never correctness."""
+    path = str(tmp_path / "tbl")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    write_range_clustered(ev, path, "event_id", n_files=4)
+    skipping.persist_zonemap(spark, path, "event_id")
+    # append new rows OUTSIDE the old key range without refreshing
+    hi = spark.read.parquet(path).agg(F.max("event_id")).first()[0]
+    extra = spark.range(hi + 1000, hi + 1010).select(
+        F.col("id").alias("event_id"), F.lit(7).cast("long").alias("value")
+    )
+    extra.coalesce(1).write.mode("append").parquet(path)
+    zmap = skipping.load_zonemap(spark, path, "event_id")
+    # the unmapped new file has unknown stats => included in any range
+    got = skipping.skipping_scan(
+        spark, path, "event_id", hi + 1000, hi + 2000, zonemap=zmap
+    )
+    assert got.count() == 10  # appended rows found despite stale map
+
+
+def test_maintenance_refreshes_zonemap_after_compaction(spark, tmp_path):
+    """The nightly loop leaves a map that matches the compacted layout."""
+    from etl_portofolio_spark.jobs.maintain_tables import run_maintenance
+
+    path = str(tmp_path / "tbl")
+    # many tiny interleaved appends into one partition
+    for i in range(5):
+        spark.createDataFrame(
+            [((j * 5 + i) % 50, "20240101") for j in range(8)],
+            "k long, ds string",
+        ).coalesce(1).write.partitionBy("ds").mode("append").parquet(path)
+    summary = run_maintenance(
+        spark,
+        path,
+        partition_col="ds",
+        max_files_per_partition=2,
+        target_file_bytes=400,
+        sort_cols=("k",),
+        zonemap_col="k",
+    )
+    assert summary["compacted"]  # the fat partition was rewritten
+    zmap = skipping.load_zonemap(spark, path, "k")
+    assert zmap is not None
+    # the refreshed map covers exactly the live files (no stale entries)
+    live = set(spark.read.parquet(path).inputFiles())
+    assert {("file://" + f) for f, *_ in zmap} == live
+    # and every mapped file carries usable stats
+    assert all(lo is not None for _, lo, _, _ in zmap)
