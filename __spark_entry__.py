@@ -108,6 +108,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from etl_portofolio_spark.plans.round5h_queries import ROUND5H_QUERIES
+
+    _ALL.update(ROUND5H_QUERIES)
+except ImportError:
+    pass
+
 
 # Registry rotation: the driver's correctness gate checks only the
 # FIRST 50 registry entries each round, so ordering IS evidence
