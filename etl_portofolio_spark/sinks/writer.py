@@ -79,19 +79,25 @@ def write_partitioned(
     partition_col: str | list[str] = "ds",
     mode: str = "overwrite",
     target_file_bytes: int | None = DEFAULT_TARGET_FILE_BYTES,
+    data_format: str = "parquet",
 ) -> None:
-    """Partitioned parquet write with idempotent per-partition overwrite.
+    """Partitioned columnar write with idempotent per-partition overwrite.
 
     ``mode="overwrite"`` + dynamic partition overwrite replaces ONLY the
     partitions present in ``df`` (the reference's truncate-then-append
     dance, K4, as one atomic operation); ``mode="append"`` is the plain
     K1 append. ``partition_col`` may be a composite key (list) — the
-    streaming sink uses ``[ds, batch_id]``.
+    streaming sink uses ``[ds, batch_id]``. ``data_format`` selects the
+    columnar container ("parquet" default, "orc" for ORC-standardized
+    warehouses) — both are Spark-native vectorized formats with
+    identical pushdown/pruning semantics, so every property above holds
+    for either; the file-sizing probe stays parquet (it estimates row
+    width, which is format-independent to first order).
     """
     spark = df.sparkSession
     cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = df.write.partitionBy(*cols).format("parquet").mode(mode)
+    writer = df.write.partitionBy(*cols).format(data_format).mode(mode)
     if target_file_bytes:
         # scratch on the TARGET's filesystem (dot-dir: hidden from readers)
         rows_per_file = _estimate_rows_per_file(
@@ -103,9 +109,9 @@ def write_partitioned(
     refresh_path(spark, path)
 
 
-def overwrite_table(df: DataFrame, path: str) -> None:
+def overwrite_table(df: DataFrame, path: str, data_format: str = "parquet") -> None:
     """K2: unpartitioned full overwrite (`Ingestion Data (MySQL).py:52-57`)."""
-    df.write.format("parquet").mode("overwrite").save(path)
+    df.write.format(data_format).mode("overwrite").save(path)
     refresh_path(df.sparkSession, path)
 
 

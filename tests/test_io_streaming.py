@@ -1068,3 +1068,34 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert {f.name for f in got.schema.fields} == {"k", "a", "extra", "ds"}
     rows = {r.k: r for r in got.collect()}
     assert rows[1].extra is None and rows[2].extra == 1.5
+
+
+def test_orc_partitioned_write_roundtrip_and_pushdown(spark, tmp_path):
+    """The partitioned sink on ORC: same dynamic-overwrite idempotency
+    as parquet, and predicate pushdown reaches the ORC scan."""
+    from etl_portofolio_spark.sinks.writer import write_partitioned
+
+    path = str(tmp_path / "orc_tbl")
+    df = spark.createDataFrame(
+        [(i, f"2024010{1 + i % 2}") for i in range(20)], "k long, ds string"
+    )
+    write_partitioned(df, path, "ds", data_format="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 20
+    assert sorted(r["ds"] for r in back.select("ds").distinct().collect()) == [
+        "20240101",
+        "20240102",
+    ]
+    # dynamic overwrite: rewriting ONE partition leaves the other intact
+    write_partitioned(
+        spark.createDataFrame([(99, "20240101")], "k long, ds string"),
+        path,
+        "ds",
+        data_format="orc",
+    )
+    back = spark.read.orc(path)
+    assert back.where(F.col("ds") == "20240101").count() == 1
+    assert back.where(F.col("ds") == "20240102").count() == 10
+    # pushdown reaches the ORC scan node
+    plan = back.where(F.col("k") > 50)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)" in plan
