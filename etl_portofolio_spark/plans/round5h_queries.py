@@ -201,3 +201,95 @@ ROUND5H_QUERIES: dict = {
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
     "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of daily revenue: the seasonality detector
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7, 14)
+
+
+def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation of the daily-revenue series at lags
+    1/7/14 — the seasonality detector run before picking a forecast
+    model or an anomaly baseline (a strong lag-7 says the z-score
+    window must be day-of-week aware).
+
+    Shape: the fact table collapses to the calendar-bounded day frame
+    first (the only big shuffle — identical to
+    ``daily_revenue_anomaly``); each lag is one ``lag()`` over the
+    day-ordered frame plus ONE aggregation whose six sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) all accumulate integer cents in DECIMAL(38,0) —
+    exact, order-independent.  The Pearson r is a single double
+    expression from those exact scalars, rounded to 6.  Lags union
+    into a 3-row report.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("x")
+    )
+    w = Window.orderBy("day")
+    out = None
+    for k in _ACF_LAGS:
+        pairs = daily.select(
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.lag("x", k).over(w).cast("decimal(38,0)").alias("y"),
+        ).where(F.col("y").isNotNull())
+        sums = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        n = F.col("n").cast("double")
+        num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        den = F.sqrt(
+            (n * F.col("sxx").cast("double") - F.pow(F.col("sx").cast("double"), 2))
+            * (n * F.col("syy").cast("double") - F.pow(F.col("sy").cast("double"), 2))
+        )
+        row = sums.select(
+            F.lit(k).alias("lag_days"),
+            F.col("n").alias("n_pairs"),
+            F.round(num / den, 6).alias("autocorr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_acf() -> str:
+    parts = []
+    for k in _ACF_LAGS:
+        parts.append(f"""
+SELECT {k} AS lag_days, count(*) AS n_pairs,
+       round((count(*) * CAST(sum(x * y) AS DOUBLE)
+              - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+             / sqrt((count(*) * CAST(sum(x * x) AS DOUBLE)
+                     - pow(CAST(sum(x) AS DOUBLE), 2))
+                    * (count(*) * CAST(sum(y * y) AS DOUBLE)
+                       - pow(CAST(sum(y) AS DOUBLE), 2))), 6) AS autocorr
+FROM (
+  SELECT CAST(x AS DECIMAL(38,0)) AS x,
+         CAST(lag(x, {k}) OVER (ORDER BY day) AS DECIMAL(38,0)) AS y
+  FROM (
+    SELECT o_orderdate AS day,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+  )
+) WHERE y IS NOT NULL""")
+    return " UNION ALL ".join(parts)
+
+
+ROUND5H_QUERIES["revenue_autocorrelation"] = (
+    q_revenue_autocorrelation,
+    _oracle_acf(),
+)
