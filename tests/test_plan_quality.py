@@ -675,3 +675,30 @@ def test_round5g_scale_shapes(spark):
     read_schema = p.split("ReadSchema", 1)[1].split("\n")[0]
     assert "o_orderdate" in read_schema and "o_totalprice" in read_schema
     assert "o_comment" not in read_schema
+
+
+def test_round5h_analytics_shapes(spark):
+    """Cohorts/funnel/ACF: keyed joins only, no cartesians, fact
+    shuffles bounded to their keys."""
+    from etl_portofolio_spark.plans.round5h_queries import (
+        q_cohort_retention,
+        q_funnel_conversion,
+        q_revenue_autocorrelation,
+    )
+
+    spark.catalog.clearCache()
+    p = _plan(q_cohort_retention(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the cohort-size attach broadcasts (|weeks| rows)
+    assert "BroadcastHashJoin" in p
+
+    p = _plan(q_funnel_conversion(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the event-type IN-list reaches the scan
+    assert "PushedFilters" in p and "event_type" in p.split("PushedFilters", 1)[1]
+
+    p = _plan(q_revenue_autocorrelation(spark, SF_DIR))
+    # day-level aggregation under the lag window: partial+final pair
+    assert p.count("HashAggregate") >= 2
+    read_schema = p.split("ReadSchema", 1)[1].split("\n")[0]
+    assert "o_comment" not in read_schema and "o_orderdate" in read_schema
