@@ -73,6 +73,8 @@ HEADLINE = (
     "bm25_topk",
     "embedding_norm_audit",
     "daily_revenue_anomaly",
+    "cohort_retention",
+    "histogram_drift_psi",
 )
 
 
