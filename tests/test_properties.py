@@ -557,3 +557,55 @@ def test_pq_score_sql_rejects_non_finite_literals():
         _pq_score_sql("v", 0, [float("nan")], 1)
     with _pytest.raises(ValueError, match="overflowed"):
         _pq_score_sql("v", 0, [1e160, 1e160], 2)
+
+
+# --- fold_sessions: chunking invariance of the streaming sessionizer --------
+
+_TS_LISTS = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ts=_TS_LISTS, cuts=st.lists(st.integers(0, 40), max_size=4), gap=st.integers(1, 500))
+def test_fold_sessions_chunking_invariance(ts, cuts, gap):
+    """Splitting the (sorted) event stream at ARBITRARY micro-batch
+    boundaries and threading the open session through state yields
+    byte-identical sessions to one single fold — the property that
+    makes the streaming twins exactly-once-equivalent to batch no
+    matter how the source chops the data."""
+    from etl_portofolio_spark.streaming.tws import fold_sessions
+
+    ordered = sorted(ts)
+    one_shot_closed, one_shot_open = fold_sessions(ordered, None, gap)
+
+    bounds = sorted({min(c, len(ordered)) for c in cuts} | {0, len(ordered)})
+    chunks = [
+        ordered[a:b] for a, b in zip(bounds, bounds[1:])
+    ]
+    state = None
+    chunked_closed = []
+    for chunk in chunks:
+        closed, state = fold_sessions(chunk, state, gap)
+        chunked_closed.extend(closed)
+
+    assert chunked_closed == one_shot_closed
+    assert state == one_shot_open
+
+
+@settings(max_examples=200, deadline=None)
+@given(ts=_TS_LISTS, gap=st.integers(1, 500))
+def test_fold_sessions_conservation(ts, gap):
+    """Every event lands in exactly one session; session spans are
+    consistent and separated by more than the gap."""
+    from etl_portofolio_spark.streaming.tws import fold_sessions
+
+    ordered = sorted(ts)
+    closed, open_sess = fold_sessions(ordered, None, gap)
+    sessions = closed + ([open_sess] if open_sess else [])
+    assert sum(n for _, _, n in sessions) == len(ordered)
+    for s, e, n in sessions:
+        assert s <= e
+        assert n >= 1
+    for (_, e1, _), (s2, _, _) in zip(sessions, sessions[1:]):
+        assert s2 - e1 > gap  # closed exactly when the gap demanded it
