@@ -293,3 +293,76 @@ ROUND5H_QUERIES["revenue_autocorrelation"] = (
     q_revenue_autocorrelation,
     _oracle_acf(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition (Markov) matrix: sequence mining over user journeys
+# ---------------------------------------------------------------------------
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type → to_type) pair, the transition
+    count and conditional probability — the journey-mining summary
+    (what follows an error? does view actually precede purchase?)
+    that also feeds next-event predictors.
+
+    Consecutiveness comes from ``lead()`` over the per-user time
+    window — partitioned by user_id, so the sort parallelizes across
+    users and nothing orders globally; ties inside a user break on the
+    unique event_id (both engines sort identically).  Pair counting is
+    one combinable groupBy over a |types|² domain; the per-from
+    normalizer attaches as a window sum over that tiny frame.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+ORACLE_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE), 6) AS p_transition
+FROM pairs
+"""
+
+
+ROUND5H_QUERIES["event_transition_matrix"] = (
+    q_event_transition_matrix,
+    ORACLE_TRANSITION_MATRIX,
+)
