@@ -366,3 +366,90 @@ ROUND5H_QUERIES["event_transition_matrix"] = (
     q_event_transition_matrix,
     ORACLE_TRANSITION_MATRIX,
 )
+
+
+# ---------------------------------------------------------------------------
+# Table profile: the Deequ-style per-column profiling report
+# ---------------------------------------------------------------------------
+
+#: (column, normalized-expression builder) — values profile as strings
+#: so one report row type covers every column; numerics normalize to
+#: integer cents/keys first (integer→string renders identically in
+#: both engines; raw double→string would not)
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling report over orders: rows, nulls (with the
+    reference's '4-NOT SPECIFIED' sentinel normalized to NULL the way
+    a silver view would), exact distinct count, lexical min/max — the
+    data-profiling pass run when a new feed lands, before any contract
+    is written for it.
+
+    One combinable wide aggregation carries rows/nulls/min/max for ALL
+    columns in a single scan; the exact distinct counts run as one
+    narrow two-level aggregation PER column (groupBy the column, then
+    count) — deliberately NOT k countDistincts in one agg, which would
+    Expand every row ×k (the Q21 lesson).  At 100 TB the per-column
+    distinct passes are the honest cost of exactness; a production
+    profiler swaps them for HLL sketches in the same report shape.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    norm = {
+        c: (
+            F.nullif(F.col(c), F.lit("4-NOT SPECIFIED"))
+            if c == "o_orderpriority"
+            else F.col(c)
+        )
+        for c in _PROFILE_COLS
+    }
+    out = None
+    for c in _PROFILE_COLS:
+        e = norm[c]
+        s = e.cast("string")
+        wide = orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(e.isNull().cast("long")).alias("n_nulls"),
+            F.min(s).alias("min_value"),
+            F.max(s).alias("max_value"),
+        )
+        distinct = (
+            orders.select(e.alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        row = wide.crossJoin(F.broadcast(distinct)).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_profile() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        e = (
+            f"nullif({c}, '4-NOT SPECIFIED')"
+            if c == "o_orderpriority"
+            else c
+        )
+        parts.append(f"""
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {e} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {e}) AS BIGINT) AS n_distinct,
+       min(CAST({e} AS VARCHAR)) AS min_value,
+       max(CAST({e} AS VARCHAR)) AS max_value
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+ROUND5H_QUERIES["table_profile"] = (q_table_profile, _oracle_profile())
