@@ -453,3 +453,77 @@ FROM orders""")
 
 
 ROUND5H_QUERIES["table_profile"] = (q_table_profile, _oracle_profile())
+
+
+# ---------------------------------------------------------------------------
+# Supplier-concentration HHI: procurement-risk per nation
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    supplier nation — the procurement-risk metric (an HHI near 1 says
+    one supplier owns the nation's flow; regulators flag >0.25).
+
+    Exactness trick: HHI = Σ shareᵢ² = (Σ revᵢ²) / (Σ revᵢ)² — both
+    sums accumulate EXACT integer centi-cents in DECIMAL(38,0)
+    (order-independent), so the only floating-point step is the final
+    division, rounded to 6.  Squaring per-supplier revenues would
+    otherwise mean summing doubles in shuffle order.  Shape: revenue
+    per (nation, supplier) is one combinable groupBy on the join of
+    lineitem × broadcast(supplier); the HHI collapse is a second
+    groupBy over |suppliers| rows.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_supp = (
+        lineitem.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(rev_c4).cast("decimal(38,0)").alias("rev"))
+    )
+    agg = per_supp.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sum_sq"),
+        F.sum("rev").alias("total"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+ORACLE_HHI = """
+WITH per_supp AS (
+  SELECT n_name AS nation, s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                       AS BIGINT)) AS DECIMAL(38,0)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, count(*) AS n_suppliers,
+       round(CAST(sum(rev * rev) AS DOUBLE)
+             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+         AS hhi
+FROM per_supp GROUP BY nation
+"""
+
+
+ROUND5H_QUERIES["supplier_concentration_hhi"] = (
+    q_supplier_concentration_hhi,
+    ORACLE_HHI,
+)
