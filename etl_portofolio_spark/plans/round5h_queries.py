@@ -527,3 +527,123 @@ ROUND5H_QUERIES["supplier_concentration_hhi"] = (
     q_supplier_concentration_hhi,
     ORACLE_HHI,
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: rank-frequency slope of the corpus token distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 100
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) against ln(rank) over the top
+    100 corpus tokens — the Zipf's-law health check for a text corpus
+    (natural language sits near −1; templated or synthetic text
+    flattens toward 0, a generation artifact detector).
+
+    The head extraction is ``orderBy().limit()`` — TakeOrderedAndProject
+    over the token-count frame (partial top-k per partition, never a
+    vocabulary-wide single-task sort); count ties break on the token so
+    both engines rank identically.  On the 100-row head: each ln is
+    rounded to 9 and carried as DECIMAL(20,9) (products of logs are
+    re-rounded doubles, not decimal×decimal — which would overflow
+    precision 38); the five regression sums are then exact, and the
+    slope/intercept are the only unrounded doubles, emitted at 6.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_TOPN)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    pts = head.select(
+        F.row_number().over(w).alias("rank"), "cnt"
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("y"),
+        F.round(
+            F.log(F.col("rank").cast("double"))
+            * F.log(F.col("cnt").cast("double")),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("xy"),
+        F.round(
+            F.log(F.col("rank").cast("double"))
+            * F.log(F.col("rank").cast("double")),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("xx"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def _oracle_zipf() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _SQL_TOKENS
+
+    toks = _SQL_TOKENS.format(col="text")
+    return f"""
+WITH counts AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest({toks}) AS tok FROM documents)
+  GROUP BY tok
+), head AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM counts ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOPN}
+), pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS xy,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS xx
+  FROM head
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(xy) AS sxy, sum(xx) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS zipf_intercept
+FROM s
+"""
+
+
+ROUND5H_QUERIES["zipf_fit"] = (q_zipf_fit, _oracle_zipf())
