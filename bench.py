@@ -75,6 +75,8 @@ HEADLINE = (
     "daily_revenue_anomaly",
     "cohort_retention",
     "histogram_drift_psi",
+    "event_transition_matrix",
+    "supplier_concentration_hhi",
 )
 
 
