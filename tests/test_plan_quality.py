@@ -702,3 +702,31 @@ def test_round5h_analytics_shapes(spark):
     assert p.count("HashAggregate") >= 2
     read_schema = p.split("ReadSchema", 1)[1].split("\n")[0]
     assert "o_comment" not in read_schema and "o_orderdate" in read_schema
+
+
+def test_round5i_observability_shapes(spark):
+    """Fifth wave: profiling/Zipf/HHI/transitions keep their claims."""
+    from etl_portofolio_spark.plans.round5h_queries import (
+        q_event_transition_matrix,
+        q_supplier_concentration_hhi,
+        q_table_profile,
+        q_zipf_fit,
+    )
+
+    spark.catalog.clearCache()
+    p = _plan(q_event_transition_matrix(spark, SF_DIR))
+    # per-user window: hash exchange on user_id, no global sort of events
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(user_id" in p
+
+    p = _plan(q_table_profile(spark, SF_DIR))
+    # the Expand-free claim: k distincts as separate two-level aggs
+    assert "Expand" not in p
+
+    p = _plan(q_supplier_concentration_hhi(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    p = _plan(q_zipf_fit(spark, SF_DIR))
+    # head extraction is a distributed partial top-k
+    assert "TakeOrderedAndProject" in p
