@@ -621,3 +621,57 @@ def vacuum_snapshots(spark: SparkSession, root: str) -> list[int]:
             fs.delete(jold, True)
             removed.append(v)
     return removed
+
+
+# --- observed writes: free in-flight audit metrics ---------------------------
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: Mapping[str, Column],
+    partition_col: str | list[str] = "ds",
+    mode: str = "overwrite",
+    data_format: str = "parquet",
+) -> dict:
+    """Partitioned write that collects audit metrics DURING the write
+    pass itself — ``df.observe``: the metrics are aggregated by the
+    same tasks that produce the files, so row counts / null-key
+    counts / envelope stats cost ZERO extra scans (at 100 TB a
+    separate post-write audit scan is a whole second job).
+
+    Complementary to WAP (`publish_snapshot`), not a replacement: WAP
+    audits READ BACK the staged files and catch writer/encoder bugs;
+    ``observe`` measures the in-flight frame for free and catches
+    input-data surprises (null keys, empty batch, range walk-off) the
+    moment they stream past.  A pipeline uses observe metrics for
+    alerting on every batch and WAP for gating promotions.
+
+    Returns the observed metrics dict (name → value).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [col.alias(name) for name, col in metrics.items()]
+    write_partitioned(
+        df.observe(obs, *named),
+        path,
+        partition_col=partition_col,
+        mode=mode,
+        # sizing probe would trigger a SEPARATE action on the observed
+        # frame; metrics must come from the write pass alone
+        target_file_bytes=None,
+        data_format=data_format,
+    )
+    return obs.get
+
+
+#: the default audit metric set for an events-shaped frame: the checks
+#: a feed alert actually pages on
+def default_write_metrics(key_col: str, ts_col: str) -> dict[str, Column]:
+    return {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_keys": F.sum(F.col(key_col).isNull().cast("long")),
+        "min_ts": F.min(ts_col),
+        "max_ts": F.max(ts_col),
+    }

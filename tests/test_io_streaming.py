@@ -1099,3 +1099,34 @@ def test_orc_partitioned_write_roundtrip_and_pushdown(spark, tmp_path):
     # pushdown reaches the ORC scan node
     plan = back.where(F.col("k") > 50)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)" in plan
+
+
+def test_write_with_metrics_observes_during_write(spark, tmp_path):
+    """Audit metrics come out of the write pass itself and match an
+    independent aggregation; the write is a normal partitioned write."""
+    from etl_portofolio_spark.sinks.writer import (
+        default_write_metrics,
+        write_with_metrics,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", F.date_format("ts", "yyyyMMdd").alias("ds")
+    )
+    path = str(tmp_path / "observed")
+    got = write_with_metrics(
+        ev, path, default_write_metrics("user_id", "ts"), partition_col="ds"
+    )
+    expected = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_keys"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    ).first()
+    assert got["n_rows"] == expected["n_rows"]
+    assert got["n_null_keys"] == expected["n_null_keys"] == 0
+    assert got["min_ts"] == expected["min_ts"]
+    assert got["max_ts"] == expected["max_ts"]
+    # and the data actually landed, partitioned
+    back = spark.read.parquet(path)
+    assert back.count() == got["n_rows"]
+    assert "ds" in back.columns
