@@ -647,3 +647,74 @@ FROM s
 
 
 ROUND5H_QUERIES["zipf_fit"] = (q_zipf_fit, _oracle_zipf())
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build: versioned state intervals from an event stream
+# ---------------------------------------------------------------------------
+
+
+def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from raw events: each
+    user's event-type runs collapse into versioned validity intervals
+    [valid_from, valid_to) with an is_current flag — the dimension
+    shape every point-in-time join consumes, built from the append-only
+    log (the reference's MySQL snapshots would feed the same
+    construction via the CDC diff).
+
+    Change points come from ``lag()`` over the per-user time window
+    (parallel across users, event_id tie-break); ``lead()`` over the
+    CHANGE-POINT frame closes each interval at the next version's
+    start; ``row_number`` numbers versions.  Three window functions,
+    ONE partitioning (user_id) — Catalyst plans them in one sort of
+    one exchange; nothing global, nothing quadratic.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).alias("is_change"),
+    )
+    points = flagged.where("is_change")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return points.select(
+        "user_id",
+        F.row_number().over(w2).alias("version"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+ORACLE_USER_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         (lag(event_type) OVER w IS NULL
+          OR lag(event_type) OVER w <> event_type) AS is_change
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), points AS (
+  SELECT * FROM flagged WHERE is_change
+)
+SELECT user_id,
+       CAST(row_number() OVER w2 AS INTEGER) AS version,
+       state,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM points
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+ROUND5H_QUERIES["user_state_scd2"] = (q_user_state_scd2, ORACLE_USER_SCD2)
