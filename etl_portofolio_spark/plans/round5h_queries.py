@@ -718,3 +718,91 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 ROUND5H_QUERIES["user_state_scd2"] = (q_user_state_scd2, ORACLE_USER_SCD2)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def q_pit_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for every purchase, the browsing state
+    (the SCD2 interval built from NON-purchase events) governing the
+    purchase instant, aggregated to (state → purchases, buyers).
+    This is the feature-store correctness shape — joining facts to the
+    dimension version that was true AT the fact's timestamp, never the
+    current one (the classic leakage bug in training-data assembly).
+
+    The interval join is an EQUI-join on user_id with the validity
+    residual applied inside the join — both sides partition on the
+    same key, fan-out bounded by versions-per-user, no range blow-up.
+    Each purchase matches at most one interval (intervals partition
+    the timeline per user), so no dedup pass is needed; purchases
+    before the user's first state event drop (inner join), which the
+    oracle mirrors.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    browse = events.where(F.col("event_type") != "purchase")
+    flagged = browse.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).alias("is_change"),
+    )
+    intervals = flagged.where("is_change").select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    matched = purchases.join(intervals, "user_id").where(
+        (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to")))
+    )
+    return matched.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_buyers"),
+    )
+
+
+ORACLE_PIT_STATE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         (lag(event_type) OVER w IS NULL
+          OR lag(event_type) OVER w <> event_type) AS is_change
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), intervals AS (
+  SELECT user_id, state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM flagged WHERE is_change
+), purchases AS (
+  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT i.state, count(*) AS n_purchases,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers
+FROM purchases p JOIN intervals i ON p.user_id = i.user_id
+WHERE p.p_ts >= i.valid_from
+  AND (i.valid_to IS NULL OR p.p_ts < i.valid_to)
+GROUP BY i.state
+"""
+
+
+ROUND5H_QUERIES["pit_state_at_purchase"] = (
+    q_pit_state_at_purchase,
+    ORACLE_PIT_STATE,
+)
