@@ -1032,3 +1032,60 @@ def pq_search(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive-pair mining: for each anchor, the k most-similar
+    vectors with a DIFFERENT label — the "hard negatives" an embedding
+    model trains against (easy negatives are already far; the near
+    ones carry the gradient).
+
+    Same scale shape as the brute-force kernel: the anchor panel
+    broadcasts, the corpus never shuffles; the label-inequality
+    residual rides inside the broadcast join.  Cosine is rounded to 6
+    BEFORE the rank (cross-engine libm discipline) with the neighbor
+    id as tie-break; ranking is a window per anchor over the panel's
+    partitions.  For a full-corpus mining run (every vector an
+    anchor), swap the panel for the LSH/IVF bucket path — this exact
+    form is the oracle comparator and the small-panel production path.
+    """
+    docs = emb.select(
+        F.col(id_col), F.col(label_col).alias("lbl"), _dvec(vec_col).alias("v")
+    )
+    anchors = docs.where(F.col(id_col).isin(*anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("lbl").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    pairs = docs.join(
+        F.broadcast(anchors), F.col("lbl") != F.col("anchor_label")
+    )
+    scored = pairs.select(
+        "anchor_id",
+        "anchor_label",
+        F.col(id_col).alias("negative_id"),
+        F.col("lbl").alias("negative_label"),
+        F.round(cosine(F.col("av"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cosine",
+            "rank",
+        )
+    )

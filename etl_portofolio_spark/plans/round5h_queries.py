@@ -806,3 +806,53 @@ ROUND5H_QUERIES["pit_state_at_purchase"] = (
     q_pit_state_at_purchase,
     ORACLE_PIT_STATE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: contrastive-training pair generation
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives (most similar, different label) for a
+    5-anchor panel — the pair-mining pass that assembles contrastive
+    training batches for an embedding model (`operators/similarity.
+    hard_negative_mining`; broadcast panel, corpus never shuffles)."""
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(emb, anchor_ids=(0, 1, 2, 3, 4), k=5)
+
+
+def _oracle_hard_negatives() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _sql_cosine
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+  FROM v WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label, v.vec_id AS negative_id,
+         v.label AS negative_label,
+         round({_sql_cosine('a.av', 'v.v')}, 6) AS cosine
+  FROM v, a WHERE v.label <> a.anchor_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, negative_id ASC) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+ROUND5H_QUERIES["hard_negative_mining"] = (
+    q_hard_negative_mining,
+    _oracle_hard_negatives(),
+)
