@@ -45,7 +45,11 @@ from etl_portofolio_spark.operators.dedup import (
     normalized_text,
 )
 from etl_portofolio_spark.session import build_session
-from etl_portofolio_spark.sinks.writer import publish_snapshot, write_partitioned
+from etl_portofolio_spark.sinks.writer import (
+    publish_snapshot,
+    write_partitioned,
+    write_with_metrics,
+)
 
 _SPLIT_SALT = "split:"
 
@@ -157,10 +161,15 @@ def run(
             write_partitioned(
                 curated, f"{target_dir}/docs", ["split", "lang"], target_file_bytes=None
             )
-            write_partitioned(
-                chunks, f"{target_dir}/chunks", "split", target_file_bytes=None
+            # the chunk count comes out of the write pass itself
+            # (df.observe) — no read-back scan of what was just written
+            observed = write_with_metrics(
+                chunks,
+                f"{target_dir}/chunks",
+                {"n_rows": F.count(F.lit(1))},
+                partition_col="split",
             )
-            n_chunks = spark.read.parquet(f"{target_dir}/chunks").count()
+            n_chunks = observed["n_rows"]
     finally:
         curated.unpersist()
         release_cached()  # near-dup stage's scoped shingle persist
