@@ -856,3 +856,72 @@ ROUND5H_QUERIES["hard_negative_mining"] = (
     q_hard_negative_mining,
     _oracle_hard_negatives(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: declared vs detected
+# ---------------------------------------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of declared language metadata against the
+    n-gram language detector — the trust audit for upstream `lang`
+    tags (a crawl whose declared tags disagree with detection is
+    routed to re-tagging before any per-language quality gates run).
+
+    Reuses the exact ``text.langid_scores``/``langid_pick`` path of
+    ``text_langid`` (same argmax, same tie-break) and collapses it to
+    one combinable groupBy over the |langs|² domain; the per-declared
+    row share attaches as a window sum over that tiny frame.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops.tokens(F.col("text"))
+    scores = text_ops.langid_scores(toks)
+    labeled = docs.select(
+        F.col("lang").alias("declared_lang"),
+        text_ops.langid_pick(scores).alias("predicted_lang"),
+    )
+    cm = labeled.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return cm.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("share_of_declared"),
+    )
+
+
+def _oracle_langid_confusion() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _sql_langid
+
+    return f"""
+WITH labeled AS (
+  SELECT lang AS declared_lang, predicted_lang
+  FROM ({_sql_langid()})
+), cm AS (
+  SELECT declared_lang, predicted_lang, count(*) AS n_docs
+  FROM labeled GROUP BY 1, 2
+)
+SELECT declared_lang, predicted_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
+                    AS DOUBLE), 6) AS share_of_declared
+FROM cm
+"""
+
+
+ROUND5H_QUERIES["langid_confusion"] = (
+    q_langid_confusion,
+    _oracle_langid_confusion(),
+)
