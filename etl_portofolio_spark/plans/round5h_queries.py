@@ -925,3 +925,161 @@ ROUND5H_QUERIES["langid_confusion"] = (
     q_langid_confusion,
     _oracle_langid_confusion(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup rate by source: which feed is redundant
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate share per source feed — the dedup observability
+    cut that decides WHICH crawl gets renegotiated (a source whose
+    docs are 40% dups wastes 40% of its ingest, storage and dedup
+    compute before a single token trains).
+
+    Content identity is the engine's standard md5 hash computed at
+    scan; two combinable aggregations (per (source, hash) then per
+    source) — the same two-level discipline as ``table_profile``'s
+    distincts, never a countDistinct Expand next to other aggregates.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_hash = docs.select(
+        "source", F.md5(F.col("text")).alias("h")
+    ).groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    return per_hash.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dup_docs"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("dup_share"),
+    )
+
+
+ORACLE_DEDUP_RATE = """
+WITH per_hash AS (
+  SELECT source, md5(text) AS h, count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_unique,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+       round(CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         AS dup_share
+FROM per_hash GROUP BY source
+"""
+
+
+ROUND5H_QUERIES["dedup_rate_by_source"] = (
+    q_dedup_rate_by_source,
+    ORACLE_DEDUP_RATE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid separation: are the embedding labels actually separable?
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    label-quality audit before training a classifier on them (two
+    labels whose centroids sit at cosine ≈ 1 are indistinguishable to
+    a linear probe; hard negatives between them dominate).
+
+    Order-independence is the whole trick: a per-dimension mean of
+    doubles would sum in shuffle order, so each vector's components
+    round to 12 into DECIMAL(38,12) at posexplode time and the
+    per-(label, dim) sums are EXACT; centroids stay decimal until the
+    |labels|·|dims| frame (tiny) self-joins on the dimension index and
+    the cosine's dot/norm fold runs as one more exact decimal
+    aggregation, converting to double only for the final
+    divide-and-sqrt, rounded to 6.
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double"), 12).cast("decimal(38,12)").alias("x"),
+    )
+    cent = comps.groupBy("label", "dim").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "label",
+        "dim",
+        # mean as DOUBLE of exact sums — identical tree both engines
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("c"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb"), 12).cast("decimal(38,12)")
+            ).alias("dot"),
+            F.sum(
+                F.round(F.col("ca") * F.col("ca"), 12).cast("decimal(38,12)")
+            ).alias("na"),
+            F.sum(
+                F.round(F.col("cb") * F.col("cb"), 12).cast("decimal(38,12)")
+            ).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )
+
+
+ORACLE_CENTROID_SEP = """
+WITH comps AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(38,12)) AS x
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) u(i)
+), cent AS (
+  SELECT label, dim,
+         CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+  FROM comps GROUP BY 1, 2
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(CAST(round(a.c * b.c, 12) AS DECIMAL(38,12))) AS dot,
+         sum(CAST(round(a.c * a.c, 12) AS DECIMAL(38,12))) AS na,
+         sum(CAST(round(b.c * b.c, 12) AS DECIMAL(38,12))) AS nb
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+         AS centroid_cosine
+FROM pairs
+"""
+
+
+ROUND5H_QUERIES["label_centroid_separation"] = (
+    q_label_centroid_separation,
+    ORACLE_CENTROID_SEP,
+)
