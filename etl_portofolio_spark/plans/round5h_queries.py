@@ -1,15 +1,16 @@
-"""Round-5 fourth wave: product-analytics shapes (cohorts, funnels).
+"""Round-5 fourth/fifth waves: product analytics, warehouse shapes, QA.
 
-The two classic event-analytics operators the registry still lacked:
-a weekly cohort-retention triangle (the growth team's canonical
-matrix) and a strict-order conversion funnel (view → click →
-purchase, each stage after the previous user-stage timestamp).  Both
-are pure keyed DataFrame compositions — no windows over the full
-event stream, no driver loops — and both carry exact DuckDB oracles.
+Cohort retention, revenue autocorrelation, SCD2 build + point-in-time
+join, table profiling, supplier-concentration HHI, Zipf fit,
+hard-negative mining, language-ID confusion, per-source dup rates and
+label-centroid separation — keyed DataFrame compositions with exact
+DuckDB oracles.  (Funnel and Markov-transition shapes already lived in
+``analytics_queries`` / ``advanced_queries``; this module deliberately
+does not duplicate them.)
 
 Determinism: timestamps compare exactly (no float epochs on the join
-path), counts are integers, shares are one rounded double from
-integer inputs.
+path), counts are integers, double sums route through DECIMAL
+accumulators, transcendentals round to 6 before any rank or emission.
 """
 
 from __future__ import annotations
@@ -97,109 +98,8 @@ FROM active a JOIN sizes s USING (cohort_week)
 """
 
 
-# ---------------------------------------------------------------------------
-# Strict-order conversion funnel
-# ---------------------------------------------------------------------------
-
-_FUNNEL_STAGES = ("view", "click", "purchase")
-
-
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-order funnel view → click → purchase: a user converts a
-    stage only with an event STRICTLY AFTER their previous-stage
-    timestamp (the ordering constraint that separates a funnel from
-    three independent counts — a purchase before the first view does
-    not count).
-
-    Per stage: one conditional min-aggregate on user_id, then a
-    same-key equi-join back to the deduped (user, type, ts) stream for
-    the next stage's "first after" — k stages cost k keyed
-    aggregations on the SAME key (AQE coalesces the exchanges; nothing
-    re-partitions), never a per-user sort of full history.  Output is
-    the |stages|-row summary: entrants, converts, conversion shares.
-    """
-    apply_runtime_confs(spark)
-    events = load_table(spark, sf_dir, "events")
-    ev = events.select("user_id", "event_type", "ts").where(
-        F.col("event_type").isin(*_FUNNEL_STAGES)
-    )
-    # stage 1: first view per user
-    t1 = ev.where(F.col("event_type") == _FUNNEL_STAGES[0]).groupBy(
-        "user_id"
-    ).agg(F.min("ts").alias("t1"))
-    # stage 2: first click strictly after t1
-    t2 = (
-        ev.where(F.col("event_type") == _FUNNEL_STAGES[1])
-        .join(t1, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    # stage 3: first purchase strictly after t2
-    t3 = (
-        ev.where(F.col("event_type") == _FUNNEL_STAGES[2])
-        .join(t2, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    n1 = t1.agg(F.count(F.lit(1)).alias("n"))
-    n2 = t2.agg(F.count(F.lit(1)).alias("n"))
-    n3 = t3.agg(F.count(F.lit(1)).alias("n"))
-    stage = lambda i, nm, df: df.select(  # noqa: E731
-        F.lit(i).alias("stage_idx"), F.lit(nm).alias("stage"), F.col("n")
-    )
-    counts = (
-        stage(1, _FUNNEL_STAGES[0], n1)
-        .unionByName(stage(2, _FUNNEL_STAGES[1], n2))
-        .unionByName(stage(3, _FUNNEL_STAGES[2], n3))
-    )
-    first = n1.select(F.col("n").alias("n_entered"))
-    return counts.crossJoin(F.broadcast(first)).select(
-        "stage_idx",
-        "stage",
-        F.col("n").alias("n_users"),
-        F.round(
-            F.col("n").cast("double") / F.col("n_entered").cast("double"), 6
-        ).alias("share_of_entrants"),
-    )
-
-
-ORACLE_FUNNEL = f"""
-WITH ev AS (
-  SELECT user_id, event_type, ts FROM events
-  WHERE event_type IN ('{_FUNNEL_STAGES[0]}', '{_FUNNEL_STAGES[1]}',
-                       '{_FUNNEL_STAGES[2]}')
-), t1 AS (
-  SELECT user_id, min(ts) AS t1 FROM ev
-  WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY user_id
-), t2 AS (
-  SELECT ev.user_id, min(ts) AS t2 FROM ev JOIN t1 USING (user_id)
-  WHERE event_type = '{_FUNNEL_STAGES[1]}' AND ts > t1 GROUP BY ev.user_id
-), t3 AS (
-  SELECT ev.user_id, min(ts) AS t3 FROM ev JOIN t2 USING (user_id)
-  WHERE event_type = '{_FUNNEL_STAGES[2]}' AND ts > t2 GROUP BY ev.user_id
-), counts AS (
-  SELECT 1 AS stage_idx, '{_FUNNEL_STAGES[0]}' AS stage,
-         (SELECT count(*) FROM t1) AS n_users
-  UNION ALL
-  SELECT 2, '{_FUNNEL_STAGES[1]}', (SELECT count(*) FROM t2)
-  UNION ALL
-  SELECT 3, '{_FUNNEL_STAGES[2]}', (SELECT count(*) FROM t3)
-)
-SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
-       CAST(n_users AS BIGINT) AS n_users,
-       round(CAST(n_users AS DOUBLE)
-             / CAST((SELECT count(*) FROM t1) AS DOUBLE), 6)
-         AS share_of_entrants
-FROM counts
-"""
-
-
-#: dict the registry splices in: name -> (query fn, oracle sql or None)
 ROUND5H_QUERIES: dict = {
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
-    "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL),
 }
 
 
@@ -293,360 +193,6 @@ ROUND5H_QUERIES["revenue_autocorrelation"] = (
     q_revenue_autocorrelation,
     _oracle_acf(),
 )
-
-
-# ---------------------------------------------------------------------------
-# Event-transition (Markov) matrix: sequence mining over user journeys
-# ---------------------------------------------------------------------------
-
-
-def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences: for each (from_type → to_type) pair, the transition
-    count and conditional probability — the journey-mining summary
-    (what follows an error? does view actually precede purchase?)
-    that also feeds next-event predictors.
-
-    Consecutiveness comes from ``lead()`` over the per-user time
-    window — partitioned by user_id, so the sort parallelizes across
-    users and nothing orders globally; ties inside a user break on the
-    unique event_id (both engines sort identically).  Pair counting is
-    one combinable groupBy over a |types|² domain; the per-from
-    normalizer attaches as a window sum over that tiny frame.
-    """
-    apply_runtime_confs(spark)
-    from pyspark.sql import Window
-
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        events.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.col("event_type").alias("from_type"),
-        )
-        .withColumn("to_type", F.lead("from_type").over(w))
-        .where(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-    )
-    norm = Window.partitionBy("from_type")
-    return pairs.select(
-        "from_type",
-        "to_type",
-        "n_transitions",
-        F.round(
-            F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(norm).cast("double"),
-            6,
-        ).alias("p_transition"),
-    )
-
-
-ORACLE_TRANSITION_MATRIX = """
-WITH seq AS (
-  SELECT event_type AS from_type,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS to_type
-  FROM events
-), pairs AS (
-  SELECT from_type, to_type, count(*) AS n_transitions
-  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
-)
-SELECT from_type, to_type, n_transitions,
-       round(CAST(n_transitions AS DOUBLE)
-             / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
-                    AS DOUBLE), 6) AS p_transition
-FROM pairs
-"""
-
-
-ROUND5H_QUERIES["event_transition_matrix"] = (
-    q_event_transition_matrix,
-    ORACLE_TRANSITION_MATRIX,
-)
-
-
-# ---------------------------------------------------------------------------
-# Table profile: the Deequ-style per-column profiling report
-# ---------------------------------------------------------------------------
-
-#: (column, normalized-expression builder) — values profile as strings
-#: so one report row type covers every column; numerics normalize to
-#: integer cents/keys first (integer→string renders identically in
-#: both engines; raw double→string would not)
-_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
-
-
-def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profiling report over orders: rows, nulls (with the
-    reference's '4-NOT SPECIFIED' sentinel normalized to NULL the way
-    a silver view would), exact distinct count, lexical min/max — the
-    data-profiling pass run when a new feed lands, before any contract
-    is written for it.
-
-    One combinable wide aggregation carries rows/nulls/min/max for ALL
-    columns in a single scan; the exact distinct counts run as one
-    narrow two-level aggregation PER column (groupBy the column, then
-    count) — deliberately NOT k countDistincts in one agg, which would
-    Expand every row ×k (the Q21 lesson).  At 100 TB the per-column
-    distinct passes are the honest cost of exactness; a production
-    profiler swaps them for HLL sketches in the same report shape.
-    """
-    apply_runtime_confs(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    norm = {
-        c: (
-            F.nullif(F.col(c), F.lit("4-NOT SPECIFIED"))
-            if c == "o_orderpriority"
-            else F.col(c)
-        )
-        for c in _PROFILE_COLS
-    }
-    out = None
-    for c in _PROFILE_COLS:
-        e = norm[c]
-        s = e.cast("string")
-        wide = orders.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(e.isNull().cast("long")).alias("n_nulls"),
-            F.min(s).alias("min_value"),
-            F.max(s).alias("max_value"),
-        )
-        distinct = (
-            orders.select(e.alias("v"))
-            .where(F.col("v").isNotNull())
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.count(F.lit(1)).alias("n_distinct"))
-        )
-        row = wide.crossJoin(F.broadcast(distinct)).select(
-            F.lit(c).alias("column_name"),
-            "n_rows",
-            "n_nulls",
-            "n_distinct",
-            "min_value",
-            "max_value",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
-def _oracle_profile() -> str:
-    parts = []
-    for c in _PROFILE_COLS:
-        e = (
-            f"nullif({c}, '4-NOT SPECIFIED')"
-            if c == "o_orderpriority"
-            else c
-        )
-        parts.append(f"""
-SELECT '{c}' AS column_name, count(*) AS n_rows,
-       CAST(sum(CASE WHEN {e} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_nulls,
-       CAST(count(DISTINCT {e}) AS BIGINT) AS n_distinct,
-       min(CAST({e} AS VARCHAR)) AS min_value,
-       max(CAST({e} AS VARCHAR)) AS max_value
-FROM orders""")
-    return " UNION ALL ".join(parts)
-
-
-ROUND5H_QUERIES["table_profile"] = (q_table_profile, _oracle_profile())
-
-
-# ---------------------------------------------------------------------------
-# Supplier-concentration HHI: procurement-risk per nation
-# ---------------------------------------------------------------------------
-
-
-def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Herfindahl-Hirschman index of supplier revenue concentration per
-    supplier nation — the procurement-risk metric (an HHI near 1 says
-    one supplier owns the nation's flow; regulators flag >0.25).
-
-    Exactness trick: HHI = Σ shareᵢ² = (Σ revᵢ²) / (Σ revᵢ)² — both
-    sums accumulate EXACT integer centi-cents in DECIMAL(38,0)
-    (order-independent), so the only floating-point step is the final
-    division, rounded to 6.  Squaring per-supplier revenues would
-    otherwise mean summing doubles in shuffle order.  Shape: revenue
-    per (nation, supplier) is one combinable groupBy on the join of
-    lineitem × broadcast(supplier); the HHI collapse is a second
-    groupBy over |suppliers| rows.
-    """
-    apply_runtime_confs(spark)
-    from etl_portofolio_spark.plans.analytics_queries import cents
-
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    rev_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    per_supp = (
-        lineitem.join(
-            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
-        )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
-        .agg(F.sum(rev_c4).cast("decimal(38,0)").alias("rev"))
-    )
-    agg = per_supp.groupBy("nation").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum(F.col("rev") * F.col("rev")).alias("sum_sq"),
-        F.sum("rev").alias("total"),
-    )
-    return agg.select(
-        "nation",
-        "n_suppliers",
-        F.round(
-            F.col("sum_sq").cast("double")
-            / (F.col("total").cast("double") * F.col("total").cast("double")),
-            6,
-        ).alias("hhi"),
-    )
-
-
-ORACLE_HHI = """
-WITH per_supp AS (
-  SELECT n_name AS nation, s_suppkey,
-         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
-                       AS BIGINT)) AS DECIMAL(38,0)) AS rev
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  GROUP BY 1, 2
-)
-SELECT nation, count(*) AS n_suppliers,
-       round(CAST(sum(rev * rev) AS DOUBLE)
-             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
-         AS hhi
-FROM per_supp GROUP BY nation
-"""
-
-
-ROUND5H_QUERIES["supplier_concentration_hhi"] = (
-    q_supplier_concentration_hhi,
-    ORACLE_HHI,
-)
-
-
-# ---------------------------------------------------------------------------
-# Zipf fit: rank-frequency slope of the corpus token distribution
-# ---------------------------------------------------------------------------
-
-_ZIPF_TOPN = 100
-
-
-def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Least-squares slope of ln(freq) against ln(rank) over the top
-    100 corpus tokens — the Zipf's-law health check for a text corpus
-    (natural language sits near −1; templated or synthetic text
-    flattens toward 0, a generation artifact detector).
-
-    The head extraction is ``orderBy().limit()`` — TakeOrderedAndProject
-    over the token-count frame (partial top-k per partition, never a
-    vocabulary-wide single-task sort); count ties break on the token so
-    both engines rank identically.  On the 100-row head: each ln is
-    rounded to 9 and carried as DECIMAL(20,9) (products of logs are
-    re-rounded doubles, not decimal×decimal — which would overflow
-    precision 38); the five regression sums are then exact, and the
-    slope/intercept are the only unrounded doubles, emitted at 6.
-    """
-    apply_runtime_confs(spark)
-    from pyspark.sql import Window
-
-    from etl_portofolio_spark.operators import text
-
-    docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(text.tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_TOPN)
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    pts = head.select(
-        F.row_number().over(w).alias("rank"), "cnt"
-    ).select(
-        F.round(F.log(F.col("rank").cast("double")), 9)
-        .cast("decimal(20,9)")
-        .alias("x"),
-        F.round(F.log(F.col("cnt").cast("double")), 9)
-        .cast("decimal(20,9)")
-        .alias("y"),
-        F.round(
-            F.log(F.col("rank").cast("double"))
-            * F.log(F.col("cnt").cast("double")),
-            9,
-        )
-        .cast("decimal(20,9)")
-        .alias("xy"),
-        F.round(
-            F.log(F.col("rank").cast("double"))
-            * F.log(F.col("rank").cast("double")),
-            9,
-        )
-        .cast("decimal(20,9)")
-        .alias("xx"),
-    )
-    s = pts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum("xy").alias("sxy"),
-        F.sum("xx").alias("sxx"),
-    )
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
-        n * F.col("sxx").cast("double") - sx * sx
-    )
-    intercept = (sy - slope * sx) / n
-    return s.select(
-        F.col("n").alias("n_points"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(intercept, 6).alias("zipf_intercept"),
-    )
-
-
-def _oracle_zipf() -> str:
-    from etl_portofolio_spark.plans.pipeline_queries import _SQL_TOKENS
-
-    toks = _SQL_TOKENS.format(col="text")
-    return f"""
-WITH counts AS (
-  SELECT tok, count(*) AS cnt
-  FROM (SELECT unnest({toks}) AS tok FROM documents)
-  GROUP BY tok
-), head AS (
-  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
-  FROM counts ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOPN}
-), pts AS (
-  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
-         CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y,
-         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 9)
-              AS DECIMAL(20,9)) AS xy,
-         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9)
-              AS DECIMAL(20,9)) AS xx
-  FROM head
-), s AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(xy) AS sxy, sum(xx) AS sxx
-  FROM pts
-)
-SELECT CAST(n AS BIGINT) AS n_points,
-       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-             6) AS zipf_slope,
-       round((CAST(sy AS DOUBLE)
-              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / n, 6) AS zipf_intercept
-FROM s
-"""
-
-
-ROUND5H_QUERIES["zipf_fit"] = (q_zipf_fit, _oracle_zipf())
 
 
 # ---------------------------------------------------------------------------
@@ -1083,3 +629,284 @@ ROUND5H_QUERIES["label_centroid_separation"] = (
     q_label_centroid_separation,
     ORACLE_CENTROID_SEP,
 )
+
+
+# ---------------------------------------------------------------------------
+# Table profile: the Deequ-style per-column profiling report
+# ---------------------------------------------------------------------------
+
+#: (column, normalized-expression builder) — values profile as strings
+#: so one report row type covers every column; numerics normalize to
+#: integer cents/keys first (integer→string renders identically in
+#: both engines; raw double→string would not)
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling report over orders: rows, nulls (with the
+    reference's '4-NOT SPECIFIED' sentinel normalized to NULL the way
+    a silver view would), exact distinct count, lexical min/max — the
+    data-profiling pass run when a new feed lands, before any contract
+    is written for it.
+
+    One combinable wide aggregation carries rows/nulls/min/max for ALL
+    columns in a single scan; the exact distinct counts run as one
+    narrow two-level aggregation PER column (groupBy the column, then
+    count) — deliberately NOT k countDistincts in one agg, which would
+    Expand every row ×k (the Q21 lesson).  At 100 TB the per-column
+    distinct passes are the honest cost of exactness; a production
+    profiler swaps them for HLL sketches in the same report shape.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    norm = {
+        c: (
+            F.nullif(F.col(c), F.lit("4-NOT SPECIFIED"))
+            if c == "o_orderpriority"
+            else F.col(c)
+        )
+        for c in _PROFILE_COLS
+    }
+    out = None
+    for c in _PROFILE_COLS:
+        e = norm[c]
+        s = e.cast("string")
+        wide = orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(e.isNull().cast("long")).alias("n_nulls"),
+            F.min(s).alias("min_value"),
+            F.max(s).alias("max_value"),
+        )
+        distinct = (
+            orders.select(e.alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        row = wide.crossJoin(F.broadcast(distinct)).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_profile() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        e = (
+            f"nullif({c}, '4-NOT SPECIFIED')"
+            if c == "o_orderpriority"
+            else c
+        )
+        parts.append(f"""
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {e} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {e}) AS BIGINT) AS n_distinct,
+       min(CAST({e} AS VARCHAR)) AS min_value,
+       max(CAST({e} AS VARCHAR)) AS max_value
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+ROUND5H_QUERIES["table_profile"] = (q_table_profile, _oracle_profile())
+
+
+# ---------------------------------------------------------------------------
+# Supplier-concentration HHI: procurement-risk per nation
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    supplier nation — the procurement-risk metric (an HHI near 1 says
+    one supplier owns the nation's flow; regulators flag >0.25).
+
+    Exactness trick: HHI = Σ shareᵢ² = (Σ revᵢ²) / (Σ revᵢ)² — both
+    sums accumulate EXACT integer centi-cents in DECIMAL(38,0)
+    (order-independent), so the only floating-point step is the final
+    division, rounded to 6.  Squaring per-supplier revenues would
+    otherwise mean summing doubles in shuffle order.  Shape: revenue
+    per (nation, supplier) is one combinable groupBy on the join of
+    lineitem × broadcast(supplier); the HHI collapse is a second
+    groupBy over |suppliers| rows.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_supp = (
+        lineitem.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(rev_c4).cast("decimal(38,0)").alias("rev"))
+    )
+    agg = per_supp.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sum_sq"),
+        F.sum("rev").alias("total"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+ORACLE_HHI = """
+WITH per_supp AS (
+  SELECT n_name AS nation, s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                       AS BIGINT)) AS DECIMAL(38,0)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, count(*) AS n_suppliers,
+       round(CAST(sum(rev * rev) AS DOUBLE)
+             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+         AS hhi
+FROM per_supp GROUP BY nation
+"""
+
+
+ROUND5H_QUERIES["supplier_concentration_hhi"] = (
+    q_supplier_concentration_hhi,
+    ORACLE_HHI,
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: rank-frequency slope of the corpus token distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 100
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) against ln(rank) over the top
+    100 corpus tokens — the Zipf's-law health check for a text corpus
+    (natural language sits near −1; templated or synthetic text
+    flattens toward 0, a generation artifact detector).
+
+    The head extraction is ``orderBy().limit()`` — TakeOrderedAndProject
+    over the token-count frame (partial top-k per partition, never a
+    vocabulary-wide single-task sort); count ties break on the token so
+    both engines rank identically.  On the 100-row head: each ln is
+    rounded to 9 and carried as DECIMAL(20,9) (products of logs are
+    re-rounded doubles, not decimal×decimal — which would overflow
+    precision 38); the five regression sums are then exact, and the
+    slope/intercept are the only unrounded doubles, emitted at 6.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_TOPN)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    pts = head.select(
+        F.row_number().over(w).alias("rank"), "cnt"
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("y"),
+        F.round(
+            F.log(F.col("rank").cast("double"))
+            * F.log(F.col("cnt").cast("double")),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("xy"),
+        F.round(
+            F.log(F.col("rank").cast("double"))
+            * F.log(F.col("rank").cast("double")),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("xx"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def _oracle_zipf() -> str:
+    from etl_portofolio_spark.plans.pipeline_queries import _SQL_TOKENS
+
+    toks = _SQL_TOKENS.format(col="text")
+    return f"""
+WITH counts AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest({toks}) AS tok FROM documents)
+  GROUP BY tok
+), head AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM counts ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOPN}
+), pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS xy,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS xx
+  FROM head
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(xy) AS sxy, sum(xx) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS zipf_intercept
+FROM s
+"""
+
+
+ROUND5H_QUERIES["zipf_fit"] = (q_zipf_fit, _oracle_zipf())

@@ -682,7 +682,6 @@ def test_round5h_analytics_shapes(spark):
     shuffles bounded to their keys."""
     from etl_portofolio_spark.plans.round5h_queries import (
         q_cohort_retention,
-        q_funnel_conversion,
         q_revenue_autocorrelation,
     )
 
@@ -691,11 +690,6 @@ def test_round5h_analytics_shapes(spark):
     assert "CartesianProduct" not in p
     # the cohort-size attach broadcasts (|weeks| rows)
     assert "BroadcastHashJoin" in p
-
-    p = _plan(q_funnel_conversion(spark, SF_DIR))
-    assert "CartesianProduct" not in p
-    # the event-type IN-list reaches the scan
-    assert "PushedFilters" in p and "event_type" in p.split("PushedFilters", 1)[1]
 
     p = _plan(q_revenue_autocorrelation(spark, SF_DIR))
     # day-level aggregation under the lag window: partial+final pair
@@ -707,15 +701,15 @@ def test_round5h_analytics_shapes(spark):
 def test_round5i_observability_shapes(spark):
     """Fifth wave: profiling/Zipf/HHI/transitions keep their claims."""
     from etl_portofolio_spark.plans.round5h_queries import (
-        q_event_transition_matrix,
         q_supplier_concentration_hhi,
         q_table_profile,
+        q_user_state_scd2,
         q_zipf_fit,
     )
 
     spark.catalog.clearCache()
-    p = _plan(q_event_transition_matrix(spark, SF_DIR))
-    # per-user window: hash exchange on user_id, no global sort of events
+    p = _plan(q_user_state_scd2(spark, SF_DIR))
+    # per-user windows: hash exchange on user_id, no global sort of events
     assert "CartesianProduct" not in p
     assert "hashpartitioning(user_id" in p
 
