@@ -675,3 +675,47 @@ def default_write_metrics(key_col: str, ts_col: str) -> dict[str, Column]:
         "min_ts": F.min(ts_col),
         "max_ts": F.max(ts_col),
     }
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str | None = None,
+    compression: str | None = "gzip",
+) -> int:
+    """Training-data export: newline-delimited JSON shards of bounded
+    row count — the interchange format most LLM data loaders consume
+    (one JSON doc per line, shard-per-worker streaming reads).
+
+    ``maxRecordsPerFile`` bounds every shard without a pre-write
+    shuffle; with ``order_col`` the frame is range-repartitioned and
+    sorted first so shards carry disjoint, ordered key ranges (stable
+    curriculum order across re-exports — consumers map shard index to
+    curriculum position).  Returns the shard count from a metadata-only
+    listing.  Gzip is the default: JSONL compresses 5-10× and every
+    loader streams it; pass ``compression=None`` for raw.
+    """
+    out = df
+    if order_col is not None:
+        n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        out = df.repartitionByRange(n_parts, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    writer = (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    import glob
+    import os
+
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "part-*"))
+            if not f.endswith("_SUCCESS")
+        ]
+    )

@@ -1130,3 +1130,37 @@ def test_write_with_metrics_observes_during_write(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == got["n_rows"]
     assert "ds" in back.columns
+
+
+def test_export_jsonl_shards_bounded_and_ordered(spark, tmp_path):
+    """Shards respect the row bound; ordered export gives disjoint,
+    sorted doc_id ranges per shard; every line is valid JSON."""
+    import gzip
+    import glob
+    import json
+
+    from etl_portofolio_spark.sinks.writer import export_jsonl_shards
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    path = str(tmp_path / "shards")
+    n = export_jsonl_shards(docs, path, rows_per_shard=100, order_col="doc_id")
+    assert n >= docs.count() // 100
+    spans = []
+    total = 0
+    for f in sorted(glob.glob(path + "/part-*")):
+        with gzip.open(f, "rt") as fh:
+            ids = [json.loads(line)["doc_id"] for line in fh]
+        assert 0 < len(ids) <= 100
+        assert ids == sorted(ids)  # ordered inside the shard
+        spans.append((min(ids), max(ids)))
+        total += len(ids)
+    assert total == docs.count()
+    # files sort into disjoint ranges (range repartition + per-file split)
+    spans.sort()
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # round-trip: Spark reads the export back identically
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
