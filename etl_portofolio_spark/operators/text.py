@@ -378,3 +378,35 @@ def compression_ratio(
         f"{id_col} long, n_bytes long, n_compressed long, ratio double"
     )
     return df.select(id_col, text_col).mapInPandas(score, schema=schema)
+
+
+def nfc_normalized(col: "Column | str") -> "Column":
+    """Unicode NFC normalization — the one text-cleaning primitive
+    Spark's built-ins cannot express (no JVM-side normalizer is
+    exposed to SQL), so this is the engine's canonical SCALAR Pandas
+    UDF: Arrow-batched, vectorized over the column, stateless.
+
+    Why it exists in a dedup engine: "café" composed (U+00E9) and
+    decomposed (e + U+0301) are DIFFERENT strings carrying the SAME
+    text — every hash-based dedup (exact, minhash, simhash) treats
+    them as distinct documents unless normalization runs first.  NFC
+    before hashing is the standard fix (DuckDB ships the same
+    operation as ``nfc_normalize``, which is what makes this UDF
+    oracle-checkable).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # pandas_udf requires REAL type objects in the signature; this
+    # module's `from __future__ import annotations` would stringify
+    # inline hints (UNSUPPORTED_SIGNATURE), so set them explicitly
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, "string")
+    return _nfc(F.col(col) if isinstance(col, str) else col)

@@ -910,3 +910,46 @@ FROM s
 
 
 ROUND5H_QUERIES["zipf_fit"] = (q_zipf_fit, _oracle_zipf())
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization audit: the scalar-pandas_udf surface
+# ---------------------------------------------------------------------------
+
+
+def q_unicode_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source count of documents whose NFC form differs from the
+    raw bytes — the pre-dedup hygiene check: composed vs decomposed
+    Unicode makes identical text hash differently, so any nonzero row
+    here means the dedup stage MUST normalize first (`operators/text.
+    nfc_normalized`, the engine's canonical scalar Pandas UDF — the
+    one cleaning primitive with no JVM built-in).  A zero report (the
+    ASCII fixture) is the healthy verdict, same contract as the
+    integrity audits.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "source",
+        (text_ops.nfc_normalized("text") != F.col("text")).alias("changed"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("changed").cast("long")).alias("n_denormalized"),
+    )
+
+
+ORACLE_UNICODE_AUDIT = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_denormalized
+FROM documents GROUP BY source
+"""
+
+
+ROUND5H_QUERIES["unicode_normalization_audit"] = (
+    q_unicode_normalization_audit,
+    ORACLE_UNICODE_AUDIT,
+)

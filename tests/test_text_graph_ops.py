@@ -242,3 +242,21 @@ def test_compression_ratio_separates_redundancy(spark):
         for r in T.compression_ratio(df, "doc_id", "text").collect()
     }
     assert all(again[k] == got[k].ratio for k in again)
+
+
+def test_nfc_normalized_unifies_composed_and_decomposed(spark):
+    """The scalar pandas_udf makes NFC-equal strings byte-equal, so
+    hash dedup sees them as the duplicates they are."""
+    from etl_portofolio_spark.operators.text import nfc_normalized
+
+    composed = "café résumé"
+    decomposed = "café résumé"
+    assert composed != decomposed  # different bytes, same text
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None), (4, "plain ascii")],
+        "id long, text string",
+    ).select("id", nfc_normalized("text").alias("norm"))
+    rows = {r["id"]: r["norm"] for r in df.collect()}
+    assert rows[1] == rows[2] == composed
+    assert rows[3] is None
+    assert rows[4] == "plain ascii"
