@@ -953,3 +953,112 @@ ROUND5H_QUERIES["unicode_normalization_audit"] = (
     q_unicode_normalization_audit,
     ORACLE_UNICODE_AUDIT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition of daily revenue: trend + weekly seasonal + residual
+# ---------------------------------------------------------------------------
+
+_SD_HALF = 3  # centered 7-day trend window
+
+
+def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily-revenue series:
+    trend (centered 7-day mean), weekly seasonal component (day-of-week
+    mean of the detrended series) and residual — what
+    ``revenue_autocorrelation`` detects, made explicit; the residual
+    is the right input for the anomaly z-score once seasonality is
+    real.
+
+    All statistics flow from exact integer cents: the trend is an
+    exact DECIMAL(38,0) window sum over the full 7-day frame divided
+    once in double; the detrended values round to 6 and re-enter
+    DECIMAL(38,6) so the day-of-week means are order-independent; the
+    day-of-week key is days-since-anchor mod 7 (no engine calendar
+    conventions).  Day-frame windows only — calendar-bounded, the
+    ``daily_revenue_anomaly`` scale argument.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-_SD_HALF, _SD_HALF)
+    trended = daily.select(
+        "day",
+        "rev_c",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        (
+            F.sum(F.col("rev_c").cast("decimal(38,0)")).over(w).cast("double")
+            / (2 * _SD_HALF + 1)
+        ).alias("trend"),
+    ).where(F.col("n_win") == 2 * _SD_HALF + 1)
+    detr = trended.select(
+        "day",
+        "rev_c",
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("rev_c").cast("double") - F.col("trend"), 6)
+        .cast("decimal(38,6)")
+        .alias("detr"),
+        F.pmod(
+            F.datediff(F.col("day"), F.lit(_COHORT_EPOCH).cast("date")),
+            F.lit(7),
+        ).alias("dow"),
+    )
+    seasonal = detr.groupBy("dow").agg(
+        F.round(
+            F.sum("detr").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("seasonal")
+    )
+    return detr.join(F.broadcast(seasonal), "dow").select(
+        "day",
+        "rev_c",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("detr").cast("double") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+ORACLE_SEASONAL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT day, rev_c,
+         count(*) OVER w AS n_win,
+         CAST(sum(CAST(rev_c AS DECIMAL(38,0))) OVER w AS DOUBLE)
+           / {2 * _SD_HALF + 1} AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {_SD_HALF} PRECEDING
+               AND {_SD_HALF} FOLLOWING)
+), detr AS (
+  SELECT day, rev_c, round(trend, 6) AS trend,
+         CAST(round(CAST(rev_c AS DOUBLE) - round(trend, 6), 6)
+              AS DECIMAL(38,6)) AS detr,
+         CAST(datediff('day', DATE '{_COHORT_EPOCH}', CAST(day AS DATE)) % 7
+              + 7 AS INTEGER) % 7 AS dow
+  FROM trended WHERE n_win = {2 * _SD_HALF + 1}
+), seasonal AS (
+  SELECT dow,
+         round(CAST(sum(detr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS seasonal
+  FROM detr GROUP BY dow
+)
+SELECT d.day, d.rev_c, d.trend, s.seasonal,
+       round(CAST(d.detr AS DOUBLE) - s.seasonal, 6) AS residual
+FROM detr d JOIN seasonal s USING (dow)
+"""
+
+
+ROUND5H_QUERIES["seasonal_decomposition"] = (
+    q_seasonal_decomposition,
+    ORACLE_SEASONAL,
+)
