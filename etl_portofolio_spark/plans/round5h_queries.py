@@ -970,13 +970,17 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the right input for the anomaly z-score once seasonality is
     real.
 
-    All statistics flow from exact integer cents: the trend is an
-    exact DECIMAL(38,0) window sum over the full 7-day frame divided
-    once in double; the detrended values round to 6 and re-enter
-    DECIMAL(38,6) so the day-of-week means are order-independent; the
-    day-of-week key is days-since-anchor mod 7 (no engine calendar
-    conventions).  Day-frame windows only — calendar-bounded, the
-    ``daily_revenue_anomaly`` scale argument.
+    Every emitted value is a WHOLE-CENT BIGINT: at daily-revenue
+    magnitudes (~1e9 cents) a double's ulp (~2.4e-7) is the same order
+    as a 6-decimal rounding boundary, so fractional-cent emission is
+    cross-engine fragile BY CONSTRUCTION (found by the sf0.1
+    differential).  Instead the trend is the exact DECIMAL(38,0)
+    window sum divided once in IEEE double and rounded to integer
+    cents (identical doubles both engines; the 0.5 boundary sits 7
+    orders above ulp), the detrended series is then exact integer
+    arithmetic, and the seasonal mean repeats the same
+    one-safe-rounding pattern.  Day-frame windows only —
+    calendar-bounded, the ``daily_revenue_anomaly`` scale argument.
     """
     apply_runtime_confs(spark)
     from pyspark.sql import Window
@@ -992,18 +996,19 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "rev_c",
         F.count(F.lit(1)).over(w).alias("n_win"),
-        (
+        F.round(
             F.sum(F.col("rev_c").cast("decimal(38,0)")).over(w).cast("double")
-            / (2 * _SD_HALF + 1)
-        ).alias("trend"),
+            / (2 * _SD_HALF + 1),
+            0,
+        )
+        .cast("long")
+        .alias("trend_c"),
     ).where(F.col("n_win") == 2 * _SD_HALF + 1)
     detr = trended.select(
         "day",
         "rev_c",
-        F.round("trend", 6).alias("trend"),
-        F.round(F.col("rev_c").cast("double") - F.col("trend"), 6)
-        .cast("decimal(38,6)")
-        .alias("detr"),
+        "trend_c",
+        (F.col("rev_c") - F.col("trend_c")).alias("detr_c"),
         F.pmod(
             F.datediff(F.col("day"), F.lit(_COHORT_EPOCH).cast("date")),
             F.lit(7),
@@ -1011,17 +1016,19 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seasonal = detr.groupBy("dow").agg(
         F.round(
-            F.sum("detr").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("seasonal")
+            F.sum(F.col("detr_c").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("seasonal_c")
     )
     return detr.join(F.broadcast(seasonal), "dow").select(
         "day",
         "rev_c",
-        "trend",
-        "seasonal",
-        F.round(
-            F.col("detr").cast("double") - F.col("seasonal"), 6
-        ).alias("residual"),
+        "trend_c",
+        "seasonal_c",
+        (F.col("detr_c") - F.col("seasonal_c")).alias("residual_c"),
     )
 
 
@@ -1034,26 +1041,24 @@ WITH daily AS (
 ), trended AS (
   SELECT day, rev_c,
          count(*) OVER w AS n_win,
-         CAST(sum(CAST(rev_c AS DECIMAL(38,0))) OVER w AS DOUBLE)
-           / {2 * _SD_HALF + 1} AS trend
+         CAST(round(CAST(sum(CAST(rev_c AS DECIMAL(38,0))) OVER w AS DOUBLE)
+                    / {2 * _SD_HALF + 1}, 0) AS BIGINT) AS trend_c
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN {_SD_HALF} PRECEDING
                AND {_SD_HALF} FOLLOWING)
 ), detr AS (
-  SELECT day, rev_c, round(trend, 6) AS trend,
-         CAST(round(CAST(rev_c AS DOUBLE) - round(trend, 6), 6)
-              AS DECIMAL(38,6)) AS detr,
+  SELECT day, rev_c, trend_c, rev_c - trend_c AS detr_c,
          CAST(datediff('day', DATE '{_COHORT_EPOCH}', CAST(day AS DATE)) % 7
               + 7 AS INTEGER) % 7 AS dow
   FROM trended WHERE n_win = {2 * _SD_HALF + 1}
 ), seasonal AS (
   SELECT dow,
-         round(CAST(sum(detr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-           AS seasonal
+         CAST(round(CAST(sum(CAST(detr_c AS DECIMAL(38,0))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS seasonal_c
   FROM detr GROUP BY dow
 )
-SELECT d.day, d.rev_c, d.trend, s.seasonal,
-       round(CAST(d.detr AS DOUBLE) - s.seasonal, 6) AS residual
+SELECT d.day, d.rev_c, d.trend_c, s.seasonal_c,
+       CAST(d.detr_c - s.seasonal_c AS BIGINT) AS residual_c
 FROM detr d JOIN seasonal s USING (dow)
 """
 
