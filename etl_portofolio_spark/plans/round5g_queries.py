@@ -56,6 +56,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression trees, rounded to 6 before the rank; doc_id
     breaks score ties.
     """
+    from etl_portofolio_spark.caching import scoped_persist
+
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     arr = docs.select("doc_id", text.tokens("text").alias("toks"))
@@ -65,7 +67,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("toks", lambda x: x.isin(*_BM25_TERMS))
         ).alias("term"),
     )
-    dl = arr.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    # dl is |docs| narrow rows read by stats AND the per-term scoring
+    # join; tf is |docs with hits| x 3 read by df_t AND per_term —
+    # scoped-persist both so the documents scan+tokenize runs twice
+    # (toks, dl), not once per downstream branch. The token-array frame
+    # itself is deliberately NOT cached: at 100 TB it is corpus-sized,
+    # and two scans beat caching a corpus.
+    dl = scoped_persist(
+        arr.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    )
     # avgdl as exact integer sum / count, divided in DOUBLE — Spark's
     # decimal avg() rounds to 4 fractional digits while DuckDB's avg()
     # returns a double; the explicit division is identical in both
@@ -75,7 +85,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)

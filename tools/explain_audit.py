@@ -48,6 +48,14 @@ DEFAULT_QUERIES = (
     "semantic_cluster_prune",
     "geo_proximity_pairs",
     "heavy_hitters_sketch",
+    "bm25_topk",
+    "daily_revenue_anomaly",
+    "cohort_retention",
+    "user_state_scd2",
+    "pit_state_at_purchase",
+    "hard_negative_mining",
+    "supplier_concentration_hhi",
+    "seasonal_decomposition",
 )
 
 
