@@ -77,6 +77,8 @@ HEADLINE = (
     "histogram_drift_psi",
     "event_transition_matrix",
     "supplier_concentration_hhi",
+    "seasonal_decomposition",
+    "unicode_normalization_audit",
 )
 
 
