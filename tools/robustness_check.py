@@ -30,7 +30,15 @@ def main() -> int:
     # session (getOrCreate) with the altered layout.
     spark = build_session("robustness-check", master=f"local[{cores}]")
     spark.conf.set("spark.sql.shuffle.partitions", n)
-    print(f"robustness layout: local[{cores}], shuffle.partitions={n}")
+    # SPARK_GRAFT_ROBUST_AQE=off adds a second invariance axis: AQE
+    # re-plans partitioning/joins at runtime, so an AQE-off pass proves
+    # results don't depend on adaptive decisions either.
+    if os.environ.get("SPARK_GRAFT_ROBUST_AQE", "").lower() == "off":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    print(
+        f"robustness layout: local[{cores}], shuffle.partitions={n}, "
+        f"aqe={spark.conf.get('spark.sql.adaptive.enabled')}"
+    )
 
     from tools.check_oracle import main as check_main
 
