@@ -188,3 +188,48 @@ def test_maintenance_refreshes_zonemap_after_compaction(spark, tmp_path):
     assert {("file://" + f) for f, *_ in zmap} == live
     # and every mapped file carries usable stats
     assert all(lo is not None for _, lo, _, _ in zmap)
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: BOTH columns' per-file envelopes shrink below
+    the global span, so skipping prunes range predicates on either
+    column — the property a 1-D range cluster can only give one column."""
+    from etl_portofolio_spark.sinks.writer import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    write_zorder_clustered(ev, zpath, "event_id", "user_id", n_files=16)
+    write_range_clustered(ev, rpath, "event_id", n_files=16)
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+    def mean_span(path, col):
+        zmap = skipping.footer_zonemap(path, col)
+        return sum(hi - lo for _, lo, hi, _ in zmap) / len(zmap)
+
+    bounds = ev.agg(
+        F.max("event_id").alias("eh"), F.min("event_id").alias("el"),
+        F.max("user_id").alias("uh"), F.min("user_id").alias("ul"),
+    ).first()
+    e_span, u_span = bounds["eh"] - bounds["el"], bounds["uh"] - bounds["ul"]
+    # z-order: both dimensions meaningfully narrower than the global span
+    assert mean_span(zpath, "event_id") < 0.6 * e_span
+    assert mean_span(zpath, "user_id") < 0.6 * u_span
+    # 1-D range cluster: event_id razor-thin, user_id unhelped (~full span)
+    assert mean_span(rpath, "event_id") < 0.1 * e_span
+    assert mean_span(rpath, "user_id") > 0.9 * u_span
+
+    # and pruning actually fires on BOTH columns of the z layout
+    for col, lo, hi in (
+        ("event_id", bounds["el"], bounds["el"] + e_span // 8),
+        ("user_id", bounds["ul"], bounds["ul"] + max(u_span // 8, 1)),
+    ):
+        pruned = skipping.skipping_scan(spark, zpath, col, lo, hi)
+        assert 0 < len(pruned.inputFiles()) < 16, col
+        full = spark.read.parquet(zpath).where(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
+        assert pruned.count() == full.count()
