@@ -19,3 +19,40 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def approx_distinct_audit(
+    df: "DataFrame", col: str, rsd: float = 0.05
+) -> "DataFrame":
+    """Exact vs HyperLogLog distinct count with an error-bound verdict
+    — the harness that justifies swapping exact distincts for sketches
+    at scale.
+
+    At 100 TB an exact countDistinct shuffles every distinct value;
+    ``approx_count_distinct`` keeps a fixed-size HLL register per
+    partition and merges map-side — constant memory, one combinable
+    pass.  The swap is only safe if the error behaves, and THIS audit
+    is the proof artifact: run both on a sample (or a backfill window),
+    record the relative error, gate on ~3x the configured rsd (HLL
+    error is approximately Gaussian with sigma=rsd, so 3-sigma bounds
+    hold with probability ~0.997).  The sketch is engine-specific by
+    nature, so the audit is the verification story — there is no
+    cross-engine oracle for register internals, and none is claimed.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.countDistinct(col).alias("exact"),
+        F.approx_count_distinct(col, rsd=rsd).alias("approx"),
+    )
+    rel_err = (
+        F.abs(F.col("approx") - F.col("exact")).cast("double")
+        / F.col("exact").cast("double")
+    )
+    return stats.select(
+        F.lit(col).alias("column_name"),
+        "exact",
+        "approx",
+        F.round(rel_err, 6).alias("rel_err"),
+        (rel_err <= 3 * rsd).alias("within_bound"),
+    )
