@@ -213,3 +213,60 @@ def load_zonemap(
         else:
             out.append((f, None, None, -1))  # unmapped: never pruned
     return out
+
+
+def refresh_zonemap_incremental(
+    spark: SparkSession, path: str, col: str
+) -> tuple[int, int, int]:
+    """Bring the persisted zonemap up to date touching only CHANGED
+    files: footer-read the files missing from the map (appends since
+    the last refresh), drop entries whose files are gone (compaction),
+    keep everything else verbatim.  Returns (kept, added, dropped).
+
+    The cost model is the point: a full ``persist_zonemap`` rebuild
+    scans the whole table; this pays O(new files) footer reads + one
+    tiny metadata write — the nightly cadence for an append-mostly
+    table, with the full rebuild reserved for after a clustering
+    rewrite.  Falls back to a full build when no map exists yet.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    target = f"{path}/{_ZONEMAP_DIR}/{col}"
+    if not os.path.isdir(target):
+        return (0, persist_zonemap(spark, path, col), 0)
+    raw = spark.read.parquet(target)
+    raw_rows = raw.collect()
+    live = set(_data_files(path))
+    kept_rows = [
+        r for r in raw_rows if r["file"].removeprefix("file://") in live
+    ]
+    dropped = len(raw_rows) - len(kept_rows)
+    known = {r["file"].removeprefix("file://") for r in kept_rows}
+    new_rows = []
+    for f in sorted(live - known):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo, hi, rows, prunable = None, None, 0, True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            rows += md.row_group(rg).num_rows
+            if st is None or not st.has_min_max:
+                prunable = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not prunable:
+            lo = hi = None
+        new_rows.append(("file://" + f, lo, hi, rows))
+    merged = spark.createDataFrame(
+        [tuple(r) for r in kept_rows] + new_rows, raw.schema
+    )
+    # write via a temp dir: the overwrite would otherwise delete the
+    # very files the kept rows were just read from mid-plan
+    merged_rows = merged.collect()
+    spark.createDataFrame(merged_rows, raw.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(target)
+    return (len(kept_rows), len(new_rows), dropped)

@@ -233,3 +233,36 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
             (F.col(col) >= lo) & (F.col(col) <= hi)
         )
         assert pruned.count() == full.count()
+
+
+def test_incremental_zonemap_refresh(spark, tmp_path):
+    """Appends footer-read only the new files; compacted-away entries
+    drop; the refreshed map equals a from-scratch footer build."""
+    path = str(tmp_path / "tbl")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    write_range_clustered(ev, path, "event_id", n_files=4)
+    kept, added, dropped = skipping.refresh_zonemap_incremental(
+        spark, path, "event_id"
+    )
+    assert (kept, added, dropped) == (0, 4, 0)  # first call = full build
+    # append two new files
+    hi = spark.read.parquet(path).agg(F.max("event_id")).first()[0]
+    for k in range(2):
+        spark.range(hi + 1000 + k * 10, hi + 1005 + k * 10).select(
+            F.col("id").alias("event_id"), F.lit(1).cast("long").alias("value")
+        ).coalesce(1).write.mode("append").parquet(path)
+    kept, added, dropped = skipping.refresh_zonemap_incremental(
+        spark, path, "event_id"
+    )
+    assert (kept, added, dropped) == (4, 2, 0)
+    zmap = {f: (lo, hi2, n) for f, lo, hi2, n in
+            skipping.load_zonemap(spark, path, "event_id")}
+    footer = {f: (lo, hi2, n) for f, lo, hi2, n in
+              skipping.footer_zonemap(path, "event_id")}
+    assert zmap == footer  # incrementally-built map == from-scratch map
+    # point lookup into an appended file prunes to exactly that file
+    got = skipping.skipping_scan(
+        spark, path, "event_id", hi + 1000, hi + 1000,
+        zonemap=skipping.load_zonemap(spark, path, "event_id"),
+    )
+    assert len(got.inputFiles()) == 1 and got.count() == 1
