@@ -33,7 +33,10 @@ import argparse
 from pyspark.sql import SparkSession
 
 from etl_portofolio_spark.session import build_session
-from etl_portofolio_spark.sources.skipping import persist_zonemap
+from etl_portofolio_spark.sources.skipping import (
+    persist_zonemap,
+    refresh_zonemap_incremental,
+)
 from etl_portofolio_spark.sinks.writer import (
     analyze_table,
     compact_partition,
@@ -88,10 +91,18 @@ def run_maintenance(
     # zonemap refresh LAST — compaction just changed the file set, and
     # the persisted map must describe the files readers will actually
     # open (a stale map is still safe via load_zonemap's reconciliation,
-    # but refreshed here the very next reader prunes at full strength)
-    zonemap_files = (
-        persist_zonemap(spark, path, zonemap_col) if zonemap_col else None
-    )
+    # but refreshed here the very next reader prunes at full strength).
+    # Quiet nights take the O(new files) incremental path; a compaction
+    # rewrite invalidates wholesale, so that night pays the full rebuild.
+    zonemap_files = None
+    if zonemap_col:
+        if compacted:
+            zonemap_files = persist_zonemap(spark, path, zonemap_col)
+        else:
+            kept, added, _dropped = refresh_zonemap_incremental(
+                spark, path, zonemap_col
+            )
+            zonemap_files = kept + added
     return {
         "dropped": dropped,
         "compacted": compacted,

@@ -266,3 +266,20 @@ def test_incremental_zonemap_refresh(spark, tmp_path):
         zonemap=skipping.load_zonemap(spark, path, "event_id"),
     )
     assert len(got.inputFiles()) == 1 and got.count() == 1
+
+
+def test_zonemap_on_string_column(spark, tmp_path):
+    """Envelope pruning works for lexicographic string ranges too —
+    footer stats for BYTE_ARRAY columns decode to comparable strings."""
+    path = str(tmp_path / "s")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    from etl_portofolio_spark.sinks.writer import write_range_clustered
+
+    write_range_clustered(docs, path, "source", n_files=4)
+    zmap = skipping.footer_zonemap(path, "source")
+    assert all(isinstance(lo, str) for _, lo, _, _ in zmap)
+    some = sorted({r["source"] for r in docs.limit(50).collect()})[0]
+    got = skipping.skipping_scan(spark, path, "source", some, some)
+    assert 0 < len(got.inputFiles()) < 4
+    full = spark.read.parquet(path).where(F.col("source") == some)
+    assert got.count() == full.count() > 0
