@@ -1,0 +1,100 @@
+"""One-command verification ladder → a single tracked evidence JSON.
+
+Runs, in subprocesses (each with its own Spark session, matching how
+the driver invokes the contract):
+
+1. full oracle differential at sf0.01 (the driver's gate scale),
+2. full oracle differential at sf0.1 (the 10× scale discipline),
+3. altered-layout robustness (local[5], 7 shuffle partitions),
+4. the same with AQE disabled,
+5. optionally the full pytest suite (``--pytest``),
+6. optionally the idle bench (``--bench``; refuses when loadavg is
+   high — a load-poisoned bench is worse than none, the r4 lesson).
+
+Writes ``EVIDENCE_<tag>.json`` with pass/fail, durations, loadavg and
+the tail of any failing run — the artifact a round commits next to its
+code so verdict claims are reviewable as diffs.
+
+Usage: python tools/make_evidence.py [tag] [--pytest] [--bench]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(name: str, cmd: list[str], env: dict | None = None) -> dict:
+    t0 = time.time()
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=e, capture_output=True, text=True, timeout=3600
+    )
+    out = proc.stdout + proc.stderr
+    ok = proc.returncode == 0 and (
+        "ALL OK" in out or "passed" in out or name == "bench"
+    )
+    rec = {
+        "ok": ok,
+        "seconds": round(time.time() - t0, 1),
+        "returncode": proc.returncode,
+    }
+    if not ok:
+        rec["tail"] = out[-2000:]
+    if name == "bench":
+        line = [l for l in out.splitlines() if l.startswith('{"metric"')]
+        rec["bench"] = json.loads(line[-1]) if line else None
+        rec["ok"] = bool(line)
+    print(f"  {name}: {'OK' if rec['ok'] else 'FAIL'} ({rec['seconds']}s)")
+    return rec
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    tag = next((a for a in args if not a.startswith("--")), "local")
+    results: dict = {"loadavg_start": list(os.getloadavg())}
+    py = sys.executable
+
+    results["oracle_sf001"] = _run(
+        "oracle_sf001", [py, "tools/check_oracle.py", "/root/testdata/sf0.01"]
+    )
+    results["oracle_sf01"] = _run(
+        "oracle_sf01", [py, "tools/check_oracle.py", "/root/testdata/sf0.1"]
+    )
+    results["robustness"] = _run(
+        "robustness", [py, "tools/robustness_check.py", "/root/testdata/sf0.01"]
+    )
+    results["robustness_aqe_off"] = _run(
+        "robustness_aqe_off",
+        [py, "tools/robustness_check.py", "/root/testdata/sf0.01"],
+        env={"SPARK_GRAFT_ROBUST_AQE": "off"},
+    )
+    if "--pytest" in args:
+        results["pytest"] = _run(
+            "pytest", [py, "-m", "pytest", "tests/", "-q"]
+        )
+    if "--bench" in args:
+        if os.getloadavg()[0] > 2.0:
+            print("  bench: SKIPPED (loadavg too high for a trustworthy run)")
+            results["bench"] = {"ok": False, "skipped": "loadavg"}
+        else:
+            results["bench"] = _run("bench", [py, "bench.py"])
+    results["all_ok"] = all(
+        v.get("ok") for k, v in results.items() if isinstance(v, dict)
+    )
+    out = os.path.join(REPO, f"EVIDENCE_{tag}.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"{'ALL OK' if results['all_ok'] else 'FAILURES'} -> {out}")
+    return 0 if results["all_ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
