@@ -1067,3 +1067,103 @@ ROUND5H_QUERIES["seasonal_decomposition"] = (
     q_seasonal_decomposition,
     ORACLE_SEASONAL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information: dependence beyond correlation
+# ---------------------------------------------------------------------------
+
+_MI_QTY_BANDS = (10, 20, 30, 40)      # l_quantity band edges
+_MI_PRICE_BANDS_C = (25_000_00, 50_000_00, 75_000_00)  # extendedprice cents
+
+
+def q_quantity_price_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between banded quantity and banded price on
+    lineitem — the dependence detector that sees what Pearson cannot
+    (non-monotone, band-local structure); run before trusting a
+    marginal-only synthetic-data generator or an independence
+    assumption in a cost model.
+
+    Everything is one combinable groupBy over the |qty_bands|×|price
+    bands| contingency domain; marginals come from window sums over
+    that tiny frame, the corpus total broadcasts as one scalar.
+    MI terms p·ln(p/(px·py)) are the only doubles, each computed from
+    exact integer counts in one identical expression tree, rounded
+    to 6.  Band edges are integer constants — no quantile coupling.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qb = F.lit(len(_MI_QTY_BANDS))
+    for i, e in reversed(list(enumerate(_MI_QTY_BANDS))):
+        qb = F.when(F.col("l_quantity") < e, F.lit(i)).otherwise(qb)
+    pb = F.lit(len(_MI_PRICE_BANDS_C))
+    pc = cents("l_extendedprice")
+    for i, e in reversed(list(enumerate(_MI_PRICE_BANDS_C))):
+        pb = F.when(pc < e, F.lit(i)).otherwise(pb)
+    cont = li.select(qb.alias("qty_band"), pb.alias("price_band")).groupBy(
+        "qty_band", "price_band"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wq = Window.partitionBy("qty_band")
+    wp = Window.partitionBy("price_band")
+    tot = cont.agg(F.sum("n").alias("n_tot"))
+    enriched = cont.select(
+        "qty_band",
+        "price_band",
+        "n",
+        F.sum("n").over(wq).alias("n_q"),
+        F.sum("n").over(wp).alias("n_p"),
+    ).crossJoin(F.broadcast(tot))
+    p = F.col("n").cast("double") / F.col("n_tot").cast("double")
+    ratio = (
+        F.col("n").cast("double") * F.col("n_tot").cast("double")
+    ) / (F.col("n_q").cast("double") * F.col("n_p").cast("double"))
+    return enriched.select(
+        "qty_band",
+        "price_band",
+        "n",
+        F.round(p * F.log(ratio), 6).alias("mi_term"),
+    )
+
+
+def _oracle_mi() -> str:
+    qchain = str(len(_MI_QTY_BANDS))
+    for i, e in reversed(list(enumerate(_MI_QTY_BANDS))):
+        qchain = f"CASE WHEN l_quantity < {e} THEN {i} ELSE {qchain} END"
+    pchain = str(len(_MI_PRICE_BANDS_C))
+    for i, e in reversed(list(enumerate(_MI_PRICE_BANDS_C))):
+        pchain = (
+            f"CASE WHEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) < {e} "
+            f"THEN {i} ELSE {pchain} END"
+        )
+    return f"""
+WITH cont AS (
+  SELECT {qchain} AS qty_band, {pchain} AS price_band, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), enriched AS (
+  SELECT qty_band, price_band, n,
+         sum(n) OVER (PARTITION BY qty_band) AS n_q,
+         sum(n) OVER (PARTITION BY price_band) AS n_p,
+         (SELECT sum(n) FROM cont) AS n_tot
+  FROM cont
+)
+SELECT CAST(qty_band AS INTEGER) AS qty_band,
+       CAST(price_band AS INTEGER) AS price_band,
+       CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             * ln((CAST(n AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                  / (CAST(n_q AS DOUBLE) * CAST(n_p AS DOUBLE))), 6)
+         AS mi_term
+FROM enriched
+"""
+
+
+ROUND5H_QUERIES["quantity_price_mutual_information"] = (
+    q_quantity_price_mutual_information,
+    _oracle_mi(),
+)
