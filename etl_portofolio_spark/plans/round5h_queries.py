@@ -1167,3 +1167,102 @@ ROUND5H_QUERIES["quantity_price_mutual_information"] = (
     q_quantity_price_mutual_information,
     _oracle_mi(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini coefficient, scale-safe global rank
+# ---------------------------------------------------------------------------
+
+#: revenue-cents band width for the monotone prebin (the
+#: equi_depth_exact_scalable discipline: rank = within-bin row_number +
+#: exclusive lower-bin count, so no single-task global sort)
+_GINI_BAND_C = 4_000_000
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of revenue concentration across
+    customers — the inequality summary a marketplace/risk team tracks
+    (0 = uniform, →1 = one whale holds everything).
+
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n needs each customer's GLOBAL
+    ascending rank; ``row_number`` over an unpartitioned window is a
+    single-task sort, so the rank decomposes the scale-safe way: a
+    MONOTONE integer prebin on the revenue value (band = cents DIV
+    constant — ties share a band by construction), within-band
+    row_number (parallel across bands), plus the exclusive lower-band
+    count from a triangular broadcast join over the |bands|-row count
+    frame.  Σ i·x accumulates in DECIMAL(38,0) (i·x reaches ~1e17 —
+    past BIGINT comfort at real scale); the final G is one double
+    expression from three exact scalars, rounded to 6.  The oracle
+    keeps the plain global-window form; the hash match proves the
+    decomposition exact.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("x")
+    )
+    binned = cust.select(
+        "o_custkey", "x", (F.col("x") / _GINI_BAND_C).cast("long").alias("bin")
+    )
+    win = Window.partitionBy("bin").orderBy("x", "o_custkey")
+    within = binned.withColumn("r_in", F.row_number().over(win))
+    cnts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("bin_n"))
+    lower = cnts.select(F.col("bin").alias("lbin"), F.col("bin_n").alias("ln"))
+    offsets = (
+        cnts.join(F.broadcast(lower), F.col("lbin") < F.col("bin"), "left")
+        .groupBy("bin")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("offset"))
+    )
+    ranked = within.join(F.broadcast(offsets), "bin").select(
+        "x", (F.col("offset") + F.col("r_in")).alias("rank")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("rank").cast("decimal(38,0)") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double")
+        / (n * F.col("sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_rev_c"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+ORACLE_GINI = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rank FROM cust
+), sums AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(CAST(rank AS DECIMAL(38,0)) * x AS DECIMAL(38,0))) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS total_rev_c,
+       round(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM sums
+"""
+
+
+ROUND5H_QUERIES["revenue_gini"] = (q_revenue_gini, ORACLE_GINI)

@@ -724,3 +724,26 @@ def test_round5i_observability_shapes(spark):
     p = _plan(q_zipf_fit(spark, SF_DIR))
     # head extraction is a distributed partial top-k
     assert "TakeOrderedAndProject" in p
+
+
+def test_gini_and_mi_scale_shapes(spark):
+    """Exact Gini: the global rank decomposes over the bin key — the
+    only SinglePartition is the final 3-scalar aggregate, never the
+    rank window. MI: one contingency groupBy, marginals windowed over
+    the tiny band frame."""
+    from etl_portofolio_spark.plans.round5h_queries import (
+        q_quantity_price_mutual_information,
+        q_revenue_gini,
+    )
+
+    spark.catalog.clearCache()
+    p = _plan(q_revenue_gini(spark, SF_DIR))
+    assert "hashpartitioning(bin" in p  # the rank window is per-band
+    # pre-AQE plan: exactly one single-partition exchange (the final
+    # scalar agg over (n, sx, six)); the corpus-sized rank never is
+    assert p.split("AdaptiveSparkPlan")[0].count("Exchange SinglePartition") <= 1
+
+    p = _plan(q_quantity_price_mutual_information(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    read_schema = p.split("ReadSchema", 1)[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_quantity" in read_schema
