@@ -1266,3 +1266,115 @@ FROM sums
 
 
 ROUND5H_QUERIES["revenue_gini"] = (q_revenue_gini, ORACLE_GINI)
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend: median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+
+def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the daily-revenue trend: the MEDIAN of
+    all pairwise slopes — robust to the outlier days that wreck an
+    OLS fit (one double-ingested partition flips a least-squares
+    slope; it barely moves this one).
+
+    The O(days²) pair set is the honest cost and it is CALENDAR-
+    bounded (~2.9M pairs for 7 years — a fact-table row count never
+    enters), keyed off one day-level aggregation of the fact table.
+    Slopes are Δcents/Δdays doubles from identical integer inputs,
+    rounded to 6 BEFORE the median selection; the median element is
+    picked by rank with the (i, j) pair as tie-break, so both engines
+    select the same slope even among equal values.  Output: one row
+    (n_pairs, the median slope in cents/day).
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("x")
+    ).select(
+        F.datediff(F.col("day"), F.lit(_COHORT_EPOCH).cast("date")).alias("i"),
+        "x",
+    )
+    a = daily.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = daily.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            # try_divide: ANSI mode may evaluate the projection
+            # speculatively inside the join before the ia<ib condition
+            # filters self-pairs; the guard changes nothing on rows
+            # that survive (ib > ia always) and stops the spurious
+            # DIVIDE_BY_ZERO on rows being rejected
+            F.round(
+                F.try_divide(
+                    (F.col("xb") - F.col("xa")).cast("double"),
+                    (F.col("ib") - F.col("ia")).cast("double"),
+                ),
+                6,
+            ).alias("slope"),
+        )
+    )
+    n_pairs = slopes.count()
+    k = n_pairs // 2 + 1  # 1-based rank of the (upper) median element
+    # median selection via the prebin rank decomposition (the
+    # revenue_gini discipline): a slope-monotone integer bin, within-bin
+    # row_number (parallel across bins), exclusive lower-bin offsets —
+    # never a single-task sort of the O(days²) slope set
+    binned = slopes.withColumn(
+        "bin", F.floor(F.col("slope") / F.lit(100_000.0)).cast("long")
+    )
+    win = Window.partitionBy("bin").orderBy("slope", "ia", "ib")
+    within = binned.withColumn("r_in", F.row_number().over(win))
+    cnts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("bn"))
+    lower = cnts.select(F.col("bin").alias("lbin"), F.col("bn").alias("ln"))
+    offsets = (
+        cnts.join(F.broadcast(lower), F.col("lbin") < F.col("bin"), "left")
+        .groupBy("bin")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
+    )
+    med = (
+        within.join(F.broadcast(offsets), "bin")
+        .where(F.col("off") + F.col("r_in") == F.lit(k))
+        .select(
+            F.lit(n_pairs).alias("n_pairs"),
+            F.col("slope").alias("median_slope_c_per_day"),
+        )
+    )
+    return med
+
+
+def _oracle_theilsen() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '{_COHORT_EPOCH}',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS i,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT a.i AS ia, b.i AS ib,
+         round(CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE), 6)
+           AS slope
+  FROM daily a JOIN daily b ON a.i < b.i
+), ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, ia, ib) AS r,
+         count(*) OVER () AS n_pairs
+  FROM slopes
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope AS median_slope_c_per_day
+FROM ranked WHERE r = n_pairs // 2 + 1
+"""
+
+
+ROUND5H_QUERIES["theilsen_revenue_trend"] = (
+    q_theilsen_revenue_trend,
+    _oracle_theilsen(),
+)
