@@ -79,6 +79,8 @@ HEADLINE = (
     "supplier_concentration_hhi",
     "seasonal_decomposition",
     "unicode_normalization_audit",
+    "revenue_gini",
+    "theilsen_revenue_trend",
 )
 
 
