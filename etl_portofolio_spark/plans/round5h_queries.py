@@ -1321,6 +1321,11 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    # the O(days²) pair frame feeds the count AND three rank branches —
+    # persist once (it is bounded by the calendar, never the fact table)
+    slopes = scoped_persist(slopes)
     n_pairs = slopes.count()
     k = n_pairs // 2 + 1  # 1-based rank of the (upper) median element
     # median selection via the prebin rank decomposition (the
