@@ -609,3 +609,46 @@ def test_fold_sessions_conservation(ts, gap):
         assert n >= 1
     for (_, e1, _), (s2, _, _) in zip(sessions, sessions[1:]):
         assert s2 - e1 > gap  # closed exactly when the gap demanded it
+
+
+# --- prune_files: the no-false-negative contract ----------------------------
+
+_ENVELOPES = st.lists(
+    st.tuples(st.integers(-100, 100), st.integers(0, 50)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    envs=_ENVELOPES,
+    lo=st.one_of(st.none(), st.integers(-120, 120)),
+    hi=st.one_of(st.none(), st.integers(-120, 120)),
+    unknown=st.lists(st.booleans(), min_size=0, max_size=20),
+)
+def test_prune_files_never_false_negative(envs, lo, hi, unknown):
+    """Any file whose envelope INTERSECTS [lo, hi] must survive; files
+    with unknown stats always survive. Pruning may keep too much,
+    never too little — the property that makes a zonemap a pure
+    optimization."""
+    from etl_portofolio_spark.sources.skipping import prune_files
+
+    zmap = []
+    for i, (zlo, zhi) in enumerate(envs):
+        if i < len(unknown) and unknown[i]:
+            zmap.append((f"f{i}", None, None, -1))
+        else:
+            zmap.append((f"f{i}", zlo, zhi, 1))
+    kept = set(prune_files(zmap, lo, hi))
+    for f, zlo, zhi, _ in zmap:
+        if zlo is None:
+            assert f in kept  # unknown stats: always survive
+            continue
+        intersects = (lo is None or zhi >= lo) and (hi is None or zlo <= hi)
+        if intersects:
+            assert f in kept, (f, zlo, zhi, lo, hi)
+        else:
+            assert f not in kept  # and pruning is tight on known stats
