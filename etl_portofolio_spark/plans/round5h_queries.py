@@ -1383,3 +1383,70 @@ ROUND5H_QUERIES["theilsen_revenue_trend"] = (
     q_theilsen_revenue_trend,
     _oracle_theilsen(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency distribution: how long view -> click takes
+# ---------------------------------------------------------------------------
+
+_CONV_CAP_H = 48  # latencies above cap collapse into one overflow bucket
+
+
+def q_conversion_latency_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram of hours between a user's first view and their first
+    click AFTER it — the latency companion to the funnel's stage
+    counts (the same conversion rate can hide minutes-vs-days user
+    behavior; SLAs and retargeting windows come from THIS shape).
+
+    Two keyed min-aggregations on user_id (the funnel discipline —
+    never a per-user history sort), integer hour buckets from
+    floor-epoch differences, a capped overflow bucket so the domain
+    stays bounded, one combinable groupBy over ≤49 buckets.
+    """
+    apply_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    t1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    hours = F.floor(
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")) / F.lit(3600)
+    ).cast("long")
+    bucket = F.least(hours, F.lit(_CONV_CAP_H))
+    return (
+        t2.select(bucket.alias("latency_h"))
+        .groupBy("latency_h")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_CONV_LATENCY = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, t1, min(ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1
+  GROUP BY e.user_id, t1
+)
+SELECT least(CAST(floor((floor(epoch(t2)) - floor(epoch(t1)) ) / 3600.0)
+                  AS BIGINT), {_CONV_CAP_H}) AS latency_h,
+       count(*) AS n_users
+FROM t2 GROUP BY 1
+"""
+
+
+ROUND5H_QUERIES["conversion_latency_histogram"] = (
+    q_conversion_latency_histogram,
+    ORACLE_CONV_LATENCY,
+)
