@@ -1450,3 +1450,107 @@ ROUND5H_QUERIES["conversion_latency_histogram"] = (
     q_conversion_latency_histogram,
     ORACLE_CONV_LATENCY,
 )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned per week
+# ---------------------------------------------------------------------------
+
+
+def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical growth-accounting ledger: per week, how many
+    active users are NEW (first week ever), RETAINED (also active the
+    previous week), RESURRECTED (active before, but not last week) —
+    plus the users CHURNING INTO the week (active the week before,
+    absent now).  Net growth = new + resurrected − churned; the report
+    every growth team reconciles MAU against.
+
+    One dedup to the (user, week) grain, then ``lag``/``lead`` over
+    the per-user week sequence classify every activity row and locate
+    every churn edge — two window passes in ONE user partitioning,
+    then a union of two tiny keyed aggregations (per-week classes and
+    per-week churn arrivals) full-outer-joined on the week.  Weeks are
+    integer days-since-anchor DIV 7 (no calendar conventions).
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.to_date("ts"), F.lit(_COHORT_EPOCH).cast("date")) / 7
+    ).cast("long")
+    uw = events.select("user_id", week.alias("week")).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    classed = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    cls = F.when(F.col("prev_week").isNull(), F.lit("new")).when(
+        F.col("week") - F.col("prev_week") == 1, F.lit("retained")
+    ).otherwise(F.lit("resurrected"))
+    per_week = classed.groupBy("week").agg(
+        F.sum((cls == "new").cast("long")).alias("n_new"),
+        F.sum((cls == "retained").cast("long")).alias("n_retained"),
+        F.sum((cls == "resurrected").cast("long")).alias("n_resurrected"),
+    )
+    # a user churns INTO week+1 when the next activity is not week+1
+    churn = (
+        classed.where(
+            F.col("next_week").isNull() | (F.col("next_week") > F.col("week") + 1)
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_churned_in"))
+    )
+    return (
+        per_week.join(churn, "week", "full_outer")
+        .select(
+            "week",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned_in", F.lit(0)).alias("n_churned_in"),
+        )
+    )
+
+
+ORACLE_GROWTH_ACCOUNTING = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '{_COHORT_EPOCH}', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS week
+  FROM events
+), classed AS (
+  SELECT user_id, week,
+         lag(week) OVER w AS prev_week,
+         lead(week) OVER w AS next_week
+  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)
+), per_week AS (
+  SELECT week,
+         CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN week - prev_week = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN prev_week IS NOT NULL AND week - prev_week > 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM classed GROUP BY week
+), churn AS (
+  SELECT week + 1 AS week, count(*) AS n_churned_in
+  FROM classed
+  WHERE next_week IS NULL OR next_week > week + 1
+  GROUP BY week + 1
+)
+SELECT COALESCE(p.week, c.week) AS week,
+       COALESCE(n_new, 0) AS n_new,
+       COALESCE(n_retained, 0) AS n_retained,
+       COALESCE(n_resurrected, 0) AS n_resurrected,
+       CAST(COALESCE(n_churned_in, 0) AS BIGINT) AS n_churned_in
+FROM per_week p FULL OUTER JOIN churn c ON p.week = c.week
+"""
+
+
+ROUND5H_QUERIES["growth_accounting_weekly"] = (
+    q_growth_accounting_weekly,
+    ORACLE_GROWTH_ACCOUNTING,
+)
