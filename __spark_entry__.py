@@ -21,99 +21,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_portofolio_spark.plans.reference_queries import REFERENCE_QUERIES
 
+# One (module, registry-dict-name) pair per plans module. Imports are
+# collected eagerly; any failure is recorded and re-raised the moment
+# the registry is actually used, so a typo in one module fails the
+# driver (and the test suite) loudly instead of silently shrinking the
+# registry and letting the rotation score only the survivors.
+_PLAN_MODULES: tuple[tuple[str, str], ...] = (
+    ("etl_portofolio_spark.plans.analytics_queries", "ANALYTICS_QUERIES"),
+    ("etl_portofolio_spark.plans.pipeline_queries", "PIPELINE_QUERIES"),
+    ("etl_portofolio_spark.plans.advanced_queries", "ADVANCED_QUERIES"),
+    ("etl_portofolio_spark.plans.extension_queries", "EXTENSION_QUERIES"),
+    ("etl_portofolio_spark.plans.round4_queries", "ROUND4_QUERIES"),
+    ("etl_portofolio_spark.plans.round5_queries", "ROUND5_QUERIES"),
+    ("etl_portofolio_spark.plans.round5b_queries", "ROUND5B_QUERIES"),
+    ("etl_portofolio_spark.plans.round5c_queries", "ROUND5C_QUERIES"),
+    ("etl_portofolio_spark.plans.round5d_queries", "ROUND5D_QUERIES"),
+    ("etl_portofolio_spark.plans.round5e_queries", "ROUND5E_QUERIES"),
+    ("etl_portofolio_spark.plans.round5f_queries", "ROUND5F_QUERIES"),
+    ("etl_portofolio_spark.plans.round5g_queries", "ROUND5G_QUERIES"),
+    ("etl_portofolio_spark.plans.round5h_queries", "ROUND5H_QUERIES"),
+    ("etl_portofolio_spark.plans.round6_queries", "ROUND6_QUERIES"),
+)
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 _ALL.update(REFERENCE_QUERIES)
+_IMPORT_ERRORS: list[str] = []
 
-try:
-    from etl_portofolio_spark.plans.analytics_queries import ANALYTICS_QUERIES
+for _mod_name, _attr in _PLAN_MODULES:
+    try:
+        import importlib
 
-    _ALL.update(ANALYTICS_QUERIES)
-except ImportError:
-    pass
+        _mod = importlib.import_module(_mod_name)
+        _ALL.update(getattr(_mod, _attr))
+    except Exception as exc:  # noqa: BLE001 — recorded and re-raised at use time
+        _IMPORT_ERRORS.append(f"{_mod_name}: {type(exc).__name__}: {exc}")
 
-try:
-    from etl_portofolio_spark.plans.pipeline_queries import PIPELINE_QUERIES
 
-    _ALL.update(PIPELINE_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.advanced_queries import ADVANCED_QUERIES
-
-    _ALL.update(ADVANCED_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.extension_queries import EXTENSION_QUERIES
-
-    _ALL.update(EXTENSION_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round4_queries import ROUND4_QUERIES
-
-    _ALL.update(ROUND4_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5_queries import ROUND5_QUERIES
-
-    _ALL.update(ROUND5_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5b_queries import ROUND5B_QUERIES
-
-    _ALL.update(ROUND5B_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5c_queries import ROUND5C_QUERIES
-
-    _ALL.update(ROUND5C_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5d_queries import ROUND5D_QUERIES
-
-    _ALL.update(ROUND5D_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5e_queries import ROUND5E_QUERIES
-
-    _ALL.update(ROUND5E_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5f_queries import ROUND5F_QUERIES
-
-    _ALL.update(ROUND5F_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5g_queries import ROUND5G_QUERIES
-
-    _ALL.update(ROUND5G_QUERIES)
-except ImportError:
-    pass
-
-try:
-    from etl_portofolio_spark.plans.round5h_queries import ROUND5H_QUERIES
-
-    _ALL.update(ROUND5H_QUERIES)
-except ImportError:
-    pass
+def _require_full_registry() -> None:
+    if _IMPORT_ERRORS:
+        raise ImportError(
+            "plan module(s) failed to import — registry would be "
+            "silently incomplete:\n  " + "\n  ".join(_IMPORT_ERRORS)
+        )
 
 
 # Registry rotation: the driver's correctness gate checks only the
@@ -188,11 +137,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    _require_full_registry()
     return {name: fn for name, (fn, _oracle) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted => rows-only check)."""
+    _require_full_registry()
     return {
         name: oracle for name, (_fn, oracle) in _ordered().items() if oracle is not None
     }

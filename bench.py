@@ -193,6 +193,26 @@ def main() -> None:
         for name, ts in samples.items()
     }
 
+    # Two lines, detail FIRST and the contract line LAST: the driver
+    # captures only the tail of stdout (BENCH_r05 lost the total because
+    # the long line led). The final line is the compact headline JSON
+    # the driver parses; the preceding detail line carries the per-query
+    # min/median/max spread for human triage.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_detail",
+                # Machine-context evidence: timings on this box swing 2-3x
+                # with background load (SCALE.md). A recorded value is only
+                # comparable round-over-round when loadavg was low and the
+                # per-query spread is tight; readers should prefer `min`
+                # from `spread` when loadavg_before/after disagree.
+                "passes": n_passes,
+                "spread": spread,
+            }
+        )
+    )
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -201,18 +221,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
-                # Machine-context evidence: timings on this box swing 2-3x
-                # with background load (SCALE.md). A recorded value is only
-                # comparable round-over-round when loadavg was low and the
-                # per-query spread is tight; readers should prefer `min`
-                # from `spread` when loadavg_before/after disagree.
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "passes": n_passes,
-                "spread": spread,
             }
         )
     )
+    sys.stdout.flush()
     spark.stop()
 
 

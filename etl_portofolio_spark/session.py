@@ -65,6 +65,10 @@ BUILDER_CONFS: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # Progress bars interleave \r-frames with stdout; the driver's bench
+    # capture keeps only the tail, so stray frames can push the JSON
+    # result line out of the window (BENCH_r05 truncation).
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

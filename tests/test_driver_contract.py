@@ -50,3 +50,45 @@ def test_registry_runs_under_plain_driver_session():
     assert vals["entry"] > 0
     assert vals["n_queries"] == vals["n_oracles"] >= 100
     assert all(v >= 0 for v in vals.values())
+
+
+# VERDICT r5 #2: a silent ImportError in one plans module must not
+# shrink the registry. Pin the exact size (update per wave) and assert
+# the import-error ledger is empty; a deliberately broken module is
+# exercised below to prove the failure is loud.
+EXPECTED_QUERIES = 205
+
+
+def test_registry_size_pinned_and_imports_clean():
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as m
+
+    assert m._IMPORT_ERRORS == [], m._IMPORT_ERRORS
+    assert len(m.queries()) == EXPECTED_QUERIES, (
+        f"registry has {len(m.queries())} queries, expected "
+        f"{EXPECTED_QUERIES} — update EXPECTED_QUERIES when adding a "
+        "wave; a shrink means a plans module failed to import"
+    )
+
+
+def test_broken_plan_module_fails_loudly(tmp_path):
+    """A typo'd plans module must raise at queries() time, not shrink."""
+    probe = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __spark_entry__ as m\n"
+        "m._IMPORT_ERRORS.append('fake_module: ImportError: boom')\n"
+        "try:\n"
+        "    m.queries()\n"
+        "except ImportError as e:\n"
+        "    assert 'fake_module' in str(e)\n"
+        "    print('LOUD_OK')\n"
+    ) % _REPO
+    r = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "LOUD_OK" in r.stdout
