@@ -43,7 +43,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     events = load_table(spark, sf_dir, "events")
-    week = (
+    # floor(), not cast("long"): cast truncates toward zero, so a
+    # pre-epoch event (negative datediff) would land one week late vs
+    # the oracle's floor-division `//` semantics
+    week = F.floor(
         F.datediff(F.to_date("ts"), F.lit(_COHORT_EPOCH).cast("date")) / 7
     ).cast("long")
     user_weeks = events.select(
@@ -1476,7 +1479,10 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
-    week = (
+    # floor(), not cast("long"): cast truncates toward zero, so a
+    # pre-epoch event (negative datediff) would land one week late vs
+    # the oracle's floor-division `//` semantics
+    week = F.floor(
         F.datediff(F.to_date("ts"), F.lit(_COHORT_EPOCH).cast("date")) / 7
     ).cast("long")
     uw = events.select("user_id", week.alias("week")).distinct()

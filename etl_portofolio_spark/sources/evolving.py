@@ -53,18 +53,10 @@ def _compatible(src: T.DataType, dst: T.DataType) -> bool:
     return False
 
 
-def read_with_evolution(
-    spark: SparkSession, path: str, target_schema: T.StructType | str
-) -> DataFrame:
-    """Read every file vintage under ``path`` projected to the target
-    contract (see module docstring for the rules)."""
-    target = (
-        T.StructType.fromDDL(target_schema)
-        if isinstance(target_schema, str)
-        else target_schema
-    )
-    merged = spark.read.option("mergeSchema", "true").parquet(path)
-    have = {f.name: f.dataType for f in merged.schema.fields}
+def _project_to_target(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project one frame to the target contract: NULL-fill added
+    columns, drop retired ones, cast widenings, raise on narrowing."""
+    have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for field in target.fields:
         if field.name not in have:
@@ -79,4 +71,61 @@ def read_with_evolution(
                 "narrowing/incompatible changes need an explicit migration"
             )
         cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
-    return merged.select(*cols)
+    return df.select(*cols)
+
+
+def _read_vintages_grouped(
+    spark: SparkSession, path: str, target: T.StructType
+) -> DataFrame:
+    """Cross-vintage TYPE-change path: ``mergeSchema`` itself refuses
+    to merge int-vs-bigint footers, so group the files by physical
+    schema (footer metadata only — no data pages), read each group
+    with its own exact schema, cast every group to the target contract,
+    and union.  Group count is bounded by the number of schema
+    VERSIONS ever deployed (a handful), not by file count, so the plan
+    is a union of a few ordinary pruned scans — 100 TB-safe.
+    """
+    import pyarrow.parquet as pq
+
+    from etl_portofolio_spark.sources.skipping import _data_files
+
+    groups: dict[str, list[str]] = {}
+    for f in _data_files(path):
+        key = str(pq.ParquetFile(f).schema_arrow)
+        groups.setdefault(key, []).append(f)
+    if not groups:
+        raise SchemaEvolutionError(f"no parquet data files under {path}")
+    parts = [
+        _project_to_target(
+            spark.read.option("basePath", path).parquet(*files), target
+        )
+        for files in groups.values()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_with_evolution(
+    spark: SparkSession, path: str, target_schema: T.StructType | str
+) -> DataFrame:
+    """Read every file vintage under ``path`` projected to the target
+    contract (see module docstring for the rules)."""
+    target = (
+        T.StructType.fromDDL(target_schema)
+        if isinstance(target_schema, str)
+        else target_schema
+    )
+    try:
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        return _project_to_target(merged, target)
+    except SchemaEvolutionError:
+        raise
+    except Exception as exc:
+        # Spark's own footer merge refuses numeric type changes
+        # ("Failed to merge fields") before our contract check can run;
+        # fall back to per-vintage reads and apply the contract there.
+        if "merge" not in str(exc).lower():
+            raise
+        return _read_vintages_grouped(spark, path, target)

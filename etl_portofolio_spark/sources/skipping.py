@@ -43,8 +43,11 @@ def build_zonemap(spark: SparkSession, path: str, col: str) -> DataFrame:
     the table (a normal parquet write) and every reader prunes from it
     without touching the data again.
     """
+    # mergeSchema: on a schema-evolved layout the default read may pick
+    # a vintage that predates `col`; merged, old files contribute NULL
+    # min/max → unknown stats → never pruned (the safe degradation)
     return (
-        spark.read.parquet(path)
+        spark.read.option("mergeSchema", "true").parquet(path)
         .groupBy(F.input_file_name().alias("file"))
         .agg(
             F.min(col).alias("zmin"),
@@ -90,6 +93,12 @@ def footer_zonemap(path: str, col: str) -> list[tuple[str, object, object, int]]
     out: list[tuple[str, object, object, int]] = []
     for f in sorted(_data_files(path)):
         md = pq.ParquetFile(f).metadata
+        if col not in md.schema.names:
+            # schema-evolved vintage (file predates the column) or a
+            # Hive partition column (never in the footer): unknown
+            # stats — the file is unprunable, never an error
+            out.append((f, None, None, md.num_rows))
+            continue
         idx = md.schema.names.index(col)
         lo, hi, rows = None, None, 0
         prunable = True
@@ -151,7 +160,10 @@ def skipping_scan(
     if not files:
         # no file can match: an empty frame with the table's schema
         return spark.read.parquet(path).where(F.lit(False))
-    df = spark.read.parquet(*files)
+    # basePath keeps Hive partition columns in the schema when reading
+    # a pruned subset of a partitioned layout — without it the two
+    # branches (pruned vs empty-prune) would return different schemas
+    df = spark.read.option("basePath", path).parquet(*files)
     if lo is not None:
         df = df.where(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -247,6 +259,11 @@ def refresh_zonemap_incremental(
     new_rows = []
     for f in sorted(live - known):
         md = pq.ParquetFile(f).metadata
+        if col not in md.schema.names:
+            # evolved vintage / partition column: unknown stats, file
+            # degrades to unprunable instead of aborting the refresh
+            new_rows.append(("file://" + f, None, None, md.num_rows))
+            continue
         idx = md.schema.names.index(col)
         lo, hi, rows, prunable = None, None, 0, True
         for rg in range(md.num_row_groups):

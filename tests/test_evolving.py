@@ -55,3 +55,32 @@ def test_decimal_rules(spark, tmp_path):
     assert ok.first()["amt"] is not None
     with pytest.raises(SchemaEvolutionError):
         read_with_evolution(spark, path, "amt decimal(10,1)")  # scale shrink
+
+
+def test_cross_vintage_type_change_falls_back_to_grouped_reads(spark, tmp_path):
+    """mergeSchema itself refuses int-vs-bigint footers; the fallback
+    reads each vintage with its own schema and casts to the contract
+    (ADVICE r5: the advertised widening contract must actually run)."""
+    path = str(tmp_path / "tychange")
+    spark.createDataFrame([(1, "a")], "id int, text string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame([(2**40, "b")], "id bigint, text string").write.mode(
+        "append"
+    ).parquet(path)
+    df = read_with_evolution(spark, path, "id bigint, text string")
+    assert df.schema.simpleString() == "struct<id:bigint,text:string>"
+    assert {r["id"] for r in df.collect()} == {1, 2**40}
+
+
+def test_cross_vintage_type_change_still_rejects_narrowing(spark, tmp_path):
+    path = str(tmp_path / "tynarrow")
+    spark.createDataFrame([(1, "a")], "id int, text string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame([(2**40, "b")], "id bigint, text string").write.mode(
+        "append"
+    ).parquet(path)
+    with pytest.raises(SchemaEvolutionError, match="id"):
+        # target int: the bigint vintage cannot narrow losslessly
+        read_with_evolution(spark, path, "id int, text string")

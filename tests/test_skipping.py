@@ -283,3 +283,51 @@ def test_zonemap_on_string_column(spark, tmp_path):
     assert 0 < len(got.inputFiles()) < 4
     full = spark.read.parquet(path).where(F.col("source") == some)
     assert got.count() == full.count() > 0
+
+
+def test_skipping_scan_partitioned_layout_keeps_partition_columns(
+    spark, tmp_path
+):
+    """ADVICE r5: a pruned read of a partitioned layout must keep the
+    Hive partition columns (basePath), and both the pruned and the
+    empty-prune branches must return the SAME schema."""
+    path = str(tmp_path / "ptbl")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    ev.withColumn("ds", (F.col("event_id") % 2).cast("string")).write.partitionBy(
+        "ds"
+    ).parquet(path)
+    ids = spark.read.parquet(path).agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    pruned = skipping.skipping_scan(
+        spark, path, "event_id", ids["lo"], ids["lo"]
+    )
+    empty = skipping.skipping_scan(
+        spark, path, "event_id", ids["hi"] + 1000, ids["hi"] + 2000
+    )
+    assert set(pruned.columns) == set(empty.columns) == {
+        "event_id", "user_id", "ds"
+    }
+    assert pruned.count() >= 1 and empty.count() == 0
+    # partition-column VALUES survive the pruned read
+    assert all(r["ds"] in ("0", "1") for r in pruned.collect())
+
+
+def test_footer_zonemap_degrades_on_missing_column(spark, tmp_path):
+    """A vintage written before the column existed (or a Hive partition
+    column, which never reaches the footer) must degrade that file to
+    unknown stats — not abort the build (ADVICE r5)."""
+    path = str(tmp_path / "vintages")
+    spark.createDataFrame([(1,)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame([(2, 10)], "k long, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    zmap = skipping.footer_zonemap(path, "v")
+    assert len(zmap) == 2
+    stats = {lo for _, lo, _, _ in zmap}
+    assert None in stats and 10 in stats  # old file unknown, new file mapped
+    # incremental refresh over the same layout also survives
+    kept, added, dropped = skipping.refresh_zonemap_incremental(spark, path, "v")
+    assert added == 2 and dropped == 0
