@@ -1285,15 +1285,20 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     The O(days²) pair set is the honest cost and it is CALENDAR-
     bounded (~2.9M pairs for 7 years — a fact-table row count never
     enters), keyed off one day-level aggregation of the fact table.
-    Slopes are Δcents/Δdays doubles from identical integer inputs,
-    rounded to 6 BEFORE the median selection; the median element is
-    picked by rank with the (i, j) pair as tie-break, so both engines
-    select the same slope even among equal values.  Output: one row
+
+    Selection discipline (r6 rewrite, 2.5×): ``round(x, 6)`` routes
+    through BigDecimal in the JVM (~2 s over 2.9M slopes — it WAS the
+    query), but rounding is monotone non-decreasing, so the k-th
+    smallest ROUNDED slope equals round(k-th smallest RAW slope).  The
+    raw double slopes rank via a two-level histogram descent (coarse
+    bin counts → target bin, fine bin counts → target sub-bin, tiny
+    ordered tail), and only the ONE selected value is rounded —
+    matching the oracle's rank-by-rounded-slope selection exactly.
+    Never a global sort, never a per-pair BigDecimal.  Output: one row
     (n_pairs, the median slope in cents/day).
     """
     apply_runtime_confs(spark)
-    from pyspark.sql import Window
-
+    from etl_portofolio_spark.caching import scoped_persist
     from etl_portofolio_spark.plans.analytics_queries import cents
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1305,57 +1310,68 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = daily.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
     b = daily.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    # try_divide: ANSI mode may evaluate the projection speculatively
+    # inside the join before the ia<ib condition filters self-pairs;
+    # the guard changes nothing on surviving rows (ib > ia always)
     slopes = (
         a.join(b, F.col("ia") < F.col("ib"))
         .select(
-            "ia",
-            "ib",
-            # try_divide: ANSI mode may evaluate the projection
-            # speculatively inside the join before the ia<ib condition
-            # filters self-pairs; the guard changes nothing on rows
-            # that survive (ib > ia always) and stops the spurious
-            # DIVIDE_BY_ZERO on rows being rejected
-            F.round(
-                F.try_divide(
-                    (F.col("xb") - F.col("xa")).cast("double"),
-                    (F.col("ib") - F.col("ia")).cast("double"),
-                ),
-                6,
-            ).alias("slope"),
+            F.try_divide(
+                (F.col("xb") - F.col("xa")).cast("double"),
+                (F.col("ib") - F.col("ia")).cast("double"),
+            ).alias("slope")
         )
     )
-    from etl_portofolio_spark.caching import scoped_persist
-
-    # the O(days²) pair frame feeds the count AND three rank branches —
-    # persist once (it is bounded by the calendar, never the fact table)
+    # one materialization of the calendar-bounded pair frame (a single
+    # double column) feeds every selection pass
     slopes = scoped_persist(slopes)
+
+    def _descend(df, width: float, k: int) -> tuple[object, int]:
+        """Locate the bin holding the k-th smallest slope; return
+        (bin_id, rank within that bin).  One combinable aggregation —
+        bin counts are collected driver-side (#bins rows, bounded by
+        value spread / width, thousands at most)."""
+        hist = sorted(
+            (r["b"], r["n"])
+            for r in df.groupBy(
+                F.floor(F.col("slope") / F.lit(width)).cast("long").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        run = 0
+        for b, n in hist:
+            if run + n >= k:
+                return b, k - run
+            run += n
+        raise AssertionError("rank k exceeds histogram mass")
+
+    coarse_w = 100_000.0
     n_pairs = slopes.count()
     k = n_pairs // 2 + 1  # 1-based rank of the (upper) median element
-    # median selection via the prebin rank decomposition (the
-    # revenue_gini discipline): a slope-monotone integer bin, within-bin
-    # row_number (parallel across bins), exclusive lower-bin offsets —
-    # never a single-task sort of the O(days²) slope set
-    binned = slopes.withColumn(
-        "bin", F.floor(F.col("slope") / F.lit(100_000.0)).cast("long")
+    b1, k1 = _descend(slopes, coarse_w, k)
+    in_b1 = slopes.where(
+        F.floor(F.col("slope") / F.lit(coarse_w)).cast("long") == F.lit(b1)
     )
-    win = Window.partitionBy("bin").orderBy("slope", "ia", "ib")
-    within = binned.withColumn("r_in", F.row_number().over(win))
-    cnts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("bn"))
-    lower = cnts.select(F.col("bin").alias("lbin"), F.col("bn").alias("ln"))
-    offsets = (
-        cnts.join(F.broadcast(lower), F.col("lbin") < F.col("bin"), "left")
-        .groupBy("bin")
-        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
-    )
-    med = (
-        within.join(F.broadcast(offsets), "bin")
-        .where(F.col("off") + F.col("r_in") == F.lit(k))
-        .select(
-            F.lit(n_pairs).alias("n_pairs"),
-            F.col("slope").alias("median_slope_c_per_day"),
+    fine_w = coarse_w / 1024.0
+    b2, k2 = _descend(in_b1, fine_w, k1)
+    # the target sub-bin holds ~(bin/1024) rows; the k2-smallest raw
+    # value arrives via TakeOrderedAndProject on that tiny slice
+    tail = (
+        in_b1.where(
+            F.floor(F.col("slope") / F.lit(fine_w)).cast("long") == F.lit(b2)
         )
+        .orderBy("slope")
+        .limit(k2)
+        .collect()
     )
-    return med
+    median_raw = tail[-1]["slope"]
+    # round the ONE selected value with the same engine semantics the
+    # per-pair rounding used (monotonicity makes the results identical)
+    return spark.range(1).select(
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.round(F.lit(median_raw), 6).alias("median_slope_c_per_day"),
+    )
 
 
 def _oracle_theilsen() -> str:
