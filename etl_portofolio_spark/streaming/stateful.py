@@ -147,21 +147,17 @@ def sessionize_stream(
                 yield _sess_pdf(pd, user, [(s, e, n)])
             return
 
-        if state.exists:
-            cur_start, cur_end, cur_n = state.get
-        else:
-            cur_start = cur_end = cur_n = None
+        # the fold itself lives in ONE place (streaming/tws.py::
+        # fold_sessions) shared by all three twins — batch, this
+        # applyInPandasWithState path, and transformWithStateInPandas;
+        # tests/test_properties.py pins the parity by property
+        from etl_portofolio_spark.streaming.tws import fold_sessions
 
-        closed: list[tuple[int, int, int]] = []
-        for t in ts_us:
-            if cur_start is None:
-                cur_start, cur_end, cur_n = t, t, 1
-            elif t - cur_end > gap_us:
-                closed.append((cur_start, cur_end, cur_n))
-                cur_start, cur_end, cur_n = t, t, 1
-            else:
-                cur_end, cur_n = max(cur_end, t), cur_n + 1
-        state.update((cur_start, cur_end, cur_n))
+        closed, open_sess = fold_sessions(
+            ts_us, state.get if state.exists else None, gap_us
+        )
+        if open_sess is not None:
+            state.update(tuple(open_sess))
         if flush_timeout:
             state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if closed:

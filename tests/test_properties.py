@@ -652,3 +652,56 @@ def test_prune_files_never_false_negative(envs, lo, hi, unknown):
             assert f in kept, (f, zlo, zhi, lo, hi)
         else:
             assert f not in kept  # and pruning is tight on known stats
+
+
+# --- fold_sessions: reference-model parity (VERDICT r5 #7) ------------------
+# Chunking invariance proves the fold is self-consistent; this pins it
+# CORRECT against an independently-written reference model, and a
+# source-level check pins it as the single kernel behind all three
+# stateful twins (batch / applyInPandasWithState / transformWithState).
+
+
+def _reference_sessions(ordered, gap):
+    """Obviously-correct model: split wherever consecutive events are
+    more than gap apart; each run is (start, end, count)."""
+    sessions = []
+    run = []
+    for t in ordered:
+        if run and t - run[-1] > gap:
+            sessions.append((run[0], run[-1], len(run)))
+            run = []
+        run.append(t)
+    if run:
+        sessions.append((run[0], run[-1], len(run)))
+    return sessions
+
+
+@settings(max_examples=200, deadline=None)
+@given(ts=_TS_LISTS, gap=st.integers(1, 500))
+def test_fold_sessions_matches_reference_model(ts, gap):
+    from etl_portofolio_spark.streaming.tws import fold_sessions
+
+    ordered = sorted(ts)
+    closed, open_sess = fold_sessions(ordered, None, gap)
+    got = closed + ([open_sess] if open_sess else [])
+    assert got == _reference_sessions(ordered, gap)
+
+
+def test_stateful_twins_share_the_fold_kernel():
+    """No streaming sessionizer may re-implement the fold inline: both
+    stream twins must call streaming.tws.fold_sessions (the drift this
+    guards against existed — stateful.py carried its own loop until
+    round 6)."""
+    import inspect
+
+    from etl_portofolio_spark.streaming import stateful, tws
+
+    for mod in (stateful, tws):
+        src = inspect.getsource(mod)
+        calls = src.count("fold_sessions(")
+        # at least one real call beyond the def itself in tws
+        assert calls >= (2 if mod is tws else 1), mod.__name__
+    # the inline-fold signature (gap comparison + counter bump in one
+    # module-local loop) must not reappear outside the kernel module
+    src_stateful = inspect.getsource(stateful)
+    assert "cur_n + 1" not in src_stateful
