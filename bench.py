@@ -128,6 +128,40 @@ def _cdc_apply_once(spark, workdir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _lsh_skew_df(spark):
+    """Deliberately skewed dedup input: the sf documents plus 500
+    byte-identical copies of one document under fresh ids.  Every copy
+    lands in the SAME (band_id, band_hash) bucket in every band — the
+    one-hot-bucket shape `lsh_bucket_skew_audit` cost-models.  This
+    entry MEASURES the candidate join under that hot bucket
+    (VERDICT r5 #8): ~125k candidate pairs from one bucket, verified
+    exactly, wall-clock tracked round-over-round."""
+    from pyspark.sql import functions as F
+
+    from etl_portofolio_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    hot = docs.orderBy("doc_id").limit(1).select(F.col("text").alias("t"))
+    copies = (
+        spark.range(500)
+        .crossJoin(F.broadcast(hot))
+        .select(
+            (F.col("id") + 10_000_000).alias("doc_id"), F.col("t").alias("text")
+        )
+    )
+    return docs.unionByName(copies)
+
+
+def _lsh_skew_once(spark) -> float:
+    from etl_portofolio_spark.operators.dedup import minhash_candidate_pairs
+
+    t0 = time.perf_counter()
+    _force(
+        minhash_candidate_pairs(_lsh_skew_df(spark), "doc_id", "text", 0.7)
+    )
+    return time.perf_counter() - t0
+
+
 def _pq_serve_df(spark):
     """The PQ serving facade (`similarity.pq_search`: BLAS encode +
     expression ADC/rerank) — the entry point callers use, benched
@@ -167,6 +201,14 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             samples.setdefault(name, []).append(time.perf_counter() - t0)
+    _lsh_skew_once(spark)  # warmup
+    for _ in range(n_passes):
+        release_cached()
+        spark.catalog.clearCache()
+        samples.setdefault("dedup_minhash_skewed", []).append(
+            _lsh_skew_once(spark)
+        )
+
     _force(_pq_serve_df(spark))  # warmup
     for _ in range(n_passes):
         release_cached()
