@@ -200,3 +200,619 @@ ROUND6_QUERIES: dict[
         _WAP_TIME_TRAVEL_DELTA_SQL,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier_customers — 2-D skyline with bucket pruning
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: customers not dominated on
+    (revenue max, order-count min) — "most revenue from fewest orders".
+
+    Scale design: never the all-pairs dominance test.  Rows bucket by
+    revenue band; the minimum order-count per band suffixes into a
+    driver-side table (O(#bands) rows — bounded by the value range,
+    not the data).  Any row whose order count is >= the suffix-min of
+    strictly higher bands is dominated by SOME higher-revenue row and
+    drops before any join.  Only the survivors (a near-frontier sliver)
+    enter the exact dominance check, and that join is keyed on the
+    band — same-band pairs only; cross-band dominance is already
+    decided by the suffix-min.  The oracle is the textbook NOT EXISTS.
+
+    Proof the pre-filter is lossless: if B dominates A from a higher
+    band, suffix_min[band(A)] <= B.n <= A.n, so A is pre-filtered; a
+    same-band dominator B that was itself pre-filtered implies a
+    higher-band C with C.n <= B.n <= A.n, which pre-filters A too.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    band_w = 1_000_000  # $10k revenue bands
+    banded = cust.withColumn(
+        "band", F.floor(F.col("rev_cents") / F.lit(band_w)).cast("long")
+    )
+    mins = {
+        r["band"]: r["m"]
+        for r in banded.groupBy("band").agg(F.min("n_orders").alias("m")).collect()
+    }
+    suffix: dict[int, int] = {}
+    running = None
+    for b in sorted(mins, reverse=True):
+        suffix[b] = running if running is not None else None
+        running = mins[b] if running is None else min(running, mins[b])
+    suffix_df = spark.createDataFrame(
+        [(b, s) for b, s in suffix.items() if s is not None],
+        "band long, smin long",
+    )
+    pre = banded.join(F.broadcast(suffix_df), "band", "left").where(
+        F.col("smin").isNull() | (F.col("n_orders") < F.col("smin"))
+    )
+    a = pre.select("band", "custkey", "rev_cents", "n_orders")
+    b = pre.select(
+        F.col("band").alias("band_b"),
+        F.col("rev_cents").alias("rev_b"),
+        F.col("n_orders").alias("n_b"),
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("rev_b") >= F.col("rev_cents"))
+            & (F.col("n_b") <= F.col("n_orders"))
+            & (
+                (F.col("rev_b") > F.col("rev_cents"))
+                | (F.col("n_b") < F.col("n_orders"))
+            ),
+            "left_semi",
+        )
+    )
+    return (
+        a.join(dominated.select("custkey"), "custkey", "left_anti")
+        .select("custkey", "rev_cents", "n_orders")
+    )
+
+
+_PARETO_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT custkey, rev_cents, n_orders
+FROM cust a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cust b
+  WHERE b.rev_cents >= a.rev_cents AND b.n_orders <= a.n_orders
+    AND (b.rev_cents > a.rev_cents OR b.n_orders < a.n_orders)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_bridge_by_brand — price/volume waterfall decomposition
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_bridge_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand (1996 -> 1997): the BI
+    waterfall splitting the revenue delta into a price effect
+    (qty97 * Δunit-price) and a volume effect (p96 * Δqty), with the
+    exact integer residual.  Identity in reals:
+    Δrev = qty97·(p97-p96) + p96·(qty97-qty96); rounded components
+    leave a residual of at most a cent or two, carried explicitly so
+    the bridge SUMS EXACTLY to the integer delta.
+
+    Scale: one lineitem scan (year filter pushed to parquet), one
+    broadcast join to part for the brand, one 25-row aggregate —
+    map-side partials all the way; unit prices are the only doubles
+    and they derive from identical integer sums in both engines.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yearly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand", F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("rev_c"),
+            F.sum(cents("l_quantity")).alias("qty_c"),
+        )
+    )
+    y96 = yearly.where(F.col("yr") == 1996).select(
+        "p_brand",
+        F.col("rev_c").alias("rev96_c"),
+        F.col("qty_c").alias("qty96_c"),
+    )
+    y97 = yearly.where(F.col("yr") == 1997).select(
+        "p_brand",
+        F.col("rev_c").alias("rev97_c"),
+        F.col("qty_c").alias("qty97_c"),
+    )
+    p96 = F.col("rev96_c").cast("double") / F.col("qty96_c").cast("double")
+    p97 = F.col("rev97_c").cast("double") / F.col("qty97_c").cast("double")
+    price_eff = F.round(F.col("qty97_c").cast("double") * (p97 - p96), 0).cast(
+        "long"
+    )
+    vol_eff = F.round(
+        p96 * (F.col("qty97_c") - F.col("qty96_c")).cast("double"), 0
+    ).cast("long")
+    return (
+        y96.join(y97, "p_brand")
+        .select(
+            F.col("p_brand").alias("brand"),
+            "rev96_c",
+            "rev97_c",
+            (F.col("rev97_c") - F.col("rev96_c")).alias("delta_c"),
+            price_eff.alias("price_effect_c"),
+            vol_eff.alias("volume_effect_c"),
+            (
+                F.col("rev97_c") - F.col("rev96_c") - price_eff - vol_eff
+            ).alias("residual_c"),
+        )
+    )
+
+
+_BRIDGE_SQL = """
+WITH yearly AS (
+  SELECT p_brand, EXTRACT(year FROM l_shipdate) AS yr,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c,
+         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), y96 AS (SELECT p_brand, rev_c AS rev96_c, qty_c AS qty96_c FROM yearly WHERE yr = 1996),
+   y97 AS (SELECT p_brand, rev_c AS rev97_c, qty_c AS qty97_c FROM yearly WHERE yr = 1997)
+SELECT y96.p_brand AS brand, rev96_c, rev97_c,
+       rev97_c - rev96_c AS delta_c,
+       CAST(round(CAST(qty97_c AS DOUBLE)
+            * (CAST(rev97_c AS DOUBLE) / CAST(qty97_c AS DOUBLE)
+               - CAST(rev96_c AS DOUBLE) / CAST(qty96_c AS DOUBLE)), 0) AS BIGINT)
+         AS price_effect_c,
+       CAST(round((CAST(rev96_c AS DOUBLE) / CAST(qty96_c AS DOUBLE))
+            * CAST(qty97_c - qty96_c AS DOUBLE), 0) AS BIGINT)
+         AS volume_effect_c,
+       rev97_c - rev96_c
+         - CAST(round(CAST(qty97_c AS DOUBLE)
+                * (CAST(rev97_c AS DOUBLE) / CAST(qty97_c AS DOUBLE)
+                   - CAST(rev96_c AS DOUBLE) / CAST(qty96_c AS DOUBLE)), 0) AS BIGINT)
+         - CAST(round((CAST(rev96_c AS DOUBLE) / CAST(qty96_c AS DOUBLE))
+                * CAST(qty97_c - qty96_c AS DOUBLE), 0) AS BIGINT)
+         AS residual_c
+FROM y96 JOIN y97 ON y96.p_brand = y97.p_brand
+"""
+
+
+ROUND6_QUERIES["pareto_frontier_customers"] = (
+    q_pareto_frontier_customers,
+    _PARETO_SQL,
+)
+ROUND6_QUERIES["revenue_bridge_by_brand"] = (
+    q_revenue_bridge_by_brand,
+    _BRIDGE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# abc_pareto_classification — cumulative-share ABC classes, prebin discipline
+# ---------------------------------------------------------------------------
+
+
+def q_abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: rank parts by revenue descending,
+    classify by cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest),
+    report per-class part counts and revenue.
+
+    The global running total NEVER runs as one sorted task: parts
+    prebin by a revenue band, the per-band totals collect driver-side
+    (O(#bands) rows), exclusive suffix offsets broadcast back, and the
+    within-band running sum is a window PARTITIONED BY band — the
+    equi-depth discipline (`plans/round4_queries.py`) applied to
+    cumulative-share classification.  Ties rank by part key, so the
+    class boundary is bit-deterministic in both engines.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(cents("l_extendedprice")).alias("rev_c")
+    )
+    band_w = 1_000_000
+    banded = parts.withColumn(
+        "band", F.floor(F.col("rev_c") / F.lit(band_w)).cast("long")
+    )
+    band_tot = {
+        r["band"]: r["s"]
+        for r in banded.groupBy("band").agg(F.sum("rev_c").alias("s")).collect()
+    }
+    total = sum(band_tot.values())
+    # exclusive offset: revenue of all strictly HIGHER bands (rank desc)
+    off: dict[int, int] = {}
+    running = 0
+    for bb in sorted(band_tot, reverse=True):
+        off[bb] = running
+        running += band_tot[bb]
+    off_df = spark.createDataFrame(
+        [(bb, o) for bb, o in off.items()], "band long, off long"
+    )
+    w = Window.partitionBy("band").orderBy(
+        F.col("rev_c").desc(), F.col("partkey")
+    )
+    cum = (
+        banded.join(F.broadcast(off_df), "band")
+        .withColumn("run", F.sum("rev_c").over(w))
+        .withColumn(
+            "share",
+            (F.col("off") + F.col("run")).cast("double")
+            / F.lit(float(total)),
+        )
+    )
+    cls = F.when(F.col("share") <= 0.80, F.lit("A")).otherwise(
+        F.when(F.col("share") <= 0.95, F.lit("B")).otherwise(F.lit("C"))
+    )
+    return (
+        cum.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_c").alias("class_rev_cents"),
+        )
+    )
+
+
+_ABC_SQL = """
+WITH parts AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT partkey, rev_c,
+         CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, partkey) AS DOUBLE)
+           / CAST((SELECT SUM(rev_c) FROM parts) AS DOUBLE) AS share
+  FROM parts
+)
+SELECT CASE WHEN share <= 0.80 THEN 'A'
+            WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       SUM(rev_c) AS class_rev_cents
+FROM ranked
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# prorated_revenue_by_shipmode — largest-remainder integer allocation
+# ---------------------------------------------------------------------------
+
+
+def q_prorated_revenue_by_shipmode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder proration: spread each order's header total
+    across its line items proportional to extended price, in EXACT
+    integer cents — floor shares first, then the leftover cents go to
+    the largest fractional remainders (line number breaks ties), so
+    per-order allocations sum to the header total BY CONSTRUCTION.
+    The allocation then re-attributes revenue by ship mode.
+
+    The finance-grade allocation operator: pure integer arithmetic end
+    to end (floor division and modulo on cents — no doubles anywhere),
+    and every window partitions by order key, so parallelism is the
+    order count and no global sort exists.  lineitem ships no
+    shipmode column in this fixture, so the mode derives
+    deterministically from the line number (stable across engines).
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        cents("l_extendedprice").alias("w"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        cents("o_totalprice").alias("total_c"),
+    )
+    per_order = Window.partitionBy("l_orderkey")
+    rank_w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("frac").desc(), F.col("l_linenumber")
+    )
+    alloc = (
+        li.join(orders, "l_orderkey")
+        .withColumn("sumw", F.sum("w").over(per_order))
+        .withColumn("base", (F.col("total_c") * F.col("w")) / F.col("sumw"))
+        .withColumn(
+            "base", F.floor(F.col("base")).cast("long")
+        )
+        .withColumn("frac", (F.col("total_c") * F.col("w")) % F.col("sumw"))
+        .withColumn("rem", F.col("total_c") - F.sum("base").over(per_order))
+        .withColumn("r", F.row_number().over(rank_w))
+        .withColumn(
+            "allocated_c",
+            F.col("base") + F.when(F.col("r") <= F.col("rem"), 1).otherwise(0),
+        )
+    )
+    mode = F.concat(F.lit("mode_"), (F.col("l_linenumber") % 4).cast("string"))
+    return (
+        alloc.groupBy(mode.alias("shipmode"))
+        .agg(
+            F.sum("allocated_c").alias("allocated_cents"),
+            F.sum("w").alias("raw_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_PRORATION_SQL = """
+WITH joined AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w,
+         (SELECT CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+          FROM orders o WHERE o.o_orderkey = l_orderkey) AS total_c
+  FROM lineitem
+), shares AS (
+  SELECT l_orderkey, l_linenumber, w, total_c,
+         SUM(w) OVER (PARTITION BY l_orderkey) AS sumw
+  FROM joined
+), based AS (
+  SELECT *, (total_c * w) // sumw AS base, (total_c * w) % sumw AS frac
+  FROM shares
+), ranked AS (
+  SELECT *,
+         total_c - SUM(base) OVER (PARTITION BY l_orderkey) AS rem,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY frac DESC, l_linenumber) AS r
+  FROM based
+)
+SELECT 'mode_' || CAST(l_linenumber % 4 AS VARCHAR) AS shipmode,
+       SUM(base + CASE WHEN r <= rem THEN 1 ELSE 0 END) AS allocated_cents,
+       SUM(w) AS raw_cents,
+       COUNT(*) AS n_lines
+FROM ranked
+GROUP BY 1
+"""
+
+
+ROUND6_QUERIES["abc_pareto_classification"] = (
+    q_abc_pareto_classification,
+    _ABC_SQL,
+)
+ROUND6_QUERIES["prorated_revenue_by_shipmode"] = (
+    q_prorated_revenue_by_shipmode,
+    _PRORATION_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_gram_report — cross-document template detection
+# ---------------------------------------------------------------------------
+
+_BP_MIN_DOCS = 5  # a 3-gram present in >= this many docs counts as boilerplate
+
+
+def q_boilerplate_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: a 3-gram that appears in
+    >= 5 distinct documents is template text (nav chrome, license
+    headers, scaffolding); each document scores the fraction of its
+    DISTINCT grams that are boilerplate, averaged per source — the
+    C4-style curation signal that intra-document repetition
+    (`text_repetition_ratio`) cannot see.
+
+    Scale: the doc->gram explode shuffles once on the gram hash to
+    count document frequency (map-side combinable), joins back on the
+    same key, and re-aggregates per doc then per source.  Per-doc
+    ratios round to 9 into DECIMAL(38,9) before the source average —
+    the order-independent float discipline.  Mirrors the shingle
+    pipeline of `operators/dedup.py:101` (same tokenizer, so the
+    oracle's split expression matches exactly).
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.dedup import shingled_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingled_docs(docs, "doc_id", "text", k=3, extra_cols=("source",))
+        .select("doc_id", "source", F.explode("sh_set").alias("g"))
+        .select("doc_id", "source", F.md5("g").alias("gh"))
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    grams = scoped_persist(grams)
+    df_counts = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("n_docs_gram")  # rows are doc-distinct
+    )
+    per_doc = (
+        grams.join(df_counts, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum(
+                F.when(F.col("n_docs_gram") >= _BP_MIN_DOCS, 1).otherwise(0)
+            ).alias("bp"),
+        )
+        .select(
+            "source",
+            F.round(
+                F.col("bp").cast("double") / F.col("tot").cast("double"), 9
+            )
+            .cast("decimal(20,9)")
+            .alias("ratio"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("ratio").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_boilerplate_ratio"),
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tok
+), grams AS (
+  SELECT doc_id, source, md5(g) AS gh
+  FROM (SELECT doc_id, source, unnest(s) AS g FROM sh)
+), df_counts AS (
+  SELECT gh, COUNT(*) AS n_docs_gram FROM grams GROUP BY 1
+), per_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(round(
+           CAST(SUM(CASE WHEN d.n_docs_gram >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(20,9)) AS ratio
+  FROM grams g JOIN df_counts d ON g.gh = d.gh
+  GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+       round(CAST(SUM(ratio) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_boilerplate_ratio
+FROM per_doc
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance_topk — centered covariance over leading dims
+# ---------------------------------------------------------------------------
+
+_COV_DIMS = 16  # leading dims profiled; d(d+1)/2 accumulators
+
+
+def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 strongest off-diagonal covariance entries among the
+    leading 16 embedding dimensions — the feature-correlation profile
+    a training pipeline reads before whitening or pruning dims.
+
+    Two passes, both order-independent: per-dim means from
+    DECIMAL(38,12) sums; then the centered cross-products (x_i - μ_i)
+    (x_j - μ_j), rounded to 12 into DECIMAL(38,12), aggregated per dim
+    pair.  The pair frame comes from a self-join of the exploded
+    components ON vec_id — 16 rows per vector on each side, so the
+    shuffle is 16x the vector count and the join never leaves the key.
+    Covariances round to 6 BEFORE the top-k ordering (the established
+    cross-engine ranking rule); k rows ride TakeOrderedAndProject.
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, _COV_DIMS)).alias("dim", "xf"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xf").cast("double"), 12)
+        .cast("decimal(38,12)")
+        .alias("x"),
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    comps = scoped_persist(comps)
+    means = comps.groupBy("dim").agg(
+        (
+            F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = comps.select(
+        "vec_id", F.col("dim").alias("dim_a"), F.col("x").alias("xa")
+    ).join(
+        F.broadcast(
+            means.select(F.col("dim").alias("dim_a"), F.col("mu").alias("mu_a"))
+        ),
+        "dim_a",
+    )
+    b = comps.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("x").alias("xb"),
+    ).join(
+        F.broadcast(
+            means.select(
+                F.col("dim").alias("dim_b"),
+                F.col("mu").alias("mu_b"),
+                F.col("n").alias("n"),
+            )
+        ),
+        "dim_b",
+    )
+    prod = F.round(
+        (F.col("xa").cast("double") - F.col("mu_a"))
+        * (F.col("xb").cast("double") - F.col("mu_b")),
+        12,
+    ).cast("decimal(38,12)")
+    pairs = (
+        a.join(
+            b,
+            (F.col("dim_a") < F.col("dim_b"))
+            & (F.col("vec_id") == F.col("vec_id_b")),
+        )
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.round(
+                F.sum(prod).cast("double") / F.max("n").cast("double"), 6
+            ).alias("cov")
+        )
+    )
+    return pairs.orderBy(
+        F.abs(F.col("cov")).desc(), "dim_a", "dim_b"
+    ).limit(10)
+
+
+_COV_SQL = f"""
+WITH comps AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(38,12)) AS x
+  FROM embeddings, LATERAL unnest(generate_series(1, {_COV_DIMS})) u(i)
+), means AS (
+  SELECT dim, CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+         count(*) AS n
+  FROM comps GROUP BY 1
+), pairs AS (
+  SELECT a.dim AS dim_a, b.dim AS dim_b,
+         round(CAST(SUM(CAST(round(
+             (CAST(a.x AS DOUBLE) - ma.mu) * (CAST(b.x AS DOUBLE) - mb.mu),
+           12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(MAX(mb.n) AS DOUBLE), 6)
+           AS cov
+  FROM comps a
+  JOIN comps b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  JOIN means ma ON ma.dim = a.dim
+  JOIN means mb ON mb.dim = b.dim
+  GROUP BY 1, 2
+)
+SELECT dim_a, dim_b, cov FROM pairs
+ORDER BY abs(cov) DESC, dim_a, dim_b
+LIMIT 10
+"""
+
+
+ROUND6_QUERIES["boilerplate_gram_report"] = (
+    q_boilerplate_gram_report,
+    _BOILERPLATE_SQL,
+)
+ROUND6_QUERIES["embedding_covariance_topk"] = (
+    q_embedding_covariance_topk,
+    _COV_SQL,
+)

@@ -747,3 +747,42 @@ def test_gini_and_mi_scale_shapes(spark):
     assert "CartesianProduct" not in p
     read_schema = p.split("ReadSchema", 1)[1].split("\n")[0]
     assert "l_comment" not in read_schema and "l_quantity" in read_schema
+
+
+def test_round6_plan_shapes(spark):
+    """Round-6 wave: every candidate/pair structure stays keyed —
+    no cartesian anywhere; the skyline's suffix-min table and the
+    covariance means broadcast; proration windows partition by order
+    key (never a global sort)."""
+    from etl_portofolio_spark.plans.round6_queries import (
+        q_abc_pareto_classification,
+        q_boilerplate_gram_report,
+        q_embedding_covariance_topk,
+        q_pareto_frontier_customers,
+        q_prorated_revenue_by_shipmode,
+    )
+
+    spark.catalog.clearCache()
+    pareto = _plan(q_pareto_frontier_customers(spark, SF_DIR))
+    assert "CartesianProduct" not in pareto
+    assert "BroadcastNestedLoopJoin" not in pareto
+    assert "BroadcastExchange" in pareto  # the suffix-min table
+
+    cov = _plan(q_embedding_covariance_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in cov
+    assert "BroadcastNestedLoopJoin" not in cov
+    assert "TakeOrderedAndProject" in cov  # top-k, never a global sort
+
+    bp = _plan(q_boilerplate_gram_report(spark, SF_DIR))
+    assert "CartesianProduct" not in bp
+
+    pro = _plan(q_prorated_revenue_by_shipmode(spark, SF_DIR))
+    # every window partitions by l_orderkey: no single-partition Window
+    assert "Window" in pro
+    assert "Exchange SinglePartition" not in pro
+
+    abc = _plan(q_abc_pareto_classification(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in abc  # prebin, no global sort
+    from etl_portofolio_spark.caching import release_cached
+
+    release_cached()
