@@ -816,3 +816,211 @@ ROUND6_QUERIES["embedding_covariance_topk"] = (
     q_embedding_covariance_topk,
     _COV_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# order_backlog_daily — sweep-line interval stabbing over the calendar
+# ---------------------------------------------------------------------------
+
+
+def q_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day: an order is open from its order date
+    until the last ship date of its line items; the series counts how
+    many are open on each calendar day — the classic interval-stabbing
+    question answered as a SWEEP, not a per-day interval join.
+
+    Scale: each order contributes exactly two delta events (+1 open,
+    -1 close), which aggregate by day to a CALENDAR-bounded frame
+    (~2.5k rows) before the running sum — so the only ordered window
+    runs on thousands of rows regardless of order count.  A naive
+    day-x-interval join would be O(days x orders); this is one
+    aggregation + one bounded cumulative.  Days where the order opens
+    and closes share a date cancel to zero and still appear (backlog
+    unchanged), keeping the spine dense over active days.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_d")
+    )
+    li = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.to_date(F.max("l_shipdate")).alias("end_d"))
+    spans = orders.join(li, "o_orderkey")
+    deltas = spans.select(
+        F.col("start_d").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(F.col("end_d").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    from pyspark.sql import Window
+
+    # calendar-bounded (~2.5k rows): a single ordered window is safe
+    # here by the same argument as every per-day aggregate plan
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("net").over(w).cast("long").alias("backlog")
+    )
+
+
+_BACKLOG_SQL = """
+WITH spans AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_d,
+         CAST(MAX(l.l_shipdate) AS DATE) AS end_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT start_d AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT end_d AS day, -1 AS delta FROM spans
+), daily AS (
+  SELECT day, SUM(delta) AS net FROM deltas GROUP BY 1
+)
+SELECT day, CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS backlog
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_value — duration-weighted average, the finance TWA
+# ---------------------------------------------------------------------------
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the events `value` stream per user
+    cohort: each observation holds from its timestamp until the user's
+    next event, so the average weights each value by how LONG it held —
+    the finance/IoT semantics a row-weighted avg silently gets wrong.
+
+    Scale: one window per user (lead over the user partition — maximal
+    parallelism, no global sort); value x duration products round to 9
+    into DECIMAL(38,9) before summing, so the cohort rollup is
+    order-independent; durations are integer epoch-second diffs.  The
+    final division happens once per cohort in double, rounded to 6.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).alias("sec"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "value")
+    seg = ev.withColumn("nxt", F.lead("sec").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    weighted = seg.select(
+        (F.col("user_id") % 20).alias("cohort"),
+        (F.col("nxt") - F.col("sec")).alias("dur"),
+        F.round(F.col("value") * (F.col("nxt") - F.col("sec")), 9)
+        .cast("decimal(38,9)")
+        .alias("vd"),
+    )
+    return weighted.groupBy("cohort").agg(
+        F.sum("dur").alias("total_secs"),
+        F.round(
+            F.sum("vd").cast("double") / F.sum("dur").cast("double"), 6
+        ).alias("twa_value"),
+    )
+
+
+_TWA_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events
+), seg AS (
+  SELECT user_id, sec, value,
+         LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, value) AS nxt
+  FROM ev
+), weighted AS (
+  SELECT user_id % 20 AS cohort, nxt - sec AS dur,
+         CAST(round(value * (nxt - sec), 9) AS DECIMAL(38,9)) AS vd
+  FROM seg WHERE nxt IS NOT NULL
+)
+SELECT cohort, SUM(dur) AS total_secs,
+       round(CAST(SUM(vd) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+         AS twa_value
+FROM weighted
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# orderkey_gap_audit — islands/gaps over a key sequence, prebinned
+# ---------------------------------------------------------------------------
+
+
+def q_orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit over the order-key space: how many
+    gaps (runs of absent keys between consecutive present keys), how
+    many keys are missing in total, and the largest single gap.  The
+    sequence-sanity check every ingest pipeline runs on an id column.
+
+    Scale discipline: consecutive-key pairs normally need one GLOBAL
+    ordered window — here keys prebin into fixed-width buckets, the
+    lead() window partitions BY BUCKET (parallel), and the only
+    cross-bucket information is each bucket's (min, max), collected
+    driver-side (O(#buckets), bounded by the key range / width).
+    Boundary gaps between adjacent non-empty buckets are computed from
+    that tiny list and unioned in as literal rows.  The oracle is the
+    textbook global lead().
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    bucket_w = 10_000
+    bk = keys.withColumn("b", F.floor(F.col("k") / F.lit(bucket_w)))
+    w = Window.partitionBy("b").orderBy("k")
+    inner = (
+        bk.withColumn("nxt", F.lead("k").over(w))
+        .where(F.col("nxt") > F.col("k") + 1)
+        .select((F.col("nxt") - F.col("k") - 1).alias("gap_len"))
+    )
+    # cross-bucket boundaries: O(#buckets) rows, driver-side
+    spans = sorted(
+        (r["b"], r["lo"], r["hi"])
+        for r in bk.groupBy("b")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    boundary = []
+    for (_, _, hi_prev), (_, lo_next, _) in zip(spans, spans[1:]):
+        if lo_next > hi_prev + 1:
+            boundary.append((lo_next - hi_prev - 1,))
+    gaps = inner
+    if boundary:
+        gaps = inner.unionAll(
+            spark.createDataFrame(boundary, "gap_len long")
+        )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.coalesce(F.sum("gap_len"), F.lit(0)).cast("long").alias(
+            "missing_keys"
+        ),
+        F.coalesce(F.max("gap_len"), F.lit(0)).cast("long").alias(
+            "max_gap"
+        ),
+    )
+
+
+_GAP_SQL = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+), gaps AS (
+  SELECT LEAD(k) OVER (ORDER BY k) - k - 1 AS gap_len
+  FROM keys
+)
+SELECT COUNT(*) AS n_gaps,
+       CAST(COALESCE(SUM(gap_len), 0) AS BIGINT) AS missing_keys,
+       CAST(COALESCE(MAX(gap_len), 0) AS BIGINT) AS max_gap
+FROM gaps
+WHERE gap_len > 0
+"""
+
+
+ROUND6_QUERIES["order_backlog_daily"] = (q_order_backlog_daily, _BACKLOG_SQL)
+ROUND6_QUERIES["time_weighted_value"] = (q_time_weighted_value, _TWA_SQL)
+ROUND6_QUERIES["orderkey_gap_audit"] = (q_orderkey_gap_audit, _GAP_SQL)

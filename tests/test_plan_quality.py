@@ -786,3 +786,28 @@ def test_round6_plan_shapes(spark):
     from etl_portofolio_spark.caching import release_cached
 
     release_cached()
+
+
+def test_round6_wave2_plan_shapes(spark):
+    """TWA and the gap audit keep their windows PARTITIONED (user /
+    bucket) — no single-partition exchange; the backlog sweep's only
+    ordered window runs AFTER the day-level aggregate (calendar-
+    bounded), so the frame under the global sort is the daily deltas,
+    never the fact rows."""
+    from etl_portofolio_spark.plans.round6_queries import (
+        q_order_backlog_daily,
+        q_orderkey_gap_audit,
+        q_time_weighted_value,
+    )
+
+    twa = _plan(q_time_weighted_value(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in twa
+    assert "hashpartitioning(user_id" in twa
+
+    gap = _plan(q_orderkey_gap_audit(spark, SF_DIR))
+    assert "hashpartitioning(b" in gap  # lead() partitioned by bucket
+
+    backlog = _plan(q_order_backlog_daily(spark, SF_DIR))
+    # the cumulative window sits above the day-level HashAggregate:
+    # the Sort's input is the aggregated daily frame
+    assert "Window" in backlog and "HashAggregate" in backlog
