@@ -39,6 +39,9 @@ from etl_portofolio_spark.operators.util import spread
 
 NUM_MINHASHES = 16
 BAND_ROWS = 4  # 16 hashes / 4 rows = 4 bands
+#: exact-duplicate fraction below which the LSH collapse path costs
+#: more than it saves (representative election + expansion joins)
+_COLLAPSE_MIN_DUP_FRACTION = 0.05
 #: 60-bit simhash (the widest md5 prefix that stays positive in a signed
 #: 64-bit long in BOTH engines). Width matters for the pair search, not
 #: just fidelity: the pigeonhole blocks are bits/4 wide, and 15-bit keys
@@ -197,6 +200,7 @@ def minhash_candidate_pairs(
     threshold: float = 0.7,
     num_hashes: int = NUM_MINHASHES,
     rows: int = BAND_ROWS,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -204,6 +208,29 @@ def minhash_candidate_pairs(
     (band_id, band_hash)), then the *candidates only* are verified with
     exact Jaccard over distinct shingle sets. Returns
     (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``collapse_exact`` (default on — the production posture): byte-
+    identical texts collapse to one representative BEFORE any shingle /
+    signature / banding work, then pairs expand back by equi-joins at
+    the end.  Real corpora run 20-40% exact duplicates, and a group of
+    m copies is exactly what makes an LSH bucket hot (m² candidate
+    rows in one bucket); with the collapse, the quadratic part moves to
+    the OUTPUT expansion (unavoidable — those pairs are the answer)
+    while compute and shuffle stay linear in distinct texts.  Results
+    are bit-identical to the uncollapsed plan: copies share signatures,
+    so every intra-group pair verifies at exactly 1.0 (or drops on the
+    same NaN for shingle-less texts) and every cross-group member pair
+    inherits its representatives' verified Jaccard verbatim.
+
+    The collapse is ADAPTIVE: one narrow (id, md5) aggregate counts
+    duplicate groups first (driver-side decision on two bounded longs —
+    the AQE philosophy applied at the operator level).  The collapsed
+    plan only engages when duplicates exceed
+    ``_COLLAPSE_MIN_DUP_FRACTION`` of the corpus: below that the
+    representative election + expansion joins cost more than the
+    duplicate work they save (measured at sf0.1: +0.6 s machinery vs
+    8 duplicate docs), so a near-dup-free corpus runs the direct plan
+    and pays only the probe (~one map-side-combined count).
     """
     # The shingled frame feeds three plan branches (signatures + both
     # verification sides); persist it so shingles are built once. Spark's
@@ -212,7 +239,98 @@ def minhash_candidate_pairs(
     # than recomputes at scale. Caller-released (caching.release_cached).
     from etl_portofolio_spark.caching import scoped_persist
 
-    docs = scoped_persist(shingled_docs(df, id_col, text_col))
+    members = None
+    if collapse_exact:
+        members = scoped_persist(
+            df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__gid"))
+        )
+        probe = members.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("__gid").alias("g"),
+        ).first()
+        dup_frac = (probe["n"] - probe["g"]) / max(probe["n"], 1)
+        if dup_frac < _COLLAPSE_MIN_DUP_FRACTION:
+            collapse_exact = False
+
+    if not collapse_exact:
+        docs = scoped_persist(shingled_docs(df, id_col, text_col))
+        return _verified_pairs(docs, id_col, threshold, num_hashes, rows)
+
+    # one aggregation elects the representative text per group —
+    # min_by keeps the text payload out of any join
+    rep_docs = df.select(
+        F.md5(F.col(text_col)).alias("__gid"),
+        F.col(id_col),
+        F.col(text_col),
+    ).groupBy("__gid").agg(
+        F.min(id_col).alias(id_col),
+        F.min_by(text_col, F.col(id_col)).alias(text_col),
+    )
+    docs = scoped_persist(
+        shingled_docs(rep_docs, id_col, text_col, extra_cols=("__gid",))
+    )
+    rep_pairs = _verified_pairs(
+        docs.select(id_col, "sh_set"), id_col, threshold, num_hashes, rows
+    )
+
+    # intra-group clique: identical sets verify at s/s — exactly 1.0,
+    # or NaN for shingle-less texts, filtered by the same predicate
+    sizes = docs.select(
+        F.col("__gid").alias("__g"), F.size("sh_set").alias("__s")
+    )
+    ma = members.select(F.col(id_col).alias("id_a"), F.col("__gid").alias("__g"))
+    mb = members.select(F.col(id_col).alias("id_b"), F.col("__gid").alias("__g"))
+    intra = (
+        ma.join(mb, "__g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(sizes, "__g")
+        .select(
+            "id_a",
+            "id_b",
+            # try_divide: ANSI raises on 0/0 (shingle-less text);
+            # NULL drops on the threshold filter, matching the
+            # uncollapsed path's verdict for the same pair
+            F.try_divide(
+                F.col("__s").cast("double"), F.col("__s").cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+    # cross-group expansion: every member pair inherits the reps' verdict
+    rep_gid = docs.select(F.col(id_col).alias("__rid"), F.col("__gid"))
+    ga = rep_gid.select(F.col("__rid").alias("id_a"), F.col("__gid").alias("__ga"))
+    gb = rep_gid.select(F.col("__rid").alias("id_b"), F.col("__gid").alias("__gb"))
+    expanded = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("__ga", "__gb", "jaccard")
+        .join(
+            members.select(F.col(id_col).alias("__ia"), F.col("__gid").alias("__ga")),
+            "__ga",
+        )
+        .join(
+            members.select(F.col(id_col).alias("__ib"), F.col("__gid").alias("__gb")),
+            "__gb",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return expanded.unionByName(intra)
+
+
+def _verified_pairs(
+    docs: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    rows: int,
+) -> DataFrame:
+    """Band-bucket candidates + exact-Jaccard verification over a
+    (id, sh_set) frame — the LSH core shared by both collapse modes."""
     sig = minhash_signatures_from_shingles(docs, id_col, num_hashes)
     bands = minhash_bands(sig, id_col, num_hashes, rows)
 
@@ -241,7 +359,11 @@ def minhash_candidate_pairs(
         .select(
             "id_a",
             "id_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            # try_divide: union=0 (two shingle-less texts) must drop
+            # the pair, not raise under ANSI
+            F.try_divide(inter.cast("double"), union.cast("double")).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -414,7 +536,11 @@ def ngram_jaccard_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.block").alias("block"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            # try_divide: union=0 (two shingle-less texts) must drop
+            # the pair, not raise under ANSI
+            F.try_divide(inter.cast("double"), union.cast("double")).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= threshold)
     )
