@@ -1024,3 +1024,58 @@ WHERE gap_len > 0
 ROUND6_QUERIES["order_backlog_daily"] = (q_order_backlog_daily, _BACKLOG_SQL)
 ROUND6_QUERIES["time_weighted_value"] = (q_time_weighted_value, _TWA_SQL)
 ROUND6_QUERIES["orderkey_gap_audit"] = (q_orderkey_gap_audit, _GAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bloom_pruned_lookup — needle-in-haystack equality via the Bloom sidecar
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on an UNCLUSTERED layout served through the
+    file-level Bloom index (`sources/bloomindex.py`) — the layout where
+    zonemap envelopes all overlap and range skipping is useless.  The
+    needle (the max event id — unique, deterministic) lives in exactly
+    one of 8 hash-layout files; the Bloom sidecar prunes the rest
+    (~1% false-positive keeps), asserted in-query via ``inputFiles()``.
+    The oracle filters the source table: the index must be invisible
+    in results.
+
+    100 TB: the sidecar is O(#files) metadata; the lookup reads O(1)
+    files regardless of table size — the Delta/ORC bloom_filter_columns
+    contract from plain Spark + parquet.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.sources.bloomindex import (
+        _BLOOM_DIR,
+        bloom_point_lookup,
+        build_bloom_index,
+    )
+
+    path = _fixture_dir(sf_dir, "events_hashed")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        ev.repartition(8).write.mode("overwrite").parquet(path)
+    if not os.path.isdir(os.path.join(path, _BLOOM_DIR, "event_id")):
+        build_bloom_index(spark, path, "event_id")
+    needle = spark.read.parquet(path).agg(F.max("event_id")).first()[0]
+    df = bloom_point_lookup(spark, path, "event_id", needle)
+    n_read = len(df.inputFiles())
+    if not 0 < n_read < 8:
+        raise AssertionError(
+            f"bloom pruning regressed: read {n_read} of 8 files for a "
+            "unique-key point lookup"
+        )
+    return df.select("event_id", "user_id", "value")
+
+
+_BLOOM_LOOKUP_SQL = """
+SELECT event_id, user_id, value
+FROM events
+WHERE event_id = (SELECT max(event_id) FROM events)
+"""
+
+
+ROUND6_QUERIES["bloom_pruned_lookup"] = (q_bloom_pruned_lookup, _BLOOM_LOOKUP_SQL)
