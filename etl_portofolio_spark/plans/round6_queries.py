@@ -1079,3 +1079,72 @@ WHERE event_id = (SELECT max(event_id) FROM events)
 
 
 ROUND6_QUERIES["bloom_pruned_lookup"] = (q_bloom_pruned_lookup, _BLOOM_LOOKUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mv_rollup_rewrite — coarser aggregate answered from the materialized view
+# ---------------------------------------------------------------------------
+
+
+def q_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard rollup answered from a materialized view, never the
+    fact table (`sinks/matview.py`): the MV stores
+    (returnflag, linestatus, ship year) x (sum qty, sum price, rows);
+    the query wants the coarser (returnflag, year) rollup, which
+    re-aggregates from the MV — sum of sums, sum of counts.  The
+    builder asserts the physical read touches ONLY MV files; the
+    oracle computes the same rollup straight from lineitem, so the
+    rewrite must be value-identical (integer measures — exact).
+
+    100 TB: the fact table is scanned once at MV build; every rewrite
+    after that reads a few thousand MV rows.  Avg-style measures are
+    rejected at CREATE time (not re-aggregable) — the containment
+    rules live in `answer_from_mv`.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.sinks.matview import (
+        answer_from_mv,
+        create_rollup_mv,
+        load_mv_meta,
+    )
+
+    path = _fixture_dir(sf_dir, "mv_lineitem")
+    if load_mv_meta(path) is None:
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate").cast("long")
+        )
+        create_rollup_mv(
+            spark,
+            li,
+            path,
+            dims=("l_returnflag", "l_linestatus", "ship_year"),
+            measures={
+                "qty_c": ("sum", "CAST(round(l_quantity * 100, 0) AS BIGINT)"),
+                "price_c": (
+                    "sum",
+                    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)",
+                ),
+                "n_rows": ("count", "*"),
+            },
+        )
+    df = answer_from_mv(
+        spark, path, dims=("l_returnflag", "ship_year"),
+        measures=("qty_c", "price_c", "n_rows"),
+    )
+    bad = [f for f in df.inputFiles() if "mv_lineitem" not in f]
+    if bad:
+        raise AssertionError(f"MV rewrite leaked to non-MV files: {bad[:3]}")
+    return df
+
+
+_MV_SQL = """
+SELECT l_returnflag, EXTRACT(year FROM l_shipdate) AS ship_year,
+       SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_c,
+       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS price_c,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+ROUND6_QUERIES["mv_rollup_rewrite"] = (q_mv_rollup_rewrite, _MV_SQL)

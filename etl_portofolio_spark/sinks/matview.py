@@ -1,0 +1,124 @@
+"""Aggregate materialized views with containment-checked rewrite.
+
+The warehouse pattern Spark lacks natively: materialize a fine-grained
+rollup ONCE, then answer every coarser aggregate from it — sum of sums,
+sum of counts, min of mins, max of maxes — without touching the fact
+table again.  A 100 TB fact scanned daily for a handful of dashboard
+rollups is the textbook motivation: the MV is a few thousand rows, and
+every rewrite is a broadcast-size re-aggregation.
+
+Pieces:
+- :func:`create_rollup_mv` materializes ``groupBy(dims).agg(measures)``
+  to parquet and writes a JSON sidecar recording the dimensions and
+  measure kinds — the metadata the rewriter checks against.
+- :func:`answer_from_mv` takes a REQUESTED rollup (dim subset + measure
+  subset) and either returns the MV-backed re-aggregation (containment
+  holds) or raises :class:`RewriteError` (caller falls back to the
+  fact table).  Containment rules are the classical ones: requested
+  dims ⊆ MV dims, every requested measure re-aggregable from a stored
+  one (sum/count re-sum, min/ max re-min/max; avg must be requested as
+  sum+count — a stored avg is NOT re-aggregable and is rejected at
+  CREATE time).
+- Only additive/order-insensitive measures are accepted, so MV answers
+  are bit-identical to fact-table answers for integer/decimal measures
+  — the property the oracle gate checks.
+
+Staleness is the caller's contract (rebuild on publish, same as any
+warehouse MV); `wap_time_travel_delta` shows the snapshot side of that
+story.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META_FILE = "_mv_meta.json"
+#: measure kinds the rewriter can re-aggregate losslessly
+_REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+class RewriteError(ValueError):
+    """The requested rollup is not answerable from this MV."""
+
+
+def create_rollup_mv(
+    spark: SparkSession,
+    fact: DataFrame,
+    path: str,
+    dims: tuple[str, ...],
+    measures: Mapping[str, tuple[str, str]],
+) -> int:
+    """Materialize ``fact.groupBy(dims)`` with ``measures`` to ``path``.
+
+    ``measures`` maps output name -> (kind, input expression), kind in
+    {sum, count, min, max}.  ``count`` counts rows (the input expr is
+    ignored) so it re-aggregates as a sum.  Returns the MV row count.
+    """
+    aggs = []
+    for name, (kind, expr) in measures.items():
+        if kind not in _REAGG:
+            raise RewriteError(
+                f"measure {name}: kind '{kind}' is not re-aggregable — "
+                "store sum+count instead of avg, sketches instead of distinct"
+            )
+        col = (
+            F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(F.expr(expr))
+        )
+        aggs.append(col.alias(name))
+    mv = fact.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
+    mv.write.mode("overwrite").parquet(path)
+    meta = {
+        "dims": list(dims),
+        "measures": {k: list(v) for k, v in measures.items()},
+    }
+    with open(os.path.join(path, _META_FILE), "w") as fh:
+        json.dump(meta, fh)
+    return spark.read.parquet(path).count()
+
+
+def load_mv_meta(path: str) -> dict | None:
+    p = os.path.join(path, _META_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def answer_from_mv(
+    spark: SparkSession,
+    path: str,
+    dims: tuple[str, ...],
+    measures: tuple[str, ...],
+) -> DataFrame:
+    """Answer ``groupBy(dims).agg(measures)`` from the MV at ``path``.
+
+    Raises :class:`RewriteError` when containment fails; the caller
+    falls back to the fact table (the advisor pattern).  The returned
+    plan reads ONLY the MV parquet — the point of the rewrite.
+    """
+    meta = load_mv_meta(path)
+    if meta is None:
+        raise RewriteError(f"no MV metadata under {path}")
+    missing_dims = [d for d in dims if d not in meta["dims"]]
+    if missing_dims:
+        raise RewriteError(
+            f"dims {missing_dims} not in MV dims {meta['dims']} — the MV "
+            "is coarser than the request"
+        )
+    missing_measures = [m for m in measures if m not in meta["measures"]]
+    if missing_measures:
+        raise RewriteError(
+            f"measures {missing_measures} not stored in this MV "
+            f"(has {sorted(meta['measures'])})"
+        )
+    mv = spark.read.parquet(path)
+    aggs = []
+    for name in measures:
+        kind = meta["measures"][name][0]
+        aggs.append(_REAGG[kind](F.col(name)).alias(name))
+    return mv.groupBy(*[F.col(d) for d in dims]).agg(*aggs)

@@ -1,0 +1,91 @@
+"""Materialized-view rewrite: containment rules, exactness, and the
+read-only-the-MV property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.sinks.matview import (
+    RewriteError,
+    answer_from_mv,
+    create_rollup_mv,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def mv(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mv") / "orders_mv")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("long")
+    )
+    n = create_rollup_mv(
+        spark,
+        orders,
+        path,
+        dims=("o_orderpriority", "yr"),
+        measures={
+            "rev_c": ("sum", "CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+            "n_orders": ("count", "*"),
+            "max_c": ("max", "CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+        },
+    )
+    assert n > 0
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_coarser_rollup_matches_fact(spark, mv):
+    got = answer_from_mv(
+        spark, mv, dims=("o_orderpriority",), measures=("rev_c", "n_orders", "max_c")
+    )
+    fact = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias(
+                "rev_c"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias(
+                "max_c"
+            ),
+        )
+    )
+    assert _rows(got) == _rows(fact)
+    # the rewrite never touches the fact table
+    assert all("orders_mv" in f for f in got.inputFiles())
+
+
+def test_global_total_from_mv(spark, mv):
+    got = answer_from_mv(spark, mv, dims=(), measures=("rev_c",)).first()
+    fact = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice*100,0) AS BIGINT)")))
+        .first()[0]
+    )
+    assert got["rev_c"] == fact
+
+
+def test_containment_violations_raise(spark, mv):
+    with pytest.raises(RewriteError, match="not in MV dims"):
+        answer_from_mv(spark, mv, dims=("o_orderstatus",), measures=("rev_c",))
+    with pytest.raises(RewriteError, match="not stored"):
+        answer_from_mv(spark, mv, dims=("yr",), measures=("median_c",))
+
+
+def test_avg_rejected_at_create(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(RewriteError, match="not re-aggregable"):
+        create_rollup_mv(
+            spark,
+            orders,
+            str(tmp_path / "bad"),
+            dims=("o_orderpriority",),
+            measures={"a": ("avg", "o_totalprice")},
+        )
