@@ -1148,3 +1148,239 @@ GROUP BY 1, 2
 
 
 ROUND6_QUERIES["mv_rollup_rewrite"] = (q_mv_rollup_rewrite, _MV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_revenue — exact 7-day rolling median, array-window form
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling MEDIAN of daily revenue — the robust
+    smoother a rolling mean isn't (one double-ingested day wrecks the
+    mean for a week; it barely moves the median).
+
+    Exactness without a percentile UDAF: the window is only ever 7
+    elements, so each day's trailing values collect into a bounded
+    array (collect_list over a rows-window), sort JVM-side, and index
+    the middle — integer cents in, integer cents out, bit-identical in
+    both engines.  The frame under the window is the DAY-level
+    aggregate (calendar-bounded), never fact rows, and the array work
+    is whole-stage-codegen built-ins.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    vals = F.array_sort(F.collect_list("rev_c").over(w))
+    n = F.size(vals)
+    med = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return daily.select(
+        "day",
+        "rev_c",
+        n.cast("long").alias("n_days"),
+        med.alias("rolling_median_c"),
+    )
+
+
+_ROLLMED_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), arr AS (
+  SELECT day, rev_c,
+         list_sort(list(rev_c) OVER
+           (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+  FROM daily
+)
+SELECT day, rev_c,
+       CAST(len(vals) AS BIGINT) AS n_days,
+       vals[CAST(len(vals) // 2 + 1 AS INT)] AS rolling_median_c
+FROM arr
+"""
+
+
+# ---------------------------------------------------------------------------
+# purchase_gap_median — exact grouped median over bounded per-key arrays
+# ---------------------------------------------------------------------------
+
+
+def q_purchase_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median days between consecutive orders, per customer segment —
+    the repeat-purchase cadence metric.  Per-customer gaps come from a
+    lag window PARTITIONED BY customer (parallel, no global sort);
+    each segment's exact median indexes the sorted gap array.  Median
+    semantics are pinned explicitly (lower-middle element, 1-based
+    ``n//2 + 1``) because engine median() builtins disagree on
+    interpolation — the array form is bit-identical everywhere.
+
+    Scale note: the per-SEGMENT array is the one bounded collect in
+    the plan (20 segments); if segments were high-cardinality this
+    would switch to the prebin rank decomposition
+    (`equi_depth_exact_scalable`) — documented tradeoff.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    gaps = (
+        orders.withColumn("prev", F.lag("day").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            (F.col("o_custkey") % 20).alias("segment"),
+            F.datediff("day", "prev").alias("gap_days"),
+        )
+    )
+    arr = gaps.groupBy("segment").agg(
+        F.array_sort(F.collect_list("gap_days")).alias("vals"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+    return arr.select(
+        "segment",
+        "n_gaps",
+        F.element_at(
+            "vals", (F.size("vals") / 2 + 1).cast("int")
+        ).cast("long").alias("median_gap_days"),
+    )
+
+
+_GAPMED_SQL = """
+WITH gaps AS (
+  SELECT o_custkey % 20 AS segment,
+         datediff('day',
+           LAG(CAST(o_orderdate AS DATE))
+             OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+), arr AS (
+  SELECT segment, list_sort(list(gap_days)) AS vals, COUNT(*) AS n_gaps
+  FROM gaps WHERE gap_days IS NOT NULL
+  GROUP BY 1
+)
+SELECT segment, n_gaps,
+       CAST(vals[CAST(len(vals) // 2 + 1 AS INT)] AS BIGINT)
+         AS median_gap_days
+FROM arr
+"""
+
+
+# ---------------------------------------------------------------------------
+# dp_noisy_priority_counts — seeded-deterministic Laplace release
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = 0.5  # per-count privacy budget; sensitivity 1 (count query)
+
+
+def q_dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of order counts per priority:
+    Laplace(1/ε) noise via inverse-CDF over a uniform derived from an
+    md5 of the group key — SEEDED, so the release is reproducible
+    (the audit property a production DP pipeline needs: same data +
+    same seed → same release) and oracle-checkable.
+
+    u ∈ (0,1) comes from the first 12 hex digits of
+    md5(key || seed); noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|), with the
+    ln() rounded to 6 BEFORE use (the transcendental cross-engine
+    rule).  Counts are exact pre-noise; the noisy value rounds to 4.
+    Scale: pure map-side math over an already-aggregated frame.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("true_n"))
+    seeded = F.md5(F.concat(F.col("priority"), F.lit("|dp-seed-1")))
+    u = (
+        F.conv(F.substring(seeded, 1, 12), 16, 10).cast("double")
+        / F.lit(float(16**12))
+    )
+    centered = u - F.lit(0.5)
+    mag = F.round(
+        F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)), 6
+    )
+    noise = F.round(
+        -F.lit(1.0 / _DP_EPSILON) * F.signum(centered) * mag, 4
+    )
+    return counts.select(
+        "priority",
+        "true_n",
+        noise.alias("noise"),
+        F.round(F.col("true_n") + noise, 4).alias("released_n"),
+    )
+
+
+_DP_SQL = f"""
+WITH counts AS (
+  SELECT o_orderpriority AS priority, COUNT(*) AS true_n
+  FROM orders GROUP BY 1
+), seeded AS (
+  SELECT priority, true_n,
+         CAST('0x' || substr(md5(priority || '|dp-seed-1'), 1, 12) AS BIGINT)
+           / CAST(16.0 ** 12 AS DOUBLE) AS u
+  FROM counts
+), noisy AS (
+  SELECT priority, true_n,
+         round(-{1.0 / _DP_EPSILON} * sign(u - 0.5)
+               * round(ln(1.0 - 2.0 * abs(u - 0.5)), 6), 4) AS noise
+  FROM seeded
+)
+SELECT priority, true_n, noise, round(true_n + noise, 4) AS released_n
+FROM noisy
+"""
+
+
+# ---------------------------------------------------------------------------
+# masked_customer_export — policy-driven column masking for data sharing
+# ---------------------------------------------------------------------------
+
+
+def q_masked_customer_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed export of the customer table: direct identifiers
+    pseudonymize (md5 with a salt — stable joins stay possible,
+    re-identification doesn't), quasi-identifiers generalize (balance
+    → $1k band, nation kept), and the policy is the SELECT — no row
+    ever leaves unmasked.  Deterministic by construction, so the
+    masked export is reproducible and oracle-checkable.
+    """
+    apply_runtime_confs(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.md5(F.concat(F.col("c_name"), F.lit("|mask-salt-1"))).alias(
+            "name_token"
+        ),
+        F.col("c_nationkey").alias("nationkey"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("acctbal_band"),
+    )
+
+
+_MASKED_SQL = """
+SELECT md5(c_name || '|mask-salt-1') AS name_token,
+       c_nationkey AS nationkey,
+       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+FROM customer
+"""
+
+
+ROUND6_QUERIES["rolling_median_revenue"] = (
+    q_rolling_median_revenue,
+    _ROLLMED_SQL,
+)
+ROUND6_QUERIES["purchase_gap_median"] = (q_purchase_gap_median, _GAPMED_SQL)
+ROUND6_QUERIES["dp_noisy_priority_counts"] = (
+    q_dp_noisy_priority_counts,
+    _DP_SQL,
+)
+ROUND6_QUERIES["masked_customer_export"] = (
+    q_masked_customer_export,
+    _MASKED_SQL,
+)

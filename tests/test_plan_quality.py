@@ -811,3 +811,22 @@ def test_round6_wave2_plan_shapes(spark):
     # the cumulative window sits above the day-level HashAggregate:
     # the Sort's input is the aggregated daily frame
     assert "Window" in backlog and "HashAggregate" in backlog
+
+
+def test_round6_wave3_plan_shapes(spark):
+    """Gap-median windows partition by customer; the rolling median's
+    single-partition window sits above the day-level aggregate
+    (calendar-bounded); DP release and masking are map-only after the
+    5-row / scan-level shapes."""
+    from etl_portofolio_spark.plans.round6_queries import (
+        q_dp_noisy_priority_counts,
+        q_masked_customer_export,
+        q_purchase_gap_median,
+    )
+
+    gap = _plan(q_purchase_gap_median(spark, SF_DIR))
+    assert "hashpartitioning(o_custkey" in gap
+    dp = _plan(q_dp_noisy_priority_counts(spark, SF_DIR))
+    assert "Join" not in dp  # one agg + map-side math
+    masked = _plan(q_masked_customer_export(spark, SF_DIR))
+    assert "Exchange" not in masked  # pure projection at scan speed
