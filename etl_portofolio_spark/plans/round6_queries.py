@@ -28,6 +28,17 @@ from etl_portofolio_spark.catalog import load_table
 from etl_portofolio_spark.plans.analytics_queries import cents
 from etl_portofolio_spark.session import apply_runtime_confs
 
+def _round_half_up(x: float, k: int) -> float:
+    """Driver-side scalar rounding matching Spark's F.round / DuckDB's
+    round (HALF_UP away from zero on the shortest decimal repr) —
+    Python's built-in round() is HALF_EVEN and would diverge exactly
+    on the .5 boundary."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-k)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 #: version tag baked into fixture paths — bump when fixture-building
 #: logic changes so stale dirs from older code can never be reused
 _FIXTURE_TAG = "r6a"
@@ -1384,3 +1395,400 @@ ROUND6_QUERIES["masked_customer_export"] = (
     q_masked_customer_export,
     _MASKED_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_cuped_lift — variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+
+def q_ab_test_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction: treatment
+    is a deterministic user split, the metric Y is 1997 revenue, the
+    covariate X is the user's PRE-period (1996) revenue, and
+    θ = cov(X,Y)/var(X) adjusts the lift:
+    lift_cuped = (ȳ₁-ȳ₀) - θ·(x̄₁-x̄₀).  The standard trick that cuts
+    experiment variance by whatever X explains.
+
+    Everything reduces to GROUP-LEVEL integer sums (Σx, Σy, Σxy, Σx²
+    in DECIMAL(38,0) — cents×cents stays < 2^63 per row, the decimal
+    accumulator makes the total order-independent), so θ and both
+    lifts are a handful of double ops on eight scalars — one
+    aggregation pass over the user frame, no per-row doubles anywhere.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    per_user = orders.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.sum(
+            F.when(yr == 1996, cents("o_totalprice")).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(yr == 1997, cents("o_totalprice")).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    g = per_user.select(
+        (F.col("u") % 2).alias("t"),
+        "x",
+        "y",
+        (F.col("x") * F.col("y")).cast("decimal(38,0)").alias("xy"),
+        (F.col("x") * F.col("x")).cast("decimal(38,0)").alias("xx"),
+    )
+    sums = g.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    rows = {r["t"]: r for r in sums.collect()}
+    n0, n1 = rows[0]["n"], rows[1]["n"]
+    n = n0 + n1
+    sx = float(rows[0]["sx"] + rows[1]["sx"])
+    sy = float(rows[0]["sy"] + rows[1]["sy"])
+    sxy = float(rows[0]["sxy"] + rows[1]["sxy"])
+    sxx = float(rows[0]["sxx"] + rows[1]["sxx"])
+    mean_x, mean_y = sx / n, sy / n
+    theta = _round_half_up(
+        (sxy / n - mean_x * mean_y) / (sxx / n - mean_x * mean_x), 6
+    )
+    lift_raw = _round_half_up(
+        float(rows[1]["sy"]) / n1 - float(rows[0]["sy"]) / n0, 4
+    )
+    lift_cuped = _round_half_up(
+        lift_raw
+        - theta * (float(rows[1]["sx"]) / n1 - float(rows[0]["sx"]) / n0),
+        4,
+    )
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_users"),
+        F.lit(theta).alias("theta"),
+        F.lit(lift_raw).alias("lift_raw_c"),
+        F.lit(lift_cuped).alias("lift_cuped_c"),
+    )
+
+
+_CUPED_SQL = """
+WITH per_user AS (
+  SELECT o_custkey AS u,
+         SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+             THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+             THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) AS y
+  FROM orders GROUP BY 1
+), sums AS (
+  SELECT u % 2 AS t, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM per_user GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS n,
+         CAST(SUM(sx) AS DOUBLE) AS sx, CAST(SUM(sy) AS DOUBLE) AS sy,
+         CAST(SUM(sxy) AS DOUBLE) AS sxy, CAST(SUM(sxx) AS DOUBLE) AS sxx
+  FROM sums
+), th AS (
+  SELECT n,
+         round((sxy / n - (sx / n) * (sy / n))
+               / (sxx / n - (sx / n) * (sx / n)), 6) AS theta
+  FROM tot
+), lifts AS (
+  SELECT th.n, th.theta,
+         round(CAST(s1.sy AS DOUBLE) / s1.n - CAST(s0.sy AS DOUBLE) / s0.n, 4)
+           AS lift_raw,
+         CAST(s1.sx AS DOUBLE) / s1.n - CAST(s0.sx AS DOUBLE) / s0.n AS dx
+  FROM th, (SELECT * FROM sums WHERE t = 0) s0, (SELECT * FROM sums WHERE t = 1) s1
+)
+SELECT CAST(n AS BIGINT) AS n_users, theta,
+       lift_raw AS lift_raw_c,
+       round(lift_raw - theta * dx, 4) AS lift_cuped_c
+FROM lifts
+"""
+
+
+# ---------------------------------------------------------------------------
+# conversion_rate_ztest — two-proportion inference per cohort
+# ---------------------------------------------------------------------------
+
+
+def q_conversion_rate_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on EVENT-level view->click conversion (a
+    view converts when the same user clicks within 24h) between the
+    two deterministic user cohorts — the significance readout every
+    funnel dashboard puts next to the conversion delta.  Event-level
+    (not user-level) because a long-lived user eventually does
+    everything: the user-level rate saturates at 1.0 and the test
+    degenerates.
+
+    The converted-view set is a LEFT SEMI join keyed on the user with
+    the 24h range as residual (fan-out bounded by events-per-user —
+    never a time cross join); the z statistic uses sqrt
+    (correctly-rounded IEEE — cross-engine safe, unlike ln/exp) over
+    exact integer counts, rounded to 6.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", (F.col("user_id") % 2).alias("cohort")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    converted = v.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") > F.col("ts"))
+        & (F.col("cts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+        "left_semi",
+    )
+    totals = {r["cohort"]: r["n"] for r in
+              v.groupBy("cohort").agg(F.count(F.lit(1)).alias("n")).collect()}
+    convs = {r["cohort"]: r["n"] for r in
+             converted.groupBy("cohort").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n0, c0 = totals[0], convs.get(0, 0)
+    n1, c1 = totals[1], convs.get(1, 0)
+    p = (c0 + c1) / (n0 + n1)
+    import math
+
+    z = _round_half_up(
+        (c1 / n1 - c0 / n0) / math.sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1)), 6
+    )
+    return spark.range(1).select(
+        F.lit(n0).cast("long").alias("n0"),
+        F.lit(c0).cast("long").alias("c0"),
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(c1).cast("long").alias("c1"),
+        F.lit(z).alias("z_score"),
+    )
+
+
+_ZTEST_SQL = """
+WITH v AS (
+  SELECT user_id, ts, user_id % 2 AS cohort FROM events
+  WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), flagged AS (
+  SELECT v.cohort,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM c
+           WHERE c.user_id = v.user_id AND c.ts > v.ts
+             AND c.ts <= v.ts + INTERVAL 24 HOUR) THEN 1 ELSE 0 END AS conv
+  FROM v
+), counts AS (
+  SELECT cohort, COUNT(*) AS n, SUM(conv) AS c FROM flagged GROUP BY 1
+), w AS (
+  SELECT
+    (SELECT n FROM counts WHERE cohort = 0) AS n0,
+    (SELECT c FROM counts WHERE cohort = 0) AS c0,
+    (SELECT n FROM counts WHERE cohort = 1) AS n1,
+    (SELECT c FROM counts WHERE cohort = 1) AS c1
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+       CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+       round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+FROM w
+"""
+
+# ---------------------------------------------------------------------------
+# brand_basket_lift — association rules over co-purchase baskets
+# ---------------------------------------------------------------------------
+
+
+def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics for brand pairs: support, confidence
+    and lift over order baskets — the market-basket readout on top of
+    the co-purchase edge list.  Pairs come only from a keyed self-join
+    on the order (fan-out bounded by brands-per-basket, never
+    all-pairs); brand totals broadcast.  Top 20 by lift with the pair
+    as tie-break; ratios from exact integer counts, rounded to 6
+    before ranking.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    baskets = scoped_persist(baskets)
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    totals = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    ta = totals.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("ca"))
+    tb = totals.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cb"))
+    scored = (
+        co.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "co",
+            F.round(F.col("co") / F.lit(float(n_baskets)), 6).alias("support"),
+            F.round(F.col("co") / F.col("ca").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("co").cast("double")
+                * F.lit(float(n_baskets))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "brand_a", "brand_b"
+    ).limit(20)
+
+
+_BASKET_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS nb FROM baskets
+), totals AS (
+  SELECT p_brand, COUNT(*) AS cnt FROM baskets GROUP BY 1
+), co AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS co
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, co,
+       round(co / CAST(n.nb AS DOUBLE), 6) AS support,
+       round(co / CAST(ta.cnt AS DOUBLE), 6) AS confidence,
+       round(CAST(co AS DOUBLE) * n.nb / (CAST(ta.cnt AS DOUBLE) * tb.cnt), 6)
+         AS lift
+FROM co, n
+JOIN totals ta ON ta.p_brand = co.brand_a
+JOIN totals tb ON tb.p_brand = co.brand_b
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci — deterministic (seeded) bootstrap at scale
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100  # bootstrap replicas
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean daily revenue with a
+    SEEDED resampler: replica b's i-th draw indexes day
+    h32(b || i) % n — fully deterministic, so the CI is reproducible
+    run-over-run and oracle-checkable (the reproducibility bar a
+    production experimentation platform sets; np.random could never
+    pass a cross-engine hash gate).
+
+    Scale: resampling happens at the DAY level (calendar-bounded, the
+    frame a 100 TB fact aggregates down to), replicas explode from a
+    B-row range (no cross join), each replica's mean is a
+    DECIMAL(38,0)-summed group, and the percentile envelope indexes
+    the sorted B-element array.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.functions.hashing import h32
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    # calendar-bounded index assignment (same bounded-window argument
+    # as every per-day frame)
+    idx_w = Window.orderBy("day")
+    indexed = daily.select(
+        F.row_number().over(idx_w).alias("i"), "rev_c"
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    indexed = scoped_persist(indexed)
+    n_days = indexed.count()
+    draws = (
+        spark.range(_BOOT_B)
+        .select(F.col("id").alias("b"))
+        .select(
+            "b",
+            F.explode(F.sequence(F.lit(1), F.lit(n_days))).alias("slot"),
+        )
+        .select(
+            "b",
+            (
+                h32(F.concat_ws("|", F.col("b"), F.col("slot")))
+                % F.lit(n_days)
+                + F.lit(1)
+            ).alias("i"),
+        )
+    )
+    means = (
+        draws.join(indexed, "i")
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("rev_c").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(n_days)),
+                4,
+            ).alias("m")
+        )
+    )
+    arr = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    lo_i = int(_BOOT_B * 0.025)  # 0-based floor index -> element 3 (1-based)
+    hi_i = int(_BOOT_B * 0.975)
+    return arr.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.element_at("ms", lo_i + 1).alias("ci_lo_c"),
+        F.element_at("ms", hi_i + 1).alias("ci_hi_c"),
+    )
+
+
+_BOOTSTRAP_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), indexed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, rev_c FROM daily
+), nd AS (
+  SELECT COUNT(*) AS n FROM indexed
+), draws AS (
+  SELECT b.b, CAST('0x' || substr(md5(b.b || '|' || s.slot), 1, 8) AS BIGINT)
+              % (SELECT n FROM nd) + 1 AS i
+  FROM generate_series(0, {_BOOT_B - 1}) b(b),
+       LATERAL (SELECT unnest(generate_series(1, (SELECT n FROM nd))) AS slot) s
+), means AS (
+  SELECT b, round(CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE)
+                  / (SELECT n FROM nd), 4) AS m
+  FROM draws JOIN indexed USING (i)
+  GROUP BY b
+), arr AS (
+  SELECT list_sort(list(m)) AS ms FROM means
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM nd) AS n_days,
+       ms[{int(_BOOT_B * 0.025) + 1}] AS ci_lo_c,
+       ms[{int(_BOOT_B * 0.975) + 1}] AS ci_hi_c
+FROM arr
+"""
+
+
+ROUND6_QUERIES["ab_test_cuped_lift"] = (q_ab_test_cuped_lift, _CUPED_SQL)
+ROUND6_QUERIES["conversion_rate_ztest"] = (q_conversion_rate_ztest, _ZTEST_SQL)
+ROUND6_QUERIES["brand_basket_lift"] = (q_brand_basket_lift, _BASKET_LIFT_SQL)
+ROUND6_QUERIES["bootstrap_mean_ci"] = (q_bootstrap_mean_ci, _BOOTSTRAP_SQL)
