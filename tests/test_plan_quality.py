@@ -830,3 +830,49 @@ def test_round6_wave3_plan_shapes(spark):
     assert "Join" not in dp  # one agg + map-side math
     masked = _plan(q_masked_customer_export(spark, SF_DIR))
     assert "Exchange" not in masked  # pure projection at scan speed
+
+
+def test_round6_wave4_plan_shapes(spark):
+    """Basket lift's pair fan-out stays keyed on the order and brand
+    totals broadcast; the z-test's converted set is a semi-join keyed
+    on the user (range residual only); the bootstrap's replica frame
+    explodes from a range — no cross join anywhere."""
+    from etl_portofolio_spark.plans.round6_queries import (
+        q_bootstrap_mean_ci,
+        q_brand_basket_lift,
+        q_conversion_rate_ztest,
+    )
+
+    spark.catalog.clearCache()
+    lift = _plan(q_brand_basket_lift(spark, SF_DIR))
+    assert "CartesianProduct" not in lift
+    assert "BroadcastExchange" in lift
+
+    z = _plan(q_conversion_rate_ztest(spark, SF_DIR))
+    # the builder collapses to literals; the semi-join shape is pinned
+    # by re-deriving the converted frame here
+    from etl_portofolio_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    conv = v.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") > F.col("ts"))
+        & (F.col("cts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+        "left_semi",
+    )
+    p = _plan(conv)
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert z  # builder executed and produced a literal plan
+
+    boot = _plan(q_bootstrap_mean_ci(spark, SF_DIR))
+    assert "CartesianProduct" not in boot
+    from etl_portofolio_spark.caching import release_cached
+
+    release_cached()
