@@ -122,3 +122,104 @@ def answer_from_mv(
         kind = meta["measures"][name][0]
         aggs.append(_REAGG[kind](F.col(name)).alias(name))
     return mv.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
+
+
+# --- streaming maintenance: the MV as re-aggregable partials -----------------
+
+
+def _batch_rollup(
+    batch: DataFrame, dims: tuple[str, ...], measures: Mapping[str, tuple[str, str]]
+) -> DataFrame:
+    aggs = []
+    for name, (kind, expr) in measures.items():
+        col = (
+            F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(F.expr(expr))
+        )
+        aggs.append(col.alias(name))
+    return batch.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
+
+
+def start_mv_maintenance(
+    stream: DataFrame,
+    mv_root: str,
+    dims: tuple[str, ...],
+    measures: Mapping[str, tuple[str, str]],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a rollup MV from a stream, replay-safe by construction.
+
+    Every micro-batch writes its OWN partial aggregate to
+    ``<mv_root>/partials/batch_id=N`` via dynamic partition overwrite:
+    a replayed batch replaces its own partial instead of double-
+    counting — the same (partition = attempt) idempotency contract as
+    `streaming/structured.py::make_batch_sink`, applied to aggregate
+    state.  Because every measure kind is RE-AGGREGABLE (the
+    `create_rollup_mv` rule), the queryable MV is just the
+    re-aggregation of all partials (:func:`read_maintained_mv`) and a
+    maintenance pass can fold old partials into one
+    (:func:`compact_mv_partials`) without changing any answer.
+    """
+    for name, (kind, _e) in measures.items():
+        if kind not in _REAGG:
+            raise RewriteError(f"measure {name}: kind '{kind}' not re-aggregable")
+
+    partials = f"{mv_root}/partials"
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if batch.isEmpty():
+            return
+        out = _batch_rollup(batch, dims, measures).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        out.write.mode("overwrite").partitionBy("batch_id").parquet(partials)
+
+    os.makedirs(mv_root, exist_ok=True)
+    meta = {"dims": list(dims), "measures": {k: list(v) for k, v in measures.items()}}
+    with open(os.path.join(mv_root, _META_FILE), "w") as fh:
+        json.dump(meta, fh)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_maintained_mv(spark: SparkSession, mv_root: str) -> DataFrame:
+    """The queryable face of a stream-maintained MV: re-aggregate all
+    batch partials under the MV's own measure kinds."""
+    meta = load_mv_meta(mv_root)
+    if meta is None:
+        raise RewriteError(f"no MV metadata under {mv_root}")
+    partials = spark.read.parquet(f"{mv_root}/partials")
+    aggs = [
+        _REAGG[kind](F.col(name)).alias(name)
+        for name, (kind, _e) in ((k, tuple(v)) for k, v in meta["measures"].items())
+    ]
+    return partials.groupBy(*[F.col(d) for d in meta["dims"]]).agg(*aggs)
+
+
+def compact_mv_partials(spark: SparkSession, mv_root: str) -> int:
+    """Fold every batch partial into a single ``batch_id=-1`` partial —
+    bounded partial count for a long-running maintenance stream.
+    Answers are invariant (re-aggregable measures); returns the number
+    of partial files removed.  Run from the maintenance loop, not the
+    hot path."""
+    import shutil
+
+    folded = read_maintained_mv(spark, mv_root)
+    partials = f"{mv_root}/partials"
+    tmp = f"{mv_root}/partials_compact_tmp"
+    folded.withColumn("batch_id", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(tmp)
+    before = len(
+        [f for f in os.listdir(partials) if f.startswith("batch_id=")]
+    )
+    shutil.rmtree(partials)
+    os.rename(tmp, partials)
+    return before

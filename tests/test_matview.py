@@ -89,3 +89,75 @@ def test_avg_rejected_at_create(spark, tmp_path):
             dims=("o_orderpriority",),
             measures={"a": ("avg", "o_totalprice")},
         )
+
+
+def test_streaming_mv_maintenance_matches_batch(spark, tmp_path):
+    """availableNow maintenance over two ingest waves: the maintained
+    MV equals a from-scratch batch rollup after each wave; compaction
+    folds partials without changing answers; a restart with the same
+    checkpoint replays nothing (no double counts)."""
+    from etl_portofolio_spark.sinks.matview import (
+        compact_mv_partials,
+        read_maintained_mv,
+        start_mv_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    mv_root = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    first = orders.limit(700)
+    first.coalesce(2).write.mode("append").parquet(src)
+
+    measures = {
+        "rev_c": ("sum", "CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+        "n_orders": ("count", "*"),
+        "max_c": ("max", "CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+    }
+
+    def run_wave():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        q = start_mv_maintenance(
+            stream, mv_root, ("o_orderpriority",), measures, ckpt
+        )
+        q.awaitTermination(120)
+
+    def batch_rollup():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(src)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(
+                    F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+                ).alias("rev_c"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max(
+                    F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+                ).alias("max_c"),
+            )
+            .collect()
+        )
+
+    def mv_rows():
+        return sorted(
+            tuple(r) for r in read_maintained_mv(spark, mv_root).collect()
+        )
+
+    run_wave()
+    assert mv_rows() == batch_rollup()
+    # restart with the same checkpoint: nothing new -> nothing changes
+    run_wave()
+    assert mv_rows() == batch_rollup()
+    # second ingest wave
+    orders.exceptAll(first).limit(500).coalesce(1).write.mode("append").parquet(src)
+    run_wave()
+    assert mv_rows() == batch_rollup()
+    # compaction folds partials, answers invariant
+    removed = compact_mv_partials(spark, mv_root)
+    assert removed >= 2
+    assert mv_rows() == batch_rollup()
