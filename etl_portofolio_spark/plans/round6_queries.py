@@ -1792,3 +1792,280 @@ ROUND6_QUERIES["ab_test_cuped_lift"] = (q_ab_test_cuped_lift, _CUPED_SQL)
 ROUND6_QUERIES["conversion_rate_ztest"] = (q_conversion_rate_ztest, _ZTEST_SQL)
 ROUND6_QUERIES["brand_basket_lift"] = (q_brand_basket_lift, _BASKET_LIFT_SQL)
 ROUND6_QUERIES["bootstrap_mean_ci"] = (q_bootstrap_mean_ci, _BOOTSTRAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ewma_daily_revenue — dyadic-exact exponential smoothing
+# ---------------------------------------------------------------------------
+
+_EWMA_HORIZON = 40  # 0.5^40 ~ 1e-12: beyond double significance vs the level
+
+
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    α = 1/2 — the smoothing constant chosen so every weight 0.5^i is a
+    POWER OF TWO: pow(0.5, int) is exact in IEEE doubles, which makes
+    the whole smoother bit-deterministic cross-engine without any
+    transcendental rounding (a generic α would route through exp/ln).
+
+    The recurrence unrolls to a 40-day trailing weighted sum (0.5^40
+    ≈ 1e-12 — below double significance against the level), expressed
+    as a day-keyed range self-join over the CALENDAR-bounded daily
+    frame: O(days × 40) rows total, never fact rows.  Weighted terms
+    round to 6 into DECIMAL(38,6) before summing (order-independent).
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    daily = scoped_persist(daily)
+    a = daily.select(F.col("day").alias("d"), F.col("rev_c").alias("x"))
+    b = daily.select(F.col("day").alias("day"))
+    lag = F.datediff(F.col("day"), F.col("d"))
+    terms = (
+        b.join(
+            a,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") > F.date_sub(F.col("day"), _EWMA_HORIZON)),
+        )
+        .select(
+            "day",
+            F.round(
+                F.pow(F.lit(0.5), (lag + 1).cast("double"))
+                * F.col("x").cast("double"),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("t"),
+        )
+    )
+    # the sum of 6-decimal terms is EXACT in DECIMAL(38,6); emit its
+    # double image directly — a further round(x, 4) would hit exact
+    # trailing-5 boundaries where engine round() implementations
+    # disagree (BigDecimal shortest-repr HALF_UP vs binary nearbyint)
+    return terms.groupBy("day").agg(
+        F.sum("t").cast("double").alias("ewma_c")
+    )
+
+
+_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), terms AS (
+  SELECT b.day,
+         CAST(round(pow(0.5, CAST(datediff('day', a.day, b.day) + 1 AS DOUBLE))
+                    * CAST(a.rev_c AS DOUBLE), 6) AS DECIMAL(38,6)) AS t
+  FROM daily b JOIN daily a
+    ON a.day <= b.day AND a.day > b.day - INTERVAL {_EWMA_HORIZON} DAY
+)
+SELECT day, CAST(SUM(t) AS DOUBLE) AS ewma_c
+FROM terms GROUP BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# brand_rank_kendall_tau — rank-stability between periods
+# ---------------------------------------------------------------------------
+
+
+def q_brand_rank_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ between the 1996 and 1997 brand revenue rankings —
+    "did the leaderboard actually move?"  Exact over all brand pairs:
+    concordant minus discordant over n(n-1)/2, with revenue-cents as
+    the ranking key (ties broken by brand for determinism, counted as
+    neither concordant nor discordant when either year ties exactly).
+
+    The pair frame is |brands|² — DOMAIN-bounded (25 brands → 300
+    pairs), not data-bounded, joined from one aggregate of the fact
+    table; the τ division happens once on two integers.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yearly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1996, cents("l_extendedprice")
+                ).otherwise(F.lit(0))
+            ).alias("r96"),
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1997, cents("l_extendedprice")
+                ).otherwise(F.lit(0))
+            ).alias("r97"),
+        )
+    )
+    a = yearly.select(
+        F.col("p_brand").alias("ba"), F.col("r96").alias("a96"),
+        F.col("r97").alias("a97"),
+    )
+    b = yearly.select(
+        F.col("p_brand").alias("bb"), F.col("r96").alias("b96"),
+        F.col("r97").alias("b97"),
+    )
+    pairs = a.join(b, F.col("ba") < F.col("bb"))
+    concordant = (
+        ((F.col("a96") > F.col("b96")) & (F.col("a97") > F.col("b97")))
+        | ((F.col("a96") < F.col("b96")) & (F.col("a97") < F.col("b97")))
+    ).cast("long")
+    discordant = (
+        ((F.col("a96") > F.col("b96")) & (F.col("a97") < F.col("b97")))
+        | ((F.col("a96") < F.col("b96")) & (F.col("a97") > F.col("b97")))
+    ).cast("long")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(concordant).alias("concordant"),
+        F.sum(discordant).alias("discordant"),
+        F.round(
+            (F.sum(concordant) - F.sum(discordant)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
+_KENDALL_SQL = """
+WITH yearly AS (
+  SELECT p_brand,
+         SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+             THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             ELSE 0 END) AS r96,
+         SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 1997
+             THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             ELSE 0 END) AS r97
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN (a.r96 > b.r96 AND a.r97 > b.r97)
+                OR (a.r96 < b.r96 AND a.r97 < b.r97) THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.r96 > b.r96 AND a.r97 < b.r97)
+                OR (a.r96 < b.r96 AND a.r97 > b.r97) THEN 1 ELSE 0 END AS disc
+  FROM yearly a JOIN yearly b ON a.p_brand < b.p_brand
+)
+SELECT COUNT(*) AS n_pairs,
+       SUM(conc) AS concordant,
+       SUM(disc) AS discordant,
+       round(CAST(SUM(conc) - SUM(disc) AS DOUBLE) / COUNT(*), 6)
+         AS kendall_tau
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted_median_price — the histogram-descent selection, weighted
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of the line-item unit price: the value
+    v where cumulative QUANTITY (not row count) crosses half the total
+    — what "the median unit actually sold at" means when line items
+    carry different volumes.
+
+    Selection reuses the theilsen discipline: no global sort; a coarse
+    weighted histogram locates the target bin and the in-bin rank, a
+    fine histogram narrows it, and only a tiny ordered tail executes.
+    Unit price is exact integer cents (extended/quantity rounds to
+    cents per unit at the row level); weights are integer quantity.
+    The upper-weighted-median convention (first value whose cumulative
+    weight >= ceil((W+1)/2)) is pinned in both engines.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(
+            F.col("l_extendedprice") / F.col("l_quantity"), 2
+        ).alias("unit_p"),
+        F.col("l_quantity").cast("long").alias("w"),
+    ).select(
+        (F.col("unit_p") * 100).cast("long").alias("p_c"), "w"
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    li = scoped_persist(li)
+    total_w = li.agg(F.sum("w")).first()[0]
+    k = (total_w + 1) // 2 + ((total_w + 1) % 2 > 0)  # ceil((W+1)/2)
+
+    def _descend(df, width: int, k: int) -> tuple[int, int]:
+        hist = sorted(
+            (r["b"], r["wsum"])
+            for r in df.groupBy(
+                F.floor(F.col("p_c") / F.lit(width)).cast("long").alias("b")
+            )
+            .agg(F.sum("w").alias("wsum"))
+            .collect()
+        )
+        run = 0
+        for bb, ws in hist:
+            if run + ws >= k:
+                return bb, k - run
+            run += ws
+        raise AssertionError("weighted rank exceeds histogram mass")
+
+    b1, k1 = _descend(li, 100_000, k)
+    in_b1 = li.where(
+        F.floor(F.col("p_c") / F.lit(100_000)).cast("long") == F.lit(b1)
+    )
+    b2, k2 = _descend(in_b1, 100, k1)
+    tail = (
+        in_b1.where(
+            F.floor(F.col("p_c") / F.lit(100)).cast("long") == F.lit(b2)
+        )
+        .groupBy("p_c")
+        .agg(F.sum("w").alias("ws"))
+        .orderBy("p_c")
+        .collect()
+    )
+    run = 0
+    median_c = None
+    for r in tail:
+        run += r["ws"]
+        if run >= k2:
+            median_c = r["p_c"]
+            break
+    return spark.range(1).select(
+        F.lit(total_w).cast("long").alias("total_qty"),
+        F.lit(median_c).cast("long").alias("weighted_median_price_c"),
+    )
+
+
+_WMEDIAN_SQL = """
+WITH rows_w AS (
+  SELECT CAST(round(l_extendedprice / l_quantity, 2) * 100 AS BIGINT) AS p_c,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), tot AS (
+  SELECT SUM(w) AS total_w FROM rows_w
+), ranked AS (
+  SELECT p_c, SUM(w) AS ws FROM rows_w GROUP BY 1
+), cum AS (
+  SELECT p_c, SUM(ws) OVER (ORDER BY p_c) AS cw FROM ranked
+)
+SELECT (SELECT CAST(total_w AS BIGINT) FROM tot) AS total_qty,
+       CAST(MIN(p_c) AS BIGINT) AS weighted_median_price_c
+FROM cum
+WHERE cw >= (SELECT CAST(ceil((total_w + 1) / 2.0) AS BIGINT) FROM tot)
+"""
+
+
+ROUND6_QUERIES["ewma_daily_revenue"] = (q_ewma_daily_revenue, _EWMA_SQL)
+ROUND6_QUERIES["brand_rank_kendall_tau"] = (
+    q_brand_rank_kendall_tau,
+    _KENDALL_SQL,
+)
+ROUND6_QUERIES["weighted_median_price"] = (
+    q_weighted_median_price,
+    _WMEDIAN_SQL,
+)

@@ -876,3 +876,25 @@ def test_round6_wave4_plan_shapes(spark):
     from etl_portofolio_spark.caching import release_cached
 
     release_cached()
+
+
+def test_round6_wave5_plan_shapes(spark):
+    """EWMA's range self-join runs over the calendar-bounded daily
+    frame (the fact table aggregates FIRST — exactly one fact-scan
+    aggregate below the join); Kendall's pair frame is domain-bounded
+    with the dims broadcast-joined; the weighted median never sorts
+    globally (descent collects only histogram rows)."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.plans.round6_queries import (
+        q_brand_rank_kendall_tau,
+        q_ewma_daily_revenue,
+    )
+
+    spark.catalog.clearCache()
+    ewma = _plan(q_ewma_daily_revenue(spark, SF_DIR))
+    # join operands are the day-level aggregate, not raw orders:
+    # the plan has the join ABOVE HashAggregate(day) on both sides
+    assert "CartesianProduct" not in ewma
+    tau = _plan(q_brand_rank_kendall_tau(spark, SF_DIR))
+    assert "BroadcastExchange" in tau
+    release_cached()
