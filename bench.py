@@ -81,6 +81,15 @@ HEADLINE = (
     "unicode_normalization_audit",
     "revenue_gini",
     "theilsen_revenue_trend",
+    # round-6 additions: skyline, cross-doc boilerplate, proration,
+    # EWMA, weighted median, and the two pruned-read paths
+    "pareto_frontier_customers",
+    "boilerplate_gram_report",
+    "prorated_revenue_by_shipmode",
+    "ewma_daily_revenue",
+    "weighted_median_price",
+    "zonemap_pruned_scan",
+    "bloom_pruned_lookup",
 )
 
 
@@ -249,22 +258,25 @@ def main() -> None:
                 # comparable round-over-round when loadavg was low and the
                 # per-query spread is tight; readers should prefer `min`
                 # from `spread` when loadavg_before/after disagree.
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "passes": n_passes,
                 "spread": spread,
             }
         )
     )
     sys.stdout.flush()
+    # the contract line stays LAST and compact: the driver keeps only
+    # a ~2000-char tail of stdout, so this line must fit in it whole
+    # (full 3-decimal medians live in the detail line's spread)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": _sf_from_dir(SF_DIR),
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "passes": n_passes,
             }
         )
