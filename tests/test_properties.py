@@ -705,3 +705,61 @@ def test_stateful_twins_share_the_fold_kernel():
     # module-local loop) must not reappear outside the kernel module
     src_stateful = inspect.getsource(stateful)
     assert "cur_n + 1" not in src_stateful
+
+
+# --- bloom index bit math: no false negatives, ever --------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(st.integers(0, 10**12), min_size=1, max_size=200, unique=True),
+    probes=st.lists(st.integers(0, 10**12), max_size=50),
+)
+def test_bloom_membership_no_false_negatives(values, probes):
+    """Pure bit-level contract of sources/bloomindex: every inserted
+    value tests positive under any m sizing; absent probes may false-
+    positive but the test never asserts they don't — only that
+    correctness-critical negatives cannot happen."""
+    from etl_portofolio_spark.sources.bloomindex import _indexes
+
+    m = max(64, (len(values) * 10 + 7) // 8 * 8)
+    bits = bytearray(m // 8)
+    for v in values:
+        for idx in _indexes(str(v), m):
+            bits[idx >> 3] |= 1 << (idx & 7)
+
+    def member(v):
+        return all(bits[i >> 3] & (1 << (i & 7)) for i in _indexes(str(v), m))
+
+    assert all(member(v) for v in values)
+    # determinism: re-deriving indexes yields the same positions
+    for v in values[:5]:
+        assert _indexes(str(v), m) == _indexes(str(v), m)
+
+
+# --- driver-side HALF_UP rounding matches engine round semantics -------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    x=st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ),
+    k=st.integers(0, 6),
+)
+def test_round_half_up_matches_bigdecimal_semantics(x, k):
+    """_round_half_up must agree with BigDecimal-over-shortest-repr
+    HALF_UP (what Spark's F.round does on doubles): reference-model it
+    with the decimal module over repr(x) directly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from etl_portofolio_spark.plans.round6_queries import _round_half_up
+
+    expect = float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-k), rounding=ROUND_HALF_UP)
+    )
+    assert _round_half_up(x, k) == expect
+    # the known divergence case: Python's round() is HALF_EVEN
+    assert _round_half_up(0.5, 0) == 1.0
+    assert _round_half_up(2.5, 0) == 3.0
+    assert _round_half_up(-2.5, 0) == -3.0
