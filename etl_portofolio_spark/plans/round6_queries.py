@@ -2069,3 +2069,58 @@ ROUND6_QUERIES["weighted_median_price"] = (
     q_weighted_median_price,
     _WMEDIAN_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# sql_udf_revenue_report — the SQL-function surface, end to end
+# ---------------------------------------------------------------------------
+
+
+def q_sql_udf_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue report written ENTIRELY in SQL against the
+    engine's SQL UDF library (`functions/sqludf.py`): cents() exact
+    money, ds_of() date derivation, h32() bucketing — the SQL-first
+    face of the same deterministic kernel the Column API uses.
+
+    SQL UDFs are macros: they inline at analysis time, so this plan is
+    byte-equivalent to the hand-written expression plan (asserted in
+    tests — no Python evaluator node, codegen intact).  The oracle
+    inlines the same expressions in DuckDB SQL.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.functions.sqludf import register_sql_functions
+
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT ds_of(o_orderdate) AS ds,
+               SUM(cents(o_totalprice)) AS revenue_cents,
+               COUNT(*) AS n_orders,
+               SUM(CASE WHEN h32(CAST(o_custkey AS STRING)) % 100 < 10
+                   THEN cents(o_totalprice) ELSE 0 END) AS sampled_cents
+        FROM orders_sqludf
+        GROUP BY ds_of(o_orderdate)
+        """
+    )
+
+
+_SQL_UDF_SQL = """
+SELECT strftime(o_orderdate, '%Y%m%d') AS ds,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 10
+           THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END)
+         AS sampled_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+ROUND6_QUERIES["sql_udf_revenue_report"] = (
+    q_sql_udf_revenue_report,
+    _SQL_UDF_SQL,
+)
