@@ -2124,3 +2124,66 @@ ROUND6_QUERIES["sql_udf_revenue_report"] = (
     q_sql_udf_revenue_report,
     _SQL_UDF_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# xml_roundtrip_ingest — Spark 4 native from_xml on the reference's shape
+# ---------------------------------------------------------------------------
+
+
+def q_xml_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native XML decode (Spark 4 ``from_xml``) over the
+    reference's payload shape (`Ingestion Data (XML).py`: per-record
+    <item> documents with typed fields): each event renders to an XML
+    document, parses back through a declared schema, and the parsed
+    fields aggregate per event type.  The oracle computes from the
+    source columns directly — the decode must be a lossless identity,
+    which pins from_xml's type coercion (string→bigint/double) against
+    both the generator and DuckDB.
+
+    Scale: fully map-side (render + parse + partial agg in one codegen
+    stage, no Python crossing) — the JVM-native alternative to the
+    executor-side Python XML parser in `sources/http_xml.py`, for
+    payloads already in a column.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    xml = F.concat(
+        F.lit("<item><id>"), F.col("event_id"),
+        F.lit("</id><kind>"), F.col("event_type"),
+        F.lit("</kind><val>"),
+        F.round(F.col("value"), 6).cast("string"),
+        F.lit("</val><uid>"), F.col("user_id"), F.lit("</uid></item>"),
+    )
+    parsed = ev.select(xml.alias("doc")).select(
+        F.from_xml(
+            "doc", "id BIGINT, kind STRING, val DOUBLE, uid BIGINT"
+        ).alias("p")
+    ).select("p.id", "p.kind", "p.val", "p.uid")
+    return parsed.groupBy(F.col("kind").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("val"), 6).cast("decimal(20,9)")
+        ).cast("double").alias("sum_val"),
+        F.max("id").alias("max_event_id"),
+        F.count(F.when(F.col("uid") % 2 == 0, 1)).alias("even_users"),
+    )
+
+
+_XML_ROUNDTRIP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(20,9))) AS DOUBLE) AS sum_val,
+       MAX(event_id) AS max_event_id,
+       COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS even_users
+FROM events
+GROUP BY 1
+"""
+
+
+ROUND6_QUERIES["xml_roundtrip_ingest"] = (
+    q_xml_roundtrip_ingest,
+    _XML_ROUNDTRIP_SQL,
+)
