@@ -2187,3 +2187,171 @@ ROUND6_QUERIES["xml_roundtrip_ingest"] = (
     q_xml_roundtrip_ingest,
     _XML_ROUNDTRIP_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# clv_decile_migration — rank-migration matrix between periods
+# ---------------------------------------------------------------------------
+
+
+def q_clv_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile migration 1996→1997: bucket customers into
+    spend deciles in each year, count the (from_decile, to_decile)
+    transition matrix — the retention/upsell diagnostic every CRM
+    report carries.  Customers present in only one year land in decile
+    0 of the other (the "new / lapsed" rows of the matrix).
+
+    Deciles are EXACT by global spend rank with the customer key as
+    tie-break — computed with the prebin discipline (spend-band
+    partitioned rank + driver-side exclusive offsets, O(#bands)
+    collect), never a corpus-wide ntile sort.  The matrix itself is a
+    100-cell aggregate.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    spend = orders.where(yr.isin(1996, 1997)).groupBy(
+        F.col("o_custkey").alias("c"), yr.alias("y")
+    ).agg(F.sum(cents("o_totalprice")).alias("s"))
+    from etl_portofolio_spark.caching import scoped_persist
+
+    spend = scoped_persist(spend)
+
+    def deciles(year: int):
+        one = spend.where(F.col("y") == year).withColumn(
+            "band", F.floor(F.col("s") / F.lit(1_000_000)).cast("long")
+        )
+        counts = sorted(
+            (r["band"], r["n"])
+            for r in one.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        total = sum(n for _, n in counts)
+        off, run = {}, 0
+        for bb, n in counts:
+            off[bb] = run
+            run += n
+        off_df = spark.createDataFrame(
+            [(bb, o) for bb, o in off.items()], "band long, off long"
+        )
+        w = Window.partitionBy("band").orderBy("s", "c")
+        return one.join(F.broadcast(off_df), "band").select(
+            "c",
+            F.least(
+                F.lit(10),
+                F.floor(
+                    (F.col("off") + F.row_number().over(w) - 1)
+                    * 10
+                    / F.lit(total)
+                ).cast("long")
+                + 1,
+            ).alias("decile"),
+        )
+
+    d96 = deciles(1996).select(F.col("c"), F.col("decile").alias("from_decile"))
+    d97 = deciles(1997).select(F.col("c"), F.col("decile").alias("to_decile"))
+    return (
+        d96.join(d97, "c", "full_outer")
+        .select(
+            F.coalesce("from_decile", F.lit(0)).alias("from_decile"),
+            F.coalesce("to_decile", F.lit(0)).alias("to_decile"),
+        )
+        .groupBy("from_decile", "to_decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_CLV_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS c, EXTRACT(year FROM o_orderdate) AS y,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2
+), d96 AS (
+  SELECT c, LEAST(10, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY s, c) - 1) * 10.0
+                   / COUNT(*) OVER ()) AS BIGINT) + 1) AS from_decile
+  FROM spend WHERE y = 1996
+), d97 AS (
+  SELECT c, LEAST(10, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY s, c) - 1) * 10.0
+                   / COUNT(*) OVER ()) AS BIGINT) + 1) AS to_decile
+  FROM spend WHERE y = 1997
+)
+SELECT COALESCE(from_decile, 0) AS from_decile,
+       COALESCE(to_decile, 0) AS to_decile,
+       COUNT(*) AS n_customers
+FROM d96 FULL OUTER JOIN d97 USING (c)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# returns_shrunk_rate — empirical-Bayes shrinkage on small-sample rates
+# ---------------------------------------------------------------------------
+
+_EB_ALPHA, _EB_BETA = 5, 20  # Beta prior: ~20% prior return rate, n0=25
+
+
+def q_returns_shrunk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer return-rate with empirical-Bayes (Beta prior)
+    shrinkage: raw rates over tiny order counts are noise (1 return in
+    2 line items "beats" 30 in 100); the shrunk posterior mean
+    (returns + α) / (lines + α + β) ranks honestly.  Top 20 shrunk
+    rates with exact-integer inputs; the division rounds to 6 BEFORE
+    the ordering (the ranking rule).
+
+    One aggregation over lineitem joined... no join at all: returnflag
+    lives on the line item, the customer arrives via orders — one
+    shuffle join on the order key, one groupBy, one top-k.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    per_cust = (
+        li.join(orders, "l_orderkey")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ret").alias("n_returns"),
+        )
+    )
+    shrunk = per_cust.select(
+        "custkey",
+        "n_lines",
+        "n_returns",
+        F.round(
+            (F.col("n_returns") + F.lit(_EB_ALPHA)).cast("double")
+            / (F.col("n_lines") + F.lit(_EB_ALPHA + _EB_BETA)).cast("double"),
+            6,
+        ).alias("shrunk_rate"),
+    )
+    return shrunk.orderBy(
+        F.col("shrunk_rate").desc(), "custkey"
+    ).limit(20)
+
+
+_EB_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT custkey, n_lines, n_returns,
+       round(CAST(n_returns + {_EB_ALPHA} AS DOUBLE)
+             / CAST(n_lines + {_EB_ALPHA + _EB_BETA} AS DOUBLE), 6)
+         AS shrunk_rate
+FROM per_cust
+ORDER BY shrunk_rate DESC, custkey
+LIMIT 20
+"""
+
+
+ROUND6_QUERIES["clv_decile_migration"] = (q_clv_decile_migration, _CLV_SQL)
+ROUND6_QUERIES["returns_shrunk_rate"] = (q_returns_shrunk_rate, _EB_SQL)
