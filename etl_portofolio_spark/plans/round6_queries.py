@@ -2355,3 +2355,102 @@ LIMIT 20
 
 ROUND6_QUERIES["clv_decile_migration"] = (q_clv_decile_migration, _CLV_SQL)
 ROUND6_QUERIES["returns_shrunk_rate"] = (q_returns_shrunk_rate, _EB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# brand_bfs_hops — iterative frontier BFS vs a recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 3
+_BFS_MIN_CO_FRAC = 0.004  # edge iff co-basket count >= 0.4% of baskets
+
+
+def q_brand_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from the lexicographically-first
+    brand over the STRONG co-purchase graph (edges where the co-basket
+    count clears a fraction-of-baskets threshold, so the graph stays
+    meaningfully sparse at any scale factor).
+
+    The Spark side is the scalable frontier iteration — three rounds
+    of (frontier ⋈ edges) \\ visited, each an equi-join on the brand —
+    while the oracle is DuckDB's RECURSIVE CTE: two entirely different
+    algorithms must emit identical (brand, dist) rows, the same
+    cross-validation discipline as `recursive_order_chain`.  At scale
+    the frontier join shuffles only frontier×degree rows per round and
+    the visited set is domain-bounded (brands, not baskets).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    baskets = scoped_persist(baskets)
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    min_co = int(n_baskets * _BFS_MIN_CO_FRAC) + 1
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("dst"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= min_co)
+    )
+    edges = scoped_persist(
+        und.select("src", "dst").unionAll(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    seed = baskets.agg(F.min("p_brand")).first()[0]
+    dist = spark.createDataFrame([(seed, 0)], "brand string, dist int")
+    frontier = dist.select("brand")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["brand"] == edges["src"])
+            .select(F.col("dst").alias("brand"))
+            .distinct()
+            .join(dist.select("brand"), "brand", "left_anti")
+        )
+        dist = dist.unionAll(
+            nxt.select("brand", F.lit(hop).alias("dist"))
+        )
+        # brands are domain-bounded: localizing the frontier is a
+        # bounded collect-free persist, 3 rounds total
+        frontier = nxt
+        dist = scoped_persist(dist)
+    return dist
+
+
+def _bfs_oracle() -> str:
+    return f"""
+WITH RECURSIVE baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+), und AS (
+  SELECT a.p_brand AS src, b.p_brand AS dst, COUNT(*) AS co
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= CAST((SELECT n FROM nb) * {_BFS_MIN_CO_FRAC} AS BIGINT) + 1
+), edges AS (
+  SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+), bfs(brand, dist) AS (
+  SELECT (SELECT MIN(p_brand) FROM baskets), 0
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.brand
+  WHERE bfs.dist < {_BFS_MAX_HOPS}
+)
+SELECT brand, CAST(MIN(dist) AS INT) AS dist
+FROM bfs GROUP BY 1
+"""
+
+
+ROUND6_QUERIES["brand_bfs_hops"] = (q_brand_bfs_hops, _bfs_oracle())
