@@ -2454,3 +2454,152 @@ FROM bfs GROUP BY 1
 
 
 ROUND6_QUERIES["brand_bfs_hops"] = (q_brand_bfs_hops, _bfs_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dup_span_report — substring-level duplication audit (Lee et al. shape)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # window width in tokens; spans merge where windows overlap
+
+
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication audit: positional 8-token windows that
+    recur across documents mark duplicated SPANS (overlapping windows
+    merge into islands), and each source reports how much of its text
+    is cross-document duplicated — the "dedup the training data at the
+    substring level" measurement (Lee et al. 2022 shape) that document-
+    level dedup cannot see.
+
+    Scale path: positional windows explode map-side from a
+    materialized token array (same O(len·k) as the shingle pipeline);
+    ONE shuffle keys window hashes to compute cross-doc frequency; the
+    duplicated positions semi-join back and the island merge is a lag
+    window PARTITIONED BY doc.  Ratios round to 9 into DECIMAL(38,9)
+    before the source rollup.  Everything is md5 + integers — exact
+    DuckDB twin.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.size("__toks").alias("n_tokens"),
+        F.expr(
+            f"transform(sequence(1, greatest(size(__toks) - {_SPAN_K - 1}, 0)),"
+            f" i -> struct(i AS pos, md5(concat_ws(' ',"
+            f" slice(__toks, i, {_SPAN_K}))) AS gh))"
+        ).alias("wins"),
+    )
+    pos = scoped_persist(
+        toked.select(
+            "doc_id", "source", "n_tokens", F.explode("wins").alias("w")
+        ).select("doc_id", "source", "n_tokens", "w.pos", "w.gh")
+    )
+    cross_doc = (
+        pos.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup_pos = pos.join(cross_doc, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") > F.col("prev") + F.lit(_SPAN_K - 1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "source", "n_tokens", "isl")
+        .agg(
+            (F.max("pos") - F.min("pos") + F.lit(_SPAN_K)).alias("span_tokens")
+        )
+    )
+    per_doc = islands.groupBy("doc_id", "source", "n_tokens").agg(
+        F.sum("span_tokens").alias("dup_tokens")
+    )
+    all_docs = toked.select("doc_id", "source", "n_tokens").join(
+        per_doc.select("doc_id", "dup_tokens"), "doc_id", "left"
+    )
+    ratio = F.round(
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+        / F.col("n_tokens").cast("double"),
+        9,
+    ).cast("decimal(20,9)")
+    return all_docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("dup_tokens").isNotNull(), 1).otherwise(0)
+        ).alias("docs_with_dups"),
+        F.round(
+            F.sum(ratio).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_dup_ratio"),
+    )
+
+
+_DUP_SPAN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, source, len(t) AS n_tokens, t FROM tok
+), pos AS (
+  SELECT doc_id, source, n_tokens, i AS pos,
+         md5(array_to_string(t[i : i + {_SPAN_K - 1}], ' ')) AS gh
+  FROM base, LATERAL unnest(generate_series(1,
+         greatest(len(t) - {_SPAN_K - 1}, 0))) u(i)
+), cross_doc AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pos)
+  GROUP BY gh HAVING COUNT(*) >= 2
+), dup_pos AS (
+  SELECT p.* FROM pos p WHERE p.gh IN (SELECT gh FROM cross_doc)
+), flagged AS (
+  SELECT doc_id, source, n_tokens, pos,
+         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         + {_SPAN_K - 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup_pos
+), numbered AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+), islands AS (
+  SELECT doc_id, source, n_tokens, isl,
+         MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens
+  FROM numbered GROUP BY 1, 2, 3, 4
+), per_doc AS (
+  SELECT doc_id, SUM(span_tokens) AS dup_tokens
+  FROM islands GROUP BY 1
+), all_docs AS (
+  SELECT b.doc_id, b.source, b.n_tokens, p.dup_tokens
+  FROM base b LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN dup_tokens IS NOT NULL THEN 1 ELSE 0 END)
+         AS docs_with_dups,
+       round(CAST(SUM(CAST(round(COALESCE(dup_tokens, 0)
+                 / CAST(n_tokens AS DOUBLE), 9) AS DECIMAL(20,9)))
+             AS DOUBLE) / COUNT(*), 6) AS avg_dup_ratio
+FROM all_docs
+GROUP BY 1
+"""
+
+
+ROUND6_QUERIES["dup_span_report"] = (q_dup_span_report, _DUP_SPAN_SQL)

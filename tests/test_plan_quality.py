@@ -898,3 +898,18 @@ def test_round6_wave5_plan_shapes(spark):
     tau = _plan(q_brand_rank_kendall_tau(spark, SF_DIR))
     assert "BroadcastExchange" in tau
     release_cached()
+
+
+def test_dup_span_islands_partition_by_doc(spark):
+    """The substring-dup audit's island merge windows partition by doc
+    (parallel), the window-hash frequency pass is one keyed shuffle,
+    and no cartesian exists anywhere."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.plans.round6_queries import q_dup_span_report
+
+    spark.catalog.clearCache()
+    p = _plan(q_dup_span_report(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(doc_id" in p  # island windows keyed by doc
+    assert "LeftSemi" in p  # duplicated positions arrive via semi-join
+    release_cached()
