@@ -2603,3 +2603,56 @@ GROUP BY 1
 
 
 ROUND6_QUERIES["dup_span_report"] = (q_dup_span_report, _DUP_SPAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_candidates — the BPE vocabulary-induction inner loop
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of BPE vocabulary induction at corpus scale: count
+    every ADJACENT token pair (the merge candidates) and rank the top
+    20 — the inner loop a distributed tokenizer trainer runs per merge.
+    Differs from `token_pmi_pairs` (windowed co-occurrence statistics):
+    BPE needs exact ADJACENCY counts, position-aware.
+
+    Scale: pairs zip map-side from the materialized token array
+    (arrays_zip of the array with its own tail — no explode-then-self-
+    join), one combinable groupBy on the pair, TakeOrderedAndProject
+    for the top-k.  Count ties break lexicographically so both engines
+    pick the same 20.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens("text").alias("__toks"))
+    pairs = toked.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
+                " i -> struct(__toks[i-1] AS a, __toks[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), "a", "b").limit(20)
+
+
+_BPE_SQL = """
+WITH tok AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+), pairs AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM tok, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) u(i)
+)
+SELECT a, b, COUNT(*) AS n
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n DESC, a, b
+LIMIT 20
+"""
+
+
+ROUND6_QUERIES["bpe_merge_candidates"] = (q_bpe_merge_candidates, _BPE_SQL)
