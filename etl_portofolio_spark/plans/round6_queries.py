@@ -2656,3 +2656,104 @@ LIMIT 20
 
 
 ROUND6_QUERIES["bpe_merge_candidates"] = (q_bpe_merge_candidates, _BPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ppjoin_exact_pairs — prefix-filtered EXACT set-similarity join
+# ---------------------------------------------------------------------------
+
+_PP_T = 0.5  # Jaccard threshold
+
+
+def q_ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family) — the deterministic complement to MinHash-LSH:
+    where LSH trades recall for speed probabilistically, the prefix
+    filter is LOSSLESS (any pair with J ≥ t must share at least one of
+    each side's |s|-⌈t·|s|⌉+1 rarest shingles under a global canonical
+    order), so every qualifying pair is found, guaranteed.
+
+    Scale: candidates come from an equi-join on PREFIX shingles only —
+    by construction the rarest per document, so bucket sizes are
+    bounded by rare-token document frequency (the inverse of the LSH
+    hot-bucket hazard); verification touches candidates only.  The
+    oracle is the algorithm-INDEPENDENT brute force over a 30% doc
+    slice — the strongest differential shape (nothing to co-vary
+    with).  Windows partition by doc; one shuffle keys the global
+    shingle frequencies.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.operators.dedup import shingled_docs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 < 3
+    )
+    sh = scoped_persist(shingled_docs(docs, "doc_id", "text"))
+    ex = sh.select("doc_id", F.explode("sh_set").alias("g"))
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(freq, "g").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "g")
+        ),
+    )
+    sizes = sh.select("doc_id", F.size("sh_set").alias("sz"))
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .where(
+            F.col("r")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(_PP_T)) + F.lit(1)
+        )
+        .select("doc_id", "g")
+    )
+    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "g")
+    cands = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = sh.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sa"))
+    db = sh.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.try_divide(inter.cast("double"), union.cast("double")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _PP_T)
+    )
+
+
+_PPJOIN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id % 10 < 3
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(t)-2,0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tok
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= {_PP_T}
+"""
+
+
+ROUND6_QUERIES["ppjoin_exact_pairs"] = (q_ppjoin_exact_pairs, _PPJOIN_SQL)

@@ -913,3 +913,32 @@ def test_dup_span_islands_partition_by_doc(spark):
     assert "hashpartitioning(doc_id" in p  # island windows keyed by doc
     assert "LeftSemi" in p  # duplicated positions arrive via semi-join
     release_cached()
+
+
+def test_ppjoin_candidates_keyed_on_prefix_shingle(spark):
+    """PPJoin's candidate join is an equi-join on the prefix shingle
+    (never all-pairs) and its prefix-rank window partitions by doc —
+    plus a recall cross-check: every pair MinHash-LSH finds at the
+    same threshold must also be found (the lossless guarantee)."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.operators.dedup import minhash_candidate_pairs
+    from etl_portofolio_spark.plans.round6_queries import q_ppjoin_exact_pairs
+    from etl_portofolio_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    df = q_ppjoin_exact_pairs(spark, SF_DIR)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(doc_id" in p  # the prefix-rank window
+    exact = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    release_cached()
+    lsh = minhash_candidate_pairs(
+        load_table(spark, SF_DIR, "documents").where(F.col("doc_id") % 10 < 3),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    release_cached()
+    assert lsh_pairs <= exact  # prefix filter is lossless; LSH is not
