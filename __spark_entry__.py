@@ -41,6 +41,7 @@ _PLAN_MODULES: tuple[tuple[str, str], ...] = (
     ("etl_portofolio_spark.plans.round5g_queries", "ROUND5G_QUERIES"),
     ("etl_portofolio_spark.plans.round5h_queries", "ROUND5H_QUERIES"),
     ("etl_portofolio_spark.plans.round6_queries", "ROUND6_QUERIES"),
+    ("etl_portofolio_spark.plans.round7_queries", "ROUND7_QUERIES"),
 )
 
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

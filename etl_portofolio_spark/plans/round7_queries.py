@@ -1,0 +1,653 @@
+"""Round-7 query wave — classical statistics, time-series repair, and
+pipeline-verify stages the registry did not cover yet.
+
+Each entry: name -> (builder(spark, sf_dir) -> DataFrame, DuckDB oracle
+SQL).  Same determinism contract as every other wave: md5-based hashing
+only, integer-cents / DECIMAL accumulators for money, transcendentals
+rounded (9 per-term into DECIMAL partials, 6 on emission), IEEE
+add/mul/div/sqrt treated as deterministic cross-engine, identical
+column aliases between the Spark plan and the oracle.
+
+Scale notes are inline per query; the common theme is that every
+window in this wave runs over a DOMAIN-bounded frame (calendar days,
+the 50-value quantity domain, a ≤9-cell contingency table), never over
+fact rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.plans.analytics_queries import cents
+from etl_portofolio_spark.session import apply_runtime_confs
+
+ROUND7_QUERIES: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {}
+
+
+# ---------------------------------------------------------------------------
+# chi2_returns_status — chi-square test of independence
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_returns_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is ``l_returnflag`` independent of
+    ``l_linestatus``?  Emits the full contingency diagnostics — observed
+    count, expected count under independence, and the cell's chi-square
+    contribution — one row per occupied cell.
+
+    Scale design: one map-side-combinable groupBy over the fact table
+    produces the <=9-cell contingency frame; margins are window sums
+    OVER that frame (domain-bounded — the single-partition windows see
+    at most |returnflag|×|linestatus| rows, never fact rows, and the
+    fact table is scanned exactly ONCE).  Expected/contribution
+    arithmetic is integer products pushed through IEEE double division
+    — deterministic cross-engine — rounded to 6 on emission
+    (magnitudes ~1e6, far inside the safe round() range).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    m = cells.select(
+        "l_returnflag",
+        "l_linestatus",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("l_returnflag")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("l_linestatus")).alias("ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        m.select(
+            "l_returnflag",
+            "l_linestatus",
+            "obs",
+            F.round(exp, 6).alias("expected_r6"),
+            F.round(
+                (F.col("obs").cast("double") - exp)
+                * (F.col("obs").cast("double") - exp)
+                / exp,
+                6,
+            ).alias("contrib_r6"),
+        )
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS obs
+  FROM lineitem GROUP BY 1, 2
+), m AS (
+  SELECT c.*,
+         SUM(obs) OVER (PARTITION BY l_returnflag) AS rt,
+         SUM(obs) OVER (PARTITION BY l_linestatus) AS ct,
+         SUM(obs) OVER () AS n
+  FROM cells c
+)
+SELECT l_returnflag, l_linestatus, obs,
+       round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS expected_r6,
+       round((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS contrib_r6
+FROM m
+"""
+
+ROUND7_QUERIES["chi2_returns_status"] = (q_chi2_returns_status, _CHI2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mannwhitney_quantity_returns — rank-sum test on an integer domain
+# ---------------------------------------------------------------------------
+
+
+def q_mannwhitney_quantity_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test: do returned ('R') and non-returned ('N')
+    line items draw ``l_quantity`` from the same distribution?
+
+    Scale design: the quantity DOMAIN is the 50 integers 1..50, so the
+    rank computation never sorts fact rows — one combinable groupBy
+    collapses the fact table to <=50 (value, n_r, n_n) rows, and the
+    tie-aware average ranks come from a cumulative window over that
+    domain-bounded frame.  Doubled rank sums keep everything integer
+    (average ranks are half-integers); the z statistic is the only
+    double, built from integer inputs via IEEE mul/div/sqrt
+    (deterministic) and rounded to 6.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    per_v = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("n_n"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "n_r",
+        "n_n",
+        (F.col("n_r") + F.col("n_n")).alias("cnt"),
+        F.coalesce(F.sum(F.col("n_r") + F.col("n_n")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    # doubled average rank of value v: 2*cum_before + cnt + 1 (integer)
+    agg = ranked.agg(
+        F.sum("n_r").alias("n1"),
+        F.sum("n_n").alias("n2"),
+        F.sum(
+            F.col("n_r") * (F.lit(2) * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("r1_x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_cubes"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    mu_x2 = n1 * n2  # 2 * (n1*n2/2)
+    sigma = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * ((n + 1) - F.col("tie_cubes").cast("double") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        F.col("tie_cubes").alias("tie_cubes"),
+        F.round((u1_x2.cast("double") - mu_x2) / (F.lit(2.0) * sigma), 6).alias(
+            "z_r6"
+        ),
+    )
+
+
+_MWU_SQL = """
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r,
+         SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+), ranked AS (
+  SELECT v, n_r, n_n, n_r + n_n AS cnt,
+         COALESCE(SUM(n_r + n_n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM per_v
+), agg AS (
+  SELECT SUM(n_r) AS n1, SUM(n_n) AS n2,
+         SUM(n_r * (2 * cum_before + cnt + 1)) AS r1_x2,
+         SUM(cnt * cnt * cnt - cnt) AS tie_cubes
+  FROM ranked
+)
+SELECT n1, n2,
+       r1_x2 - n1 * (n1 + 1) AS u1_x2,
+       tie_cubes,
+       round((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                   - CAST(tie_cubes AS DOUBLE)
+                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1))))), 6)
+         AS z_r6
+FROM agg
+"""
+
+ROUND7_QUERIES["mannwhitney_quantity_returns"] = (
+    q_mannwhitney_quantity_returns,
+    _MWU_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint — integer-exact CUSUM drift over daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue: the cumulative
+    deviation from the global mean, scaled by the day count so every
+    value is an exact integer — ``S'_t = n·cumsum(x)_t − t·total``
+    (equals ``n·Σ(x_i − mean)``, no division anywhere).  The row with
+    the largest |S'_t| is the level-shift candidate.
+
+    Scale design: the fact table collapses to one calendar-bounded
+    daily aggregate (map-side combinable); the cumulative window and
+    the global total run over that ~2.4k-row frame only.  All math is
+    BIGINT (n·cum peaks ~5e15 at sf0.1 — far inside int64).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(cents("l_extendedprice")).alias("rev_c")
+    )
+    wall = Window.partitionBy()
+    word = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = daily.select(
+        "day",
+        F.row_number().over(Window.partitionBy().orderBy("day")).alias("t"),
+        F.sum("rev_c").over(word).alias("cum"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        F.sum("rev_c").over(wall).alias("total"),
+    )
+    return scanned.select(
+        "day",
+        "t",
+        (
+            F.col("n_days") * F.col("cum") - F.col("t") * F.col("total")
+        ).alias("cusum_scaled"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+), scanned AS (
+  SELECT day,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS t,
+         SUM(rev_c) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER () AS n_days,
+         SUM(rev_c) OVER () AS total
+  FROM daily
+)
+SELECT day, t, n_days * cum - t * total AS cusum_scaled
+FROM scanned
+"""
+
+ROUND7_QUERIES["cusum_changepoint"] = (q_cusum_changepoint, _CUSUM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# km_time_to_return — Kaplan-Meier survival: order placement → first return
+# ---------------------------------------------------------------------------
+
+
+def q_km_time_to_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve for time from order placement to the FIRST
+    returned shipment on that order — the classic right-censored
+    time-to-event setup: an order that never ships a returned line is
+    censored at the corpus' last ship date (observation end), not
+    treated as "never returns".
+
+    For each duration with at least one observed return: the risk set
+    (orders still return-free and still under observation at that
+    age), the return count, and the log survival ``Σ ln(1 − d/n)`` —
+    emitted in log space so no cross-engine ``exp`` is needed; per-term
+    lns round to 9 into a DECIMAL(20,9) running sum
+    (order-independent), the cumulative rounds to 6 on emission.
+
+    Scale design: one combinable groupBy collapses lineitem to a
+    first-return date per order; everything after runs on the
+    duration-keyed frame, bounded by the CALENDAR (ship window +
+    censor horizon), not by orders or line items.
+
+    Note: the synthetic generator does not tie ship dates to order
+    dates, so signed durations (including negative ages) appear; the
+    KM recursion is over the ordered duration domain and is
+    indifferent to the origin — the curve is still the exact product-
+    limit estimate over that domain.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ret = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("ret_date"))
+    )
+    gmax = li.agg(F.max(F.to_date("l_shipdate")).alias("gmax_date"))
+    per_order = (
+        orders.join(first_ret, orders.o_orderkey == first_ret.l_orderkey, "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.when(
+                F.col("ret_date").isNotNull(),
+                F.datediff("ret_date", "odate"),
+            )
+            .otherwise(F.datediff("gmax_date", "odate"))
+            .alias("dur"),
+            F.when(F.col("ret_date").isNotNull(), 1).otherwise(0).alias("churned"),
+        )
+    )
+    by_dur = per_order.groupBy("dur").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    wall = Window.partitionBy()
+    wbefore = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_dur.select(
+        "dur",
+        "d",
+        (
+            F.sum("c").over(wall) - F.coalesce(F.sum("c").over(wbefore), F.lit(0))
+        ).alias("n_risk"),
+    ).where(F.col("d") > 0)
+    term = F.round(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")),
+        9,
+    ).cast("decimal(20,9)")
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.where(F.col("d") < F.col("n_risk"))
+        .select("dur", "d", "n_risk", term.alias("term"))
+        .select(
+            "dur",
+            "d",
+            "n_risk",
+            F.round(F.sum("term").over(wcum).cast("double"), 6).alias(
+                "log_surv_r6"
+            ),
+        )
+    )
+
+
+_KM_SQL = """
+WITH first_ret AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ret_date
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+), g AS (
+  SELECT MAX(CAST(l_shipdate AS DATE)) AS gmax_date FROM lineitem
+), per_order AS (
+  SELECT CASE WHEN r.ret_date IS NOT NULL
+              THEN datediff('day', CAST(o.o_orderdate AS DATE), r.ret_date)
+              ELSE datediff('day', CAST(o.o_orderdate AS DATE), g.gmax_date)
+         END AS dur,
+         CASE WHEN r.ret_date IS NOT NULL THEN 1 ELSE 0 END AS churned
+  FROM orders o LEFT JOIN first_ret r ON o.o_orderkey = r.l_orderkey, g
+), by_dur AS (
+  SELECT dur, SUM(churned) AS d, COUNT(*) AS c FROM per_order GROUP BY 1
+), risk AS (
+  SELECT dur, d,
+         SUM(c) OVER () - COALESCE(SUM(c) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM by_dur
+), terms AS (
+  SELECT dur, d, n_risk,
+         CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS term
+  FROM risk WHERE d > 0 AND d < n_risk
+)
+SELECT dur, d, n_risk,
+       round(CAST(SUM(term) OVER (ORDER BY dur
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS log_surv_r6
+FROM terms
+"""
+
+ROUND7_QUERIES["km_time_to_return"] = (q_km_time_to_return, _KM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# data_freshness_report — per-source SLA lateness audit
+# ---------------------------------------------------------------------------
+
+
+def q_data_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness audit: seconds-precision last-arrival,
+    staleness versus the global high-water mark, trailing-7-day volume,
+    and a 24h SLA flag — the table a pipeline health dashboard reads.
+
+    Scale design: one combinable groupBy per source computes last
+    arrival and windowed volume; the global high-water mark is a
+    broadcast single row.  Timestamps emit as floored unix seconds
+    (integers) — cross-engine-safe, no timestamp formatting in play.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax_ts"))
+    per_type = (
+        ev.crossJoin(F.broadcast(gmax))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("last_unix"),
+            F.max(F.unix_timestamp("gmax_ts")).alias("gmax_unix"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.col("gmax_ts") - F.expr("INTERVAL 7 DAYS"), 1
+                ).otherwise(0)
+            ).alias("events_7d"),
+        )
+    )
+    lag_min = F.floor((F.col("gmax_unix") - F.col("last_unix")) / F.lit(60)).cast(
+        "long"
+    )
+    return per_type.select(
+        "event_type",
+        "last_unix",
+        lag_min.alias("lag_minutes"),
+        "events_7d",
+        F.when(lag_min > 1440, 1).otherwise(0).alias("stale_24h"),
+    )
+
+
+_FRESHNESS_SQL = """
+WITH g AS (
+  SELECT MAX(ts) AS gmax_ts FROM events
+), per_type AS (
+  SELECT event_type,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_unix,
+         MAX(CAST(floor(epoch(gmax_ts)) AS BIGINT)) AS gmax_unix,
+         SUM(CASE WHEN ts >= gmax_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+           AS events_7d
+  FROM events, g GROUP BY 1
+)
+SELECT event_type, last_unix,
+       CAST(floor((gmax_unix - last_unix) / 60.0) AS BIGINT) AS lag_minutes,
+       events_7d,
+       CASE WHEN floor((gmax_unix - last_unix) / 60.0) > 1440
+            THEN 1 ELSE 0 END AS stale_24h
+FROM per_type
+"""
+
+ROUND7_QUERIES["data_freshness_report"] = (
+    q_data_freshness_report,
+    _FRESHNESS_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_verify — exact Levenshtein verify over blocked candidates
+# ---------------------------------------------------------------------------
+
+_EDV_PREFIX = 24
+_EDV_CAP = 256
+
+
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification stage for near-dup candidates: block
+    documents on an md5 hash of their first 24 characters, generate
+    within-block pairs, and score each pair with exact Levenshtein
+    distance over the first 256 characters — the fine-grained verify
+    step a dedup pipeline runs AFTER cheap blocking, using the JVM
+    built-in (`F.levenshtein`), never a Python crossing.
+
+    Restricted to ASCII-clean prefixes so both engines count the same
+    units (Levenshtein is per-character; non-ASCII docs take the
+    codec-audited unicode path instead — `unicode_normalization_audit`).
+
+    Scale design: candidates come from a bucket equi-join (same shape
+    as the LSH band join — never all-pairs); the quadratic Levenshtein
+    cost is bounded by the 256-char cap per candidate, and candidates
+    per block are bounded by the block's cardinality, audited the same
+    way as `lsh_bucket_skew_audit`.
+    """
+    apply_runtime_confs(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.substring("text", 1, _EDV_CAP).alias("head"),
+            F.md5(F.substring("text", 1, _EDV_PREFIX)).alias("blk"),
+        )
+        .where(F.col("head").rlike(r"^[\x20-\x7e]*$"))
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"), F.col("head").alias("a_head"), "blk"
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"), F.col("head").alias("b_head"), "blk"
+    )
+    lev = F.levenshtein("a_head", "b_head")
+    longest = F.greatest(F.length("a_head"), F.length("b_head"), F.lit(1))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            lev.alias("lev"),
+            F.floor(
+                F.lit(1000) * (longest - lev) / longest
+            ).cast("long").alias("sim_permille"),
+        )
+    )
+
+
+_EDV_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         substr(text, 1, {_EDV_CAP}) AS head,
+         md5(substr(text, 1, {_EDV_PREFIX})) AS blk
+  FROM documents
+  WHERE regexp_matches(substr(text, 1, {_EDV_CAP}), '^[\\x20-\\x7e]*$')
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.head, b.head) AS lev,
+       CAST(floor(1000.0 * (greatest(length(a.head), length(b.head), 1)
+                            - levenshtein(a.head, b.head))
+                  / greatest(length(a.head), length(b.head), 1)) AS BIGINT)
+         AS sim_permille
+FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+"""
+
+ROUND7_QUERIES["edit_distance_verify"] = (q_edit_distance_verify, _EDV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# linear_interpolate_gaps — exact linear fill of missing days
+# ---------------------------------------------------------------------------
+
+_INTERP_BRAND = "Brand#23"
+
+
+def q_linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series repair: daily revenue for one sparse brand, with
+    missing calendar days filled by EXACT linear interpolation between
+    the surrounding observed days.  The interpolated value is emitted
+    as the IEEE double image of an integer rational —
+    ``(prev·(gap−off) + next·off) / gap`` with cents numerators — so
+    both engines compute one deterministic division, no rounding
+    disputes.
+
+    Scale design: the fact table collapses to a calendar-bounded daily
+    aggregate; the spine explode and the prev/next IGNORE NULLS windows
+    run over that frame (~2.4k rows), never fact rows.  At 100× data
+    the spine is unchanged — cost tracks the calendar.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(F.col("p_brand") == _INTERP_BRAND)
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(cents("l_extendedprice")).alias("rev_c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = spine.join(daily, "day", "left")
+    word = Window.orderBy("day")
+    prev_day = F.last(
+        F.when(F.col("rev_c").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(word.rowsBetween(Window.unboundedPreceding, 0))
+    prev_val = F.last("rev_c", ignorenulls=True).over(
+        word.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_day = F.first(
+        F.when(F.col("rev_c").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(word.rowsBetween(0, Window.unboundedFollowing))
+    next_val = F.first("rev_c", ignorenulls=True).over(
+        word.rowsBetween(0, Window.unboundedFollowing)
+    )
+    gap = F.datediff(next_day, prev_day)
+    off = F.datediff(F.col("day"), prev_day)
+    interp = F.when(
+        F.col("rev_c").isNotNull(), F.col("rev_c").cast("double")
+    ).otherwise(
+        (
+            prev_val * (gap - off) + next_val * off
+        ).cast("double")
+        / gap.cast("double")
+    )
+    return joined.select(
+        "day",
+        F.when(F.col("rev_c").isNotNull(), 1).otherwise(0).alias("observed"),
+        interp.alias("rev_c_interp"),
+    )
+
+
+_INTERP_SQL = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_INTERP_BRAND}'
+  GROUP BY 1
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), joined AS (
+  SELECT s.day, d.rev_c FROM spine s LEFT JOIN daily d ON s.day = d.day
+), ctx AS (
+  SELECT day, rev_c,
+         LAST_VALUE(CASE WHEN rev_c IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_day,
+         LAST_VALUE(rev_c IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_val,
+         FIRST_VALUE(CASE WHEN rev_c IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_day,
+         FIRST_VALUE(rev_c IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_val
+  FROM joined
+)
+SELECT day,
+       CASE WHEN rev_c IS NOT NULL THEN 1 ELSE 0 END AS observed,
+       CASE WHEN rev_c IS NOT NULL THEN CAST(rev_c AS DOUBLE)
+            ELSE CAST(prev_val * (datediff('day', prev_day, next_day)
+                                  - datediff('day', prev_day, day))
+                      + next_val * datediff('day', prev_day, day) AS DOUBLE)
+                 / CAST(datediff('day', prev_day, next_day) AS DOUBLE)
+       END AS rev_c_interp
+FROM ctx
+"""
+
+ROUND7_QUERIES["linear_interpolate_gaps"] = (
+    q_linear_interpolate_gaps,
+    _INTERP_SQL,
+)

@@ -942,3 +942,63 @@ def test_ppjoin_candidates_keyed_on_prefix_shingle(spark):
     lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
     release_cached()
     assert lsh_pairs <= exact  # prefix filter is lossless; LSH is not
+
+
+# ---------------------------------------------------------------------------
+# round-7 wave: stats / survival / verify-stage plan shapes
+# ---------------------------------------------------------------------------
+
+
+def _min_node_id(plan: str, node: str) -> int:
+    """Smallest formatted-explain node id for `node` — ids grow from the
+    leaves toward the root, so `id(Window) > id(HashAggregate)` means
+    the window consumes an already-aggregated (domain-bounded) frame,
+    never raw fact rows."""
+    import re
+
+    ids = [int(m) for m in re.findall(rf"\b{node}\w* \((\d+)\)", plan)]
+    assert ids, f"no {node} node found in plan"
+    return min(ids)
+
+
+def test_chi2_margins_broadcast_single_fact_scan(spark):
+    """Contingency margins must come from the 9-cell frame (broadcast),
+    never a second scan of the fact table."""
+    from etl_portofolio_spark.plans.round7_queries import q_chi2_returns_status
+
+    plan = _plan(q_chi2_returns_status(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    # exactly one parquet scan of lineitem feeds the whole plan
+    # (formatted mode mentions the path in the tree and the node detail)
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_edit_distance_verify_is_blocked_equi_join(spark):
+    """The Levenshtein verify stage must join on the block key — an
+    all-pairs plan would be quadratic in the corpus."""
+    from etl_portofolio_spark.plans.round7_queries import q_edit_distance_verify
+
+    plan = _plan(q_edit_distance_verify(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mannwhitney_aggregates_before_ranking(spark):
+    """Rank windows must run over the 50-value quantity domain, not the
+    fact rows: the window input is fed by an aggregate, and no global
+    sort of fact rows appears."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_mannwhitney_quantity_returns,
+    )
+
+    plan = _plan(q_mannwhitney_quantity_returns(spark, SF_DIR))
+    assert _min_node_id(plan, "Window") > _min_node_id(plan, "HashAggregate")
+
+
+def test_km_curve_windows_after_duration_aggregate(spark):
+    """KM risk-set windows must operate on the duration-keyed frame
+    (calendar-bounded), downstream of the per-order collapse."""
+    from etl_portofolio_spark.plans.round7_queries import q_km_time_to_return
+
+    plan = _plan(q_km_time_to_return(spark, SF_DIR))
+    assert _min_node_id(plan, "Window") > _min_node_id(plan, "HashAggregate")
