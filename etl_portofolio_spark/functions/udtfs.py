@@ -50,7 +50,35 @@ class XmlRecords:
             )
 
 
+#: output schema of token_runs — (1-based start index, token, run length)
+TOKEN_RUNS_SCHEMA = "start_idx int, token string, run_len int"
+
+
+@udtf(returnType=TOKEN_RUNS_SCHEMA)
+class TokenRuns:
+    """Maximal runs of consecutive identical whitespace tokens with
+    length >= 2 — the repeated-token spans a repetition filter inspects.
+
+    Genuinely imperative row expansion (one linear pass, state = the
+    open run); the declarative twin is a gaps-and-islands window chain,
+    which is exactly what the DuckDB oracle of ``udtf_token_runs``
+    uses — the UDTF and the islands SQL must agree row-for-row.
+    """
+
+    def eval(self, text: str):  # noqa: D102 - UDTF contract
+        if text is None:
+            return
+        toks = [t for t in text.split(" ") if t != ""]
+        i = 0
+        for j in range(1, len(toks) + 1):
+            if j == len(toks) or toks[j] != toks[i]:
+                if j - i >= 2:
+                    yield i + 1, toks[i], j - i
+                i = j
+
+
 def register_udtfs(spark: SparkSession) -> None:
     """Register the engine's table functions on a session (idempotent);
-    after this, ``xml_records`` is callable from SQL."""
+    after this, ``xml_records`` and ``token_runs`` are callable from SQL."""
     spark.udtf.register("xml_records", XmlRecords)
+    spark.udtf.register("token_runs", TokenRuns)

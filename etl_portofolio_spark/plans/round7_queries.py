@@ -651,3 +651,345 @@ ROUND7_QUERIES["linear_interpolate_gaps"] = (
     q_linear_interpolate_gaps,
     _INTERP_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights — hashed n-gram importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., 2023)
+    rendered Spark-first: score every document by how target-like its
+    hashed unigram features are — ``Σ_tokens ln(p_target(b)/p_corpus(b))``
+    over 256 md5-hashed feature buckets with add-one smoothing, target
+    = the English slice, proposal = the whole corpus.  High scores mark
+    documents to up-sample when composing a target-matched pretraining
+    mix.
+
+    Scale design: token explode is map-only; bucket statistics are one
+    combinable groupBy to a 256-row frame (totals via windows over that
+    frame, never a second corpus pass) broadcast back onto the token
+    stream; the per-doc reduce is the second and last shuffle.  Log
+    ratios round to 9 into DECIMAL(20,9) per BUCKET (one rounding per
+    bucket, not per token), so each doc's sum is exact decimal
+    arithmetic — order- and partition-independent.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    toks = toks.withColumn("b", h32("tok") % _DSIR_BUCKETS)
+    stats = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+    )
+    wall = Window.partitionBy()
+    stats = stats.select(
+        "b",
+        "c_cnt",
+        "t_cnt",
+        F.sum("c_cnt").over(wall).alias("c_tot"),
+        F.sum("t_cnt").over(wall).alias("t_tot"),
+    )
+    lr = F.round(
+        F.log(
+            (F.col("t_cnt") + 1).cast("double")
+            / (F.col("t_tot") + _DSIR_BUCKETS).cast("double")
+        )
+        - F.log(
+            (F.col("c_cnt") + 1).cast("double")
+            / (F.col("c_tot") + _DSIR_BUCKETS).cast("double")
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    scored = toks.join(F.broadcast(stats.select("b", lr.alias("lr"))), "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lr").cast("double"), 6).alias("logweight_r6"),
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), stats AS (
+  SELECT b, COUNT(*) AS c_cnt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+  FROM toks GROUP BY 1
+), m AS (
+  SELECT b, c_cnt, t_cnt,
+         SUM(c_cnt) OVER () AS c_tot, SUM(t_cnt) OVER () AS t_tot
+  FROM stats
+), lrs AS (
+  SELECT b,
+         CAST(round(ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + {_DSIR_BUCKETS} AS DOUBLE))
+                    - ln(CAST(c_cnt + 1 AS DOUBLE) / CAST(c_tot + {_DSIR_BUCKETS} AS DOUBLE)), 9)
+              AS DECIMAL(20,9)) AS lr
+  FROM m
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(l.lr) AS DOUBLE), 6) AS logweight_r6
+FROM toks t JOIN lrs l ON t.b = l.b
+GROUP BY 1
+"""
+
+ROUND7_QUERIES["dsir_importance_weights"] = (
+    q_dsir_importance_weights,
+    _DSIR_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar_linkpred — common-neighbor link prediction on the brand graph
+# ---------------------------------------------------------------------------
+
+_AA_MIN_CO = 5
+
+
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the brand co-purchase graph:
+    for every brand pair, the sum over common neighbors z of
+    ``1/ln(deg(z))`` — neighbors that are themselves promiscuous count
+    less.  Pairs flagged by whether they are ALREADY an edge: the
+    non-edge rows ranked by score are the link predictions.
+
+    Scale design: the graph is DOMAIN-bounded (|brands| nodes).  Edges
+    come from per-order distinct brand pairs (fan-out bounded by basket
+    size, never corpus-quadratic — same shape as
+    `brand_copurchase_pairs`); the wedge join and scores run on the
+    edge/degree frames only.  Per-neighbor weights round to 9 into
+    DECIMAL before the wedge sum (order-independent); degree-1
+    neighbors are excluded (ln(1)=0 has no defined AA weight).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    x = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    y = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("bb"))
+    pairs = (
+        x.join(y, "ok")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= _AA_MIN_CO)
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    edges = scoped_persist(pairs.select("ba", "bb"))
+    und = edges.select(F.col("ba").alias("u"), F.col("bb").alias("v")).unionAll(
+        edges.select(F.col("bb").alias("u"), F.col("ba").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    w = F.round(
+        F.lit(1.0) / F.log(F.col("deg").cast("double")), 9
+    ).cast("decimal(20,9)")
+    wdeg = deg.where(F.col("deg") >= 2).select(F.col("u").alias("z"), w.alias("w"))
+    # wedge: a—z and z—b with a<b; common neighbor z carries weight w(z)
+    za = und.select(F.col("v").alias("z"), F.col("u").alias("a"))
+    zb = und.select(F.col("v").alias("z"), F.col("u").alias("b"))
+    wedges = (
+        za.join(zb, "z")
+        .where(F.col("a") < F.col("b"))
+        .join(F.broadcast(wdeg), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum("w").cast("double"), 6).alias("aa_score_r6"),
+        )
+    )
+    # edges is consumed three times (degrees, wedges, flag join) — the
+    # scoped persist above keeps it one computation; released with the
+    # session scope like every other multi-branch persist.
+    return wedges.join(
+        edges.select(
+            F.col("ba").alias("a"), F.col("bb").alias("b"), F.lit(1).alias("is_edge")
+        ),
+        ["a", "b"],
+        "left",
+    ).select(
+        "a",
+        "b",
+        "n_common",
+        "aa_score_r6",
+        F.coalesce("is_edge", F.lit(0)).alias("is_edge"),
+    )
+
+
+_AA_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT x.p_brand AS ba, y.p_brand AS bb, COUNT(*) AS co
+  FROM ob x JOIN ob y ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_AA_MIN_CO}
+), und AS (
+  SELECT ba AS u, bb AS v FROM pairs
+  UNION ALL
+  SELECT bb AS u, ba AS v FROM pairs
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM und GROUP BY 1
+), wdeg AS (
+  SELECT u AS z, CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w
+  FROM deg WHERE deg >= 2
+), wedges AS (
+  SELECT za.a, zb.b, COUNT(*) AS n_common,
+         round(CAST(SUM(wd.w) AS DOUBLE), 6) AS aa_score_r6
+  FROM (SELECT v AS z, u AS a FROM und) za
+  JOIN (SELECT v AS z, u AS b FROM und) zb ON za.z = zb.z AND za.a < zb.b
+  JOIN wdeg wd ON wd.z = za.z
+  GROUP BY 1, 2
+)
+SELECT w.a, w.b, w.n_common, w.aa_score_r6,
+       CASE WHEN p.ba IS NOT NULL THEN 1 ELSE 0 END AS is_edge
+FROM wedges w LEFT JOIN pairs p ON p.ba = w.a AND p.bb = w.b
+"""
+
+ROUND7_QUERIES["adamic_adar_linkpred"] = (q_adamic_adar_linkpred, _AA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sprt_daily_decision — Wald sequential probability ratio test
+# ---------------------------------------------------------------------------
+
+#: SPRT constants computed ONCE in Python and embedded as identical
+#: literals in both engines — no cross-engine ln() in the hot path.
+_SPRT_LA = 0.20067069546215124  # ln(0.55/0.45)
+_SPRT_LB = -0.20067069546215124  # ln(0.45/0.55)
+_SPRT_BOUND = 2.9444389791664403  # ln(19) — alpha = beta = 0.05
+
+
+def q_sprt_daily_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT run day-by-day over the purchase-vs-click stream:
+    H0 "purchase share = 0.45" vs H1 "= 0.55", log-likelihood ratio
+    accumulated per day, decision flag the first time the path crosses
+    ±ln(19) (the 5%/5% error bounds).  The early-stopping monitor an
+    experimentation platform runs after each daily batch.
+
+    Scale design: the event stream collapses to one calendar-bounded
+    daily aggregate; the cumulative LLR window runs over days only.
+    The ln constants are Python-computed literals (identical doubles in
+    both engines); each day's term is integer-weighted IEEE arithmetic
+    rounded to 9 into DECIMAL — the running sum is exact.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    term = F.round(
+        F.col("x").cast("double") * F.lit(_SPRT_LA)
+        + (F.col("n") - F.col("x")).cast("double") * F.lit(_SPRT_LB),
+        9,
+    ).cast("decimal(20,9)")
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(term).over(wcum).cast("double")
+    return daily.select(
+        "day",
+        "x",
+        "n",
+        F.round(cum, 6).alias("llr_cum_r6"),
+        F.when(cum >= F.lit(_SPRT_BOUND), 1)
+        .when(cum <= F.lit(-_SPRT_BOUND), -1)
+        .otherwise(0)
+        .alias("decision"),
+    )
+
+
+_SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+         COUNT(*) AS n
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+), cums AS (
+  SELECT day, x, n,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * {_SPRT_LA!r}
+                             + CAST(n - x AS DOUBLE) * ({_SPRT_LB!r}), 9)
+                       AS DECIMAL(20,9)))
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cum
+  FROM daily
+)
+SELECT day, x, n, round(cum, 6) AS llr_cum_r6,
+       CASE WHEN cum >= {_SPRT_BOUND!r} THEN 1
+            WHEN cum <= -{_SPRT_BOUND!r} THEN -1
+            ELSE 0 END AS decision
+FROM cums
+"""
+
+ROUND7_QUERIES["sprt_daily_decision"] = (q_sprt_daily_decision, _SPRT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# udtf_token_runs — Python UDTF (table function) surface, oracle-gated
+# ---------------------------------------------------------------------------
+
+
+def q_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-token runs per document via the registered Python UDTF
+    ``token_runs`` (`functions/udtfs.py`) — the §2.9 table-function
+    surface exercised end-to-end from SQL with a LATERAL correlation,
+    gated by a declarative gaps-and-islands oracle that must agree
+    row-for-row with the imperative expansion.
+
+    This is deliberately the ONE registry query on the Python-UDTF path:
+    per-row Python is the slow lane, justified here because the run-
+    length pass is genuinely stateful-imperative and the point is API
+    parity evidence, not throughput — the islands formulation (see the
+    oracle) is what a hot path would use.
+
+    Scale design: the UDTF fans out per document on executors (no
+    driver loop); downstream is pass-through.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("r7_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.start_idx, r.token, r.run_len
+        FROM r7_docs d, LATERAL token_runs(d.text) r
+        """
+    )
+
+
+_UDTF_RUNS_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS idx, arr[u.i] AS tok
+  FROM base, LATERAL unnest(generate_series(1, len(arr))) AS u(i)
+), isl AS (
+  SELECT doc_id, idx, tok,
+         idx - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY idx) AS isl
+  FROM toks
+)
+SELECT doc_id, CAST(MIN(idx) AS INT) AS start_idx, tok AS token,
+       CAST(COUNT(*) AS INT) AS run_len
+FROM isl GROUP BY doc_id, tok, isl HAVING COUNT(*) >= 2
+"""
+
+ROUND7_QUERIES["udtf_token_runs"] = (q_udtf_token_runs, _UDTF_RUNS_SQL)

@@ -1002,3 +1002,31 @@ def test_km_curve_windows_after_duration_aggregate(spark):
 
     plan = _plan(q_km_time_to_return(spark, SF_DIR))
     assert _min_node_id(plan, "Window") > _min_node_id(plan, "HashAggregate")
+
+
+def test_dsir_bucket_stats_broadcast_single_corpus_pass(spark):
+    """DSIR bucket statistics must broadcast back onto the token stream
+    (256-row frame), and the corpus is tokenized from ONE documents
+    scan feeding both the stats and the scoring branch via reuse or a
+    second scan at most — never a SortMergeJoin on the token stream."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_dsir_importance_weights,
+    )
+
+    plan = _plan(q_dsir_importance_weights(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_adamic_adar_no_cartesian(spark):
+    """Wedge generation must be keyed equi-joins on order / neighbor —
+    an all-pairs brand plan would be quadratic at a real brand
+    cardinality."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.plans.round7_queries import q_adamic_adar_linkpred
+
+    spark.catalog.clearCache()
+    plan = _plan(q_adamic_adar_linkpred(spark, SF_DIR))
+    release_cached()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
