@@ -89,3 +89,52 @@ def trailing_range_sum(
         .withColumn(out_col, F.sum(value_col).over(w))
         .drop("__day")
     )
+
+
+def holt_linear_cents(
+    daily: DataFrame, day_col: str = "day", value_col: str = "rev_c"
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoother with α = β = 1/2 in
+    EXACT integer arithmetic: per step,
+    ``level' = floor((x + level + trend)/2)``,
+    ``trend' = floor((level' - level + trend)/2)``, forecast = level' +
+    trend'.  The floor-div fixpoint makes the recursion bit-identical
+    across engines — no float state, no rounding-mode ambiguity (floor
+    of an IEEE halving of integers < 2^53 is exact everywhere).
+
+    A genuinely SEQUENTIAL fold (each step consumes the previous
+    state), so it runs as one Arrow-batched pandas group over the
+    CALENDAR-bounded daily frame — thousands of rows regardless of
+    fact-table size; the fact scan collapses map-side before this
+    kernel ever sees data.  The declarative twin is a recursive CTE
+    (the DuckDB oracle of ``holt_trend_forecast``).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{day_col} date, level_c long, trend_c long, forecast_next_c long"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        days = pdf[day_col].tolist()
+        xs = [int(v) for v in pdf[value_col].tolist()]
+        rows = []
+        level = trend = 0
+        for i, (d, x) in enumerate(zip(days, xs)):
+            if i == 0:
+                level, trend = x, 0
+            else:
+                new_level = (x + level + trend) // 2
+                trend = (new_level - level + trend) // 2
+                level = new_level
+            rows.append((d, level, trend, level + trend))
+        return pd.DataFrame(
+            rows, columns=[day_col, "level_c", "trend_c", "forecast_next_c"]
+        )
+
+    return (
+        daily.select(day_col, value_col)
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(lambda _, pdf: fold(pdf), out_schema)
+    )

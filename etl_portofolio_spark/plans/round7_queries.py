@@ -993,3 +993,253 @@ FROM isl GROUP BY doc_id, tok, isl HAVING COUNT(*) >= 2
 """
 
 ROUND7_QUERIES["udtf_token_runs"] = (q_udtf_token_runs, _UDTF_RUNS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis_quantity — k-group rank test on the integer domain
+# ---------------------------------------------------------------------------
+
+
+def q_kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across the three return-flag populations
+    (A/N/R) on ``l_quantity`` — the k-group generalization of
+    `mannwhitney_quantity_returns`, sharing its scale trick: ranks are
+    computed on the 50-value DOMAIN after one combinable groupBy, so no
+    fact row is ever sorted.  Doubled rank sums stay exact integers;
+    H and its tie-corrected form are IEEE arithmetic over those
+    integers (deterministic), rounded to 6.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("nn_v"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("nr_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cnt = F.col("na_v") + F.col("nn_v") + F.col("nr_v")
+    ranked = per_v.select(
+        "v",
+        "na_v",
+        "nn_v",
+        "nr_v",
+        cnt.alias("cnt"),
+        F.coalesce(F.sum(cnt).over(w), F.lit(0)).alias("cum_before"),
+    )
+    ar2 = F.lit(2) * F.col("cum_before") + F.col("cnt") + 1
+    agg = ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nn_v").alias("n_n"),
+        F.sum("nr_v").alias("n_r"),
+        F.sum(F.col("na_v") * ar2).alias("ra_x2"),
+        F.sum(F.col("nn_v") * ar2).alias("rn_x2"),
+        F.sum(F.col("nr_v") * ar2).alias("rr_x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_cubes"),
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = nd("n_a") + nd("n_n") + nd("n_r")
+    # Σ R_g²/n_g with doubled sums: (R_x2)²/(4·n_g)
+    s = (
+        nd("ra_x2") * nd("ra_x2") / (F.lit(4.0) * nd("n_a"))
+        + nd("rn_x2") * nd("rn_x2") / (F.lit(4.0) * nd("n_n"))
+        + nd("rr_x2") * nd("rr_x2") / (F.lit(4.0) * nd("n_r"))
+    )
+    h = F.lit(12.0) / (n * (n + 1)) * s - F.lit(3.0) * (n + 1)
+    corr = F.lit(1.0) - nd("tie_cubes") / (n * n * n - n)
+    return agg.select(
+        "n_a",
+        "n_n",
+        "n_r",
+        "ra_x2",
+        "rn_x2",
+        "rr_x2",
+        "tie_cubes",
+        F.round(h, 6).alias("h_r6"),
+        F.round(h / corr, 6).alias("h_tiecorrected_r6"),
+    )
+
+
+_KW_SQL = """
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na_v,
+         SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nn_v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr_v
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT v, na_v, nn_v, nr_v, na_v + nn_v + nr_v AS cnt,
+         COALESCE(SUM(na_v + nn_v + nr_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM per_v
+), agg AS (
+  SELECT SUM(na_v) AS n_a, SUM(nn_v) AS n_n, SUM(nr_v) AS n_r,
+         SUM(na_v * (2 * cum_before + cnt + 1)) AS ra_x2,
+         SUM(nn_v * (2 * cum_before + cnt + 1)) AS rn_x2,
+         SUM(nr_v * (2 * cum_before + cnt + 1)) AS rr_x2,
+         SUM(cnt * cnt * cnt - cnt) AS tie_cubes
+  FROM ranked
+)
+SELECT n_a, n_n, n_r, ra_x2, rn_x2, rr_x2, tie_cubes,
+       round(12.0 / ((CAST(n_a AS DOUBLE) + n_n + n_r) * (CAST(n_a AS DOUBLE) + n_n + n_r + 1))
+             * (CAST(ra_x2 AS DOUBLE) * CAST(ra_x2 AS DOUBLE) / (4.0 * n_a)
+                + CAST(rn_x2 AS DOUBLE) * CAST(rn_x2 AS DOUBLE) / (4.0 * n_n)
+                + CAST(rr_x2 AS DOUBLE) * CAST(rr_x2 AS DOUBLE) / (4.0 * n_r))
+             - 3.0 * (CAST(n_a AS DOUBLE) + n_n + n_r + 1), 6) AS h_r6,
+       round((12.0 / ((CAST(n_a AS DOUBLE) + n_n + n_r) * (CAST(n_a AS DOUBLE) + n_n + n_r + 1))
+              * (CAST(ra_x2 AS DOUBLE) * CAST(ra_x2 AS DOUBLE) / (4.0 * n_a)
+                 + CAST(rn_x2 AS DOUBLE) * CAST(rn_x2 AS DOUBLE) / (4.0 * n_n)
+                 + CAST(rr_x2 AS DOUBLE) * CAST(rr_x2 AS DOUBLE) / (4.0 * n_r))
+              - 3.0 * (CAST(n_a AS DOUBLE) + n_n + n_r + 1))
+             / (1.0 - CAST(tie_cubes AS DOUBLE)
+                / ((CAST(n_a AS DOUBLE) + n_n + n_r) * (CAST(n_a AS DOUBLE) + n_n + n_r)
+                   * (CAST(n_a AS DOUBLE) + n_n + n_r) - (CAST(n_a AS DOUBLE) + n_n + n_r))), 6)
+         AS h_tiecorrected_r6
+FROM agg
+"""
+
+ROUND7_QUERIES["kruskal_wallis_quantity"] = (
+    q_kruskal_wallis_quantity,
+    _KW_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# holt_trend_forecast — integer-exact Holt smoother vs recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear trend (level + trend, α = β = 1/2) over daily
+    order revenue — the one-step-ahead forecaster a revenue monitor
+    runs after each daily load.  All state is integer cents with
+    floor-div halving (`operators/timeseries.holt_linear_cents`), so
+    the sequential fold is bit-identical to the oracle's RECURSIVE CTE
+    unrolling — an imperative-kernel vs declarative-recursion
+    differential, same pattern as `udtf_token_runs`.
+
+    Scale design: the fact table collapses map-side to the
+    calendar-bounded daily frame; only that frame (~2.4k rows) enters
+    the Arrow-batched sequential kernel.  The genuinely-serial part is
+    O(days), unavoidable for a recurrence, and independent of data
+    volume.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.timeseries import holt_linear_cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    return holt_linear_cents(daily, "day", "rev_c")
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT day, rev_c, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+), holt(t, day, level_c, trend_c) AS (
+  SELECT t, day, rev_c, CAST(0 AS BIGINT) FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.t, i.day,
+         CAST(floor((i.rev_c + h.level_c + h.trend_c) / 2.0) AS BIGINT),
+         CAST(floor((CAST(floor((i.rev_c + h.level_c + h.trend_c) / 2.0) AS BIGINT)
+                     - h.level_c + h.trend_c) / 2.0) AS BIGINT)
+  FROM idx i JOIN holt h ON i.t = h.t + 1
+)
+SELECT day, level_c, trend_c, level_c + trend_c AS forecast_next_c
+FROM holt
+"""
+
+ROUND7_QUERIES["holt_trend_forecast"] = (q_holt_trend_forecast, _HOLT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# zorder_pruned_scan_2d — Morton clustering + conjunctive 2-D skipping
+# ---------------------------------------------------------------------------
+
+_ZORDER_FILES = 32
+
+
+def q_zorder_pruned_scan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive 2-D range predicate served through Z-order file
+    pruning: ``events`` laid out Morton-clustered on (user_id, value)
+    (`sinks/writer.py::write_zorder_clustered`), then a box predicate
+    on BOTH columns answered via
+    `sources/skipping.py::skipping_scan_multi` — the intersection of
+    the two zonemap prunes.  A single-column range clustering can
+    prune only its own column; the Morton layout makes every file a
+    compact box in (user_id, value) space, so both predicates drop
+    files.  The builder asserts the read touched under half the files;
+    the oracle filters the original table — clustering must be
+    invisible in results.
+
+    100 TB: this is Delta OPTIMIZE ZORDER semantics — pruning is
+    footer-metadata-only, the data read tracks the box's true
+    selectivity in BOTH dimensions, independent of table size.
+    """
+    apply_runtime_confs(spark)
+    import os
+
+    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.sinks.writer import write_zorder_clustered
+    from etl_portofolio_spark.sources.skipping import skipping_scan_multi
+
+    path = _fixture_dir(sf_dir, "events_zorder")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        write_zorder_clustered(
+            ev, path, "user_id", "value", n_files=_ZORDER_FILES
+        )
+    b = (
+        spark.read.parquet(path)
+        .agg(
+            F.min("user_id").alias("ulo"),
+            F.max("user_id").alias("uhi"),
+            F.min("value").alias("vlo"),
+            F.max("value").alias("vhi"),
+        )
+        .first()
+    )
+    uspan = b["uhi"] - b["ulo"]
+    u_lo = b["ulo"] + uspan // 4
+    u_hi = b["ulo"] + uspan // 4 + uspan // 8
+    vspan = b["vhi"] - b["vlo"]
+    v_lo = b["vlo"] + vspan * 0.25
+    v_hi = b["vlo"] + vspan * 0.25 + vspan * 0.125
+    df = skipping_scan_multi(
+        spark, path, [("user_id", u_lo, u_hi), ("value", v_lo, v_hi)]
+    )
+    n_read = len(df.inputFiles())
+    if not 0 < n_read < _ZORDER_FILES // 2:
+        raise AssertionError(
+            f"z-order 2-D pruning regressed: read {n_read} of "
+            f"{_ZORDER_FILES} files for a 1/8 x 1/8 box"
+        )
+    return df.select("event_id", "user_id", "value")
+
+
+_ZORDER_SQL = """
+WITH b AS (
+  SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+         MIN(value) AS vlo, MAX(value) AS vhi
+  FROM events
+)
+SELECT event_id, user_id, value
+FROM events, b
+WHERE user_id >= ulo + (uhi - ulo) // 4
+  AND user_id <= ulo + (uhi - ulo) // 4 + (uhi - ulo) // 8
+  AND value >= vlo + (vhi - vlo) * 0.25
+  AND value <= vlo + (vhi - vlo) * 0.25 + (vhi - vlo) * 0.125
+"""
+
+ROUND7_QUERIES["zorder_pruned_scan_2d"] = (
+    q_zorder_pruned_scan_2d,
+    _ZORDER_SQL,
+)

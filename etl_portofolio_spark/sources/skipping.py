@@ -287,3 +287,37 @@ def refresh_zonemap_incremental(
         "overwrite"
     ).parquet(target)
     return (len(kept_rows), len(new_rows), dropped)
+
+
+def skipping_scan_multi(
+    spark: SparkSession,
+    path: str,
+    preds: list[tuple[str, object | None, object | None]],
+) -> DataFrame:
+    """Conjunctive multi-column range scan through file skipping: the
+    surviving file set is the INTERSECTION of each column's zonemap
+    prune — the read-side payoff of a Z-order clustered layout
+    (`sinks/writer.py::write_zorder_clustered`), where every file's
+    footer stats bound a box in the clustered dimensions.
+
+    Exactly like :func:`skipping_scan`, the envelope test is necessary
+    but not sufficient, so every predicate re-applies on the survivors;
+    an unclustered layout degrades to reading every file — never a
+    wrong answer.  Pruning cost is O(#files × #preds) footer metadata.
+    """
+    surviving: set[str] | None = None
+    for col, lo, hi in preds:
+        zmap = footer_zonemap(path, col)
+        files = set(prune_files(zmap, lo, hi))
+        surviving = files if surviving is None else (surviving & files)
+    files_list = sorted(surviving or set())
+    if not files_list:
+        df = spark.read.parquet(path).where(F.lit(False))
+    else:
+        df = spark.read.option("basePath", path).parquet(*files_list)
+    for col, lo, hi in preds:
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+    return df

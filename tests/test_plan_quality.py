@@ -1030,3 +1030,25 @@ def test_adamic_adar_no_cartesian(spark):
     release_cached()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kruskal_wallis_ranks_domain_not_facts(spark):
+    """Same contract as Mann-Whitney: the rank window consumes the
+    50-value aggregated domain, never fact rows."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_kruskal_wallis_quantity,
+    )
+
+    plan = _plan(q_kruskal_wallis_quantity(spark, SF_DIR))
+    assert _min_node_id(plan, "Window") > _min_node_id(plan, "HashAggregate")
+
+
+def test_holt_kernel_consumes_daily_aggregate(spark):
+    """The sequential Holt fold must sit ABOVE the daily collapse: the
+    Arrow kernel sees the calendar-bounded frame, not order rows."""
+    from etl_portofolio_spark.plans.round7_queries import q_holt_trend_forecast
+
+    plan = _plan(q_holt_trend_forecast(spark, SF_DIR))
+    assert _min_node_id(plan, "FlatMapGroupsInPandas") > _min_node_id(
+        plan, "HashAggregate"
+    )

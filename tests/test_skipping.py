@@ -331,3 +331,54 @@ def test_footer_zonemap_degrades_on_missing_column(spark, tmp_path):
     # incremental refresh over the same layout also survives
     kept, added, dropped = skipping.refresh_zonemap_incremental(spark, path, "v")
     assert added == 2 and dropped == 0
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: conjunctive 2-D pruning
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zorder_paths(spark, tmp_path_factory):
+    """The same events projection written three ways: z-ordered on
+    (user_id, value), range-clustered on user_id only, and the box
+    predicate bounds shared by every assertion."""
+    from etl_portofolio_spark.sinks.writer import write_zorder_clustered
+
+    root = tmp_path_factory.mktemp("zorder")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    zpath = str(root / "ev_z")
+    rpath = str(root / "ev_r")
+    write_zorder_clustered(ev, zpath, "user_id", "value", n_files=16)
+    write_range_clustered(ev, rpath, "user_id", n_files=16)
+    b = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("value").alias("vlo"),
+        F.max("value").alias("vhi"),
+    ).first()
+    us, vs = b["uhi"] - b["ulo"], b["vhi"] - b["vlo"]
+    preds = [
+        ("user_id", b["ulo"] + us // 4, b["ulo"] + us // 4 + us // 8),
+        ("value", b["vlo"] + vs * 0.25, b["vlo"] + vs * 0.25 + vs * 0.125),
+    ]
+    return zpath, rpath, preds
+
+
+def test_zorder_2d_prune_matches_plain_filter(spark, zorder_paths):
+    zpath, _, preds = zorder_paths
+    pruned = skipping.skipping_scan_multi(spark, zpath, preds)
+    full = spark.read.parquet(zpath)
+    for col, lo, hi in preds:
+        full = full.where(F.col(col) >= lo).where(F.col(col) <= hi)
+    assert _rows(pruned) == _rows(full)
+    assert pruned.schema == full.schema
+
+
+def test_zorder_empty_box_returns_schema_stable_empty(spark, zorder_paths):
+    zpath, _, _ = zorder_paths
+    out = skipping.skipping_scan_multi(
+        spark, zpath, [("user_id", 10**15, 2 * 10**15)]
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["event_id", "user_id", "value"]
