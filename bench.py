@@ -90,6 +90,14 @@ HEADLINE = (
     "weighted_median_price",
     "zonemap_pruned_scan",
     "bloom_pruned_lookup",
+    # round-7 additions: DSIR scoring, survival curve, blocked edit-
+    # distance verify, the 2-D Morton pruned read, and the sequential
+    # Holt fold (Arrow kernel over the calendar frame)
+    "dsir_importance_weights",
+    "km_time_to_return",
+    "edit_distance_verify",
+    "zorder_pruned_scan_2d",
+    "holt_trend_forecast",
 )
 
 

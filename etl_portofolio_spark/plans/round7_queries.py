@@ -1243,3 +1243,415 @@ ROUND7_QUERIES["zorder_pruned_scan_2d"] = (
     q_zorder_pruned_scan_2d,
     _ZORDER_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_coverage — OOV rate against a fixed-size vocabulary
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 1024
+
+
+def q_tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: build the top-1024 corpus vocabulary
+    (count-desc, token-asc tiebreak — fully deterministic) and report,
+    per source, how many token occurrences fall outside it — the
+    coverage check run before freezing a tokenizer's vocab on a new
+    corpus slice.
+
+    Scale design: token counts are one combinable groupBy; the vocab
+    is a TakeOrderedAndProject (k rows cross the driver boundary, never
+    a global sort of the term space); membership is a broadcast join of
+    the 1024-row vocab against the token stream; the per-source reduce
+    is the only other shuffle.  Rates are integer permille.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.floor(
+            F.lit(1000)
+            * F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("oov_permille"),
+    )
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), toks_f AS (
+  SELECT source, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks_f GROUP BY 1
+    ORDER BY cnt DESC, tok ASC LIMIT {_VOCAB_SIZE}
+  )
+)
+SELECT t.source, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(floor(1000.0 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS oov_permille
+FROM toks_f t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY 1
+"""
+
+ROUND7_QUERIES["tokenizer_vocab_coverage"] = (
+    q_tokenizer_vocab_coverage,
+    _VOCAB_COVERAGE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_report — sensitive-attribute diversity per QI group
+# ---------------------------------------------------------------------------
+
+
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to `k_anonymity_report`:
+    k-anonymity bounds re-identification but a uniform sensitive value
+    inside a quasi-identifier group still leaks it — this reports, per
+    (nationkey, mktsegment) QI group, the group size k, the number of
+    DISTINCT sensitive values l (account-balance thousand-bucket), and
+    whether the group fails l >= 3 — the rows a release gate must
+    generalize or suppress.
+
+    Scale design: one groupBy producing both k and the distinct count
+    (a two-level aggregate — bucket-level dedup first, so no Expand
+    node from a mixed count/countDistinct); the QI-group frame is
+    domain-bounded.
+    """
+    apply_runtime_confs(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    bucketed = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000)).cast("long").alias("sens_b"),
+    )
+    per_bucket = bucketed.groupBy("c_nationkey", "c_mktsegment", "sens_b").agg(
+        F.count(F.lit(1)).alias("k_part")
+    )
+    return per_bucket.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("k_part").alias("k_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k_size",
+        "l_distinct",
+        F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("fails_l3"),
+    )
+
+
+_LDIV_SQL = """
+WITH per_bucket AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens_b,
+         COUNT(*) AS k_part
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+       SUM(k_part) AS k_size,
+       COUNT(*) AS l_distinct,
+       CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS fails_l3
+FROM per_bucket GROUP BY 1, 2
+"""
+
+ROUND7_QUERIES["l_diversity_report"] = (q_l_diversity_report, _LDIV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sql_script_report — Spark 4 SQL scripting (procedural WHILE) surface
+# ---------------------------------------------------------------------------
+
+_SCRIPT_START_CENTS = 100
+
+
+def q_sql_script_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-scripting surface (BEGIN/DECLARE/WHILE): a
+    procedural doubling search over price thresholds — double until at
+    most a tenth of orders remain above, then report the priority
+    breakdown at the LAST threshold that still kept more than a tenth
+    (``thr DIV 2``, nonempty by construction).  Imperative control flow
+    executed entirely inside the SQL engine, returned as the script's
+    final statement.  The oracle expresses the SAME search as a
+    recursive CTE: procedural loop vs declarative recursion must land
+    on the identical fixpoint (all-integer arithmetic, scale-relative
+    target — no magic row counts).
+
+    Scale design: each loop iteration is one combinable count over the
+    pushdown-filtered orders scan, and the iteration count is
+    logarithmic in the price domain — O(log(domain)) passes at any
+    data size.
+    """
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("r7_orders")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE thr BIGINT DEFAULT {_SCRIPT_START_CENTS};
+          DECLARE tgt BIGINT;
+          SET tgt = (SELECT COUNT(*) DIV 10 FROM r7_orders);
+          WHILE (SELECT COUNT(*) FROM r7_orders
+                 WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= thr)
+                > tgt DO
+            SET thr = thr * 2;
+          END WHILE;
+          SELECT o_orderpriority,
+                 thr DIV 2 AS threshold_cents,
+                 COUNT(*) AS n_above
+          FROM r7_orders
+          WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= thr DIV 2
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+_SCRIPT_SQL = f"""
+WITH RECURSIVE tgt AS (
+  SELECT COUNT(*) // 10 AS t FROM orders
+), search(thr) AS (
+  SELECT CAST({_SCRIPT_START_CENTS} AS BIGINT)
+  UNION ALL
+  SELECT thr * 2 FROM search
+  WHERE (SELECT COUNT(*) FROM orders
+         WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= thr)
+        > (SELECT t FROM tgt)
+), fixpoint AS (
+  SELECT MAX(thr) // 2 AS thr FROM search
+)
+SELECT o_orderpriority,
+       f.thr AS threshold_cents,
+       COUNT(*) AS n_above
+FROM orders, fixpoint f
+WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= f.thr
+GROUP BY o_orderpriority, f.thr
+"""
+
+ROUND7_QUERIES["sql_script_report"] = (q_sql_script_report, _SCRIPT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_communities — synchronous LPA on the brand graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+_LPA_MIN_CO = 5
+
+
+def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    x = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    y = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("bb"))
+    return (
+        x.join(y, "ok")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= _LPA_MIN_CO)
+        .select("ba", "bb")
+    )
+
+
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    brand co-purchase graph: every node starts as its own label; each
+    round adopts the most frequent neighbor label (count desc, label
+    asc tiebreak — the deterministic variant of LPA), four fixed
+    rounds.  Complements the connected-components / k-core / PageRank
+    family with an actual community algorithm.
+
+    Scale design: per round, one equi-join (labels onto edge
+    endpoints) + one groupBy + a PER-NODE window (partitioned by node,
+    frame bounded by degree — never global).  Synchronous updates and
+    the total tiebreak make every round a pure function of the
+    previous labeling — partition-order independent, and exactly
+    reproducible by the oracle's unrolled SQL rounds.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+
+    edges = scoped_persist(_lpa_edges(spark, sf_dir))
+    und = edges.select(F.col("ba").alias("u"), F.col("bb").alias("v")).unionAll(
+        edges.select(F.col("bb").alias("u"), F.col("ba").alias("v"))
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    win = Window.partitionBy("u").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        nbr = und.join(labels, und.v == labels.node).select(und.u, labels.label)
+        best = (
+            nbr.groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f""", best{r} AS (
+  SELECT u, label FROM (
+    SELECT e.u, l.label, COUNT(*) AS cnt
+    FROM und e JOIN {prev} l ON e.v = l.node GROUP BY 1, 2
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) = 1
+), l{r} AS (
+  SELECT n.node, COALESCE(b.label, n.label) AS label
+  FROM {prev} n LEFT JOIN best{r} b ON b.u = n.node
+)"""
+        )
+        prev = f"l{r}"
+    return f"""
+WITH pairs AS (
+  SELECT x.p_brand AS ba, y.p_brand AS bb
+  FROM (SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey) x
+  JOIN (SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey) y
+    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_CO}
+), und AS (
+  SELECT ba AS u, bb AS v FROM pairs
+  UNION ALL
+  SELECT bb AS u, ba AS v FROM pairs
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM und
+){''.join(rounds)}
+SELECT l.node, l.label AS community, s.community_size
+FROM {prev} l JOIN (
+  SELECT label, COUNT(*) AS community_size FROM {prev} GROUP BY 1
+) s ON s.label = l.label
+"""
+
+
+ROUND7_QUERIES["label_propagation_communities"] = (
+    q_label_propagation_communities,
+    _lpa_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_profile — first-occurrence novelty by corpus order
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 5
+
+
+def q_ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve for dataset ordering: per document, the fraction
+    of its distinct 5-gram shingles whose FIRST corpus occurrence (by
+    doc_id order) is this document — late documents full of already-
+    seen grams are the repetition a curriculum or dedup pass
+    down-weights.
+
+    Scale design: gram explosion is map-only over a materialized token
+    array (no expression re-evaluation inside the lambda); distinct
+    grams per doc and the global first-occurrence reduce are gram-
+    keyed shuffles with map-side combine; the join back is gram-keyed
+    equi — never all-pairs.  Rates are integer permille.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda t: t != "")
+    based = docs.select("doc_id", arr.alias("arr"))
+    idxs = F.when(
+        F.size("arr") >= _NOVELTY_N,
+        F.sequence(F.lit(1), F.size("arr") - (_NOVELTY_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        based.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idxs, lambda i: F.concat_ws(" ", F.slice("arr", i, _NOVELTY_N))
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.floor(
+                F.lit(1000)
+                * F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("novel_permille"),
+        )
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[CAST(u.i AS BIGINT):CAST(u.i + {_NOVELTY_N - 1} AS BIGINT)], ' ') AS g
+  FROM base, LATERAL unnest(generate_series(1, len(arr) - {_NOVELTY_N - 1})) AS u(i)
+  WHERE len(arr) >= {_NOVELTY_N}
+), firsts AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+)
+SELECT gr.doc_id, COUNT(*) AS n_grams,
+       SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       CAST(floor(1000.0 * SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS novel_permille
+FROM grams gr JOIN firsts f ON gr.g = f.g
+GROUP BY 1
+"""
+
+ROUND7_QUERIES["ngram_novelty_profile"] = (
+    q_ngram_novelty_profile,
+    _NOVELTY_SQL,
+)

@@ -1052,3 +1052,42 @@ def test_holt_kernel_consumes_daily_aggregate(spark):
     assert _min_node_id(plan, "FlatMapGroupsInPandas") > _min_node_id(
         plan, "HashAggregate"
     )
+
+
+def test_vocab_coverage_broadcast_and_topk(spark):
+    """The 1024-row vocab must broadcast onto the token stream, and its
+    selection must be TakeOrdered (k rows), never a global sort."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_tokenizer_vocab_coverage,
+    )
+
+    plan = _plan(q_tokenizer_vocab_coverage(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lpa_rounds_are_equi_joins(spark):
+    """Each LPA round is label-onto-edges equi-join + per-node window;
+    no cartesian or nested-loop anywhere across the unrolled rounds."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_label_propagation_communities,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_label_propagation_communities(spark, SF_DIR))
+    release_cached()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_novelty_gram_join_no_cartesian(spark):
+    """The first-occurrence reduce joins back on the gram key only."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_ngram_novelty_profile,
+    )
+
+    plan = _plan(q_ngram_novelty_profile(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
