@@ -1655,3 +1655,338 @@ ROUND7_QUERIES["ngram_novelty_profile"] = (
     q_ngram_novelty_profile,
     _NOVELTY_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# rolling_7d_distinct_users — exact sliding-window distinct (rolling WAU)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the windowed
+    distinct a dashboard calls WAU, computed EXACTLY: each distinct
+    (user, day) pair covers the 7 window-ends it can influence (a
+    bounded 7× fan-out of the deduplicated pair frame, never of raw
+    events), then one distinct-reduce per window end.
+
+    Scale design: raw events collapse to distinct (user, day) map-side
+    first; the explode multiplies PAIRS (users × active-days), not
+    events; window ends are restricted to days that exist (broadcast
+    calendar join).  Both shuffles are key-partitioned; a naive
+    `countDistinct OVER (RANGE 7 days)` would instead re-scan the full
+    user set per day inside one task.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ev.select(F.to_date("ts").alias("w")).distinct()
+    cov = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("w"),
+        )
+        .join(F.broadcast(days), "w")
+        .distinct()
+    )
+    return cov.groupBy("w").agg(F.count(F.lit(1)).alias("users_7d"))
+
+
+_ROLLING_WAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS w FROM events
+), cov AS (
+  SELECT DISTINCT p.user_id, dy.w
+  FROM pairs p JOIN days dy ON dy.w >= p.d AND dy.w <= p.d + 6
+)
+SELECT w, COUNT(*) AS users_7d FROM cov GROUP BY 1
+"""
+
+ROUND7_QUERIES["rolling_7d_distinct_users"] = (
+    q_rolling_7d_distinct_users,
+    _ROLLING_WAU_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# time_decay_attribution — dyadic-exact decayed multi-touch credit
+# ---------------------------------------------------------------------------
+
+_DECAY_WINDOW_DAYS = 28
+
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every click/view in the 28
+    days before a user's purchase earns credit halving per week of age
+    — weight ``2^(3 - age_weeks)`` (8/4/2/1, EXACT integers — the
+    dyadic trick again, no float decay).  Credit shares are integer
+    permille with the rounding remainder assigned to the MOST RECENT
+    touch, so every purchase's credit sums to exactly 1000 — value
+    conservation, the property float splits silently lose
+    (`multi_touch_attribution`'s contract, decayed).
+
+    Scale design: purchase×touch pairing is a user-keyed equi-join
+    with a time-range residual (per-user fan-out, never cross-user);
+    the per-purchase totals and remainder election are one groupBy +
+    a per-purchase window over that purchase's own touches.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("tts"),
+    )
+    paired = purchases.join(touches, "u").where(
+        (F.col("tts") < F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {_DECAY_WINDOW_DAYS} DAYS")
+        )
+    )
+    weighted = paired.select(
+        "purchase_id",
+        "touch_id",
+        "tts",
+        F.expr(
+            "shiftleft(1, 3 - least(CAST(floor("
+            "datediff(to_date(pts), to_date(tts)) / 7) AS INT), 3))"
+        ).alias("w"),
+    )
+    tot = Window.partitionBy("purchase_id")
+    share_floor = F.floor(
+        F.lit(1000) * F.col("w") / F.sum("w").over(tot)
+    ).cast("long")
+    ranked = weighted.select(
+        "purchase_id",
+        "touch_id",
+        "w",
+        share_floor.alias("share_floor"),
+        F.row_number()
+        .over(tot.orderBy(F.col("tts").desc(), F.col("touch_id").asc()))
+        .alias("recency_rank"),
+        (F.lit(1000) - F.sum(share_floor).over(tot)).alias("slack"),
+    )
+    return ranked.select(
+        "purchase_id",
+        "touch_id",
+        "w",
+        (
+            F.col("share_floor")
+            + F.when(F.col("recency_rank") == 1, F.col("slack")).otherwise(0)
+        ).alias("share_permille"),
+    )
+
+
+_DECAY_SQL = f"""
+WITH purchases AS (
+  SELECT user_id AS u, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id AS u, event_id AS touch_id, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+), paired AS (
+  SELECT p.purchase_id, t.touch_id, t.tts,
+         (1 << (3 - least(CAST(floor(datediff('day', CAST(t.tts AS DATE),
+                                              CAST(p.pts AS DATE)) / 7)
+                               AS INT), 3))) AS w
+  FROM purchases p JOIN touches t ON p.u = t.u
+  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL {_DECAY_WINDOW_DAYS} DAY
+), floored AS (
+  SELECT purchase_id, touch_id, w,
+         CAST(floor(1000.0 * w / SUM(w) OVER (PARTITION BY purchase_id))
+              AS BIGINT) AS share_floor,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY tts DESC, touch_id ASC) AS recency_rank
+  FROM paired
+), ranked AS (
+  SELECT purchase_id, touch_id, w, share_floor, recency_rank,
+         1000 - SUM(share_floor) OVER (PARTITION BY purchase_id) AS slack
+  FROM floored
+)
+SELECT purchase_id, touch_id, w,
+       share_floor + CASE WHEN recency_rank = 1 THEN slack ELSE 0 END
+         AS share_permille
+FROM ranked
+"""
+
+ROUND7_QUERIES["time_decay_attribution"] = (
+    q_time_decay_attribution,
+    _DECAY_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# compaction_invariance — small-file rewrite is answer-invariant
+# ---------------------------------------------------------------------------
+
+_COMPACT_SMALL_FILES = 12
+
+
+def q_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, oracle-gated: a ds-partitioned copy of
+    ``events`` is written deliberately fragmented (12 files per day),
+    one day is compacted via `sinks/writer.py::compact_partition`, and
+    the per-day rollup over the WHOLE table must still hash-match the
+    oracle computed from the source — compaction may only change the
+    file layout, never an answer.  The builder also asserts the
+    compacted day's file count actually dropped, so a silent no-op
+    regression fails the query itself.
+
+    100 TB: the rewrite is scoped to one partition behind the ingest
+    watermark (dynamic overwrite, atomic per-partition commit); the
+    small-files problem this erases is the classic cost of frequent
+    micro-batch appends — compaction keeps scan task counts bounded by
+    data size, not by append frequency.
+    """
+    apply_runtime_confs(spark)
+    import glob
+    import os
+
+    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.sinks.writer import compact_partition
+
+    path = _fixture_dir(sf_dir, "events_fragmented")
+    marker = os.path.join(path, "_COMPACTED")
+    if not os.path.exists(marker):
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+                F.date_format(F.to_date("ts"), "yyyyMMdd").alias("ds"),
+            )
+            .repartition(_COMPACT_SMALL_FILES)
+        )
+        ev.write.partitionBy("ds").mode("overwrite").parquet(path)
+        target_ds = sorted(
+            os.path.basename(p).split("=", 1)[1]
+            for p in glob.glob(os.path.join(path, "ds=*"))
+        )[0]
+        before = len(
+            glob.glob(os.path.join(path, f"ds={target_ds}", "*.parquet"))
+        )
+        compact_partition(spark, path, "ds", target_ds)
+        after = len(
+            glob.glob(os.path.join(path, f"ds={target_ds}", "*.parquet"))
+        )
+        if not after < before:
+            raise AssertionError(
+                f"compaction did not reduce files: {before} -> {after}"
+            )
+        with open(marker, "w") as fh:
+            fh.write(f"{target_ds}: {before} -> {after}\n")
+    return (
+        spark.read.parquet(path)
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("value_cents"),
+        )
+    )
+
+
+_COMPACTION_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS ds,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1
+"""
+
+ROUND7_QUERIES["compaction_invariance"] = (
+    q_compaction_invariance,
+    _COMPACTION_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# schema_evolution_read — cross-vintage type widening through the contract
+# ---------------------------------------------------------------------------
+
+
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read, oracle-gated: two order vintages on disk
+    — the old one with ``o_orderkey`` as INT and no ``channel`` column,
+    the new one BIGINT with ``channel='web'`` — read as ONE frame
+    through the declared contract
+    (`sources/evolving.py::read_with_evolution`).  The cross-vintage
+    INT→BIGINT type change defeats ``mergeSchema`` (Spark refuses to
+    merge differing numeric types), so this exercises the per-vintage
+    grouped fallback: each vintage reads under its own schema, casts
+    to the contract, NULL-fills the added column, then unions.  The
+    oracle reconstructs the same frame from ``orders`` directly — the
+    evolution machinery must be invisible in answers.
+
+    100 TB: vintage grouping is a footer-metadata pass; each vintage
+    scan stays pushdown/pruning-capable (plain parquet reads), and no
+    rewrite of historical files is ever needed to onboard a widened
+    contract.
+    """
+    apply_runtime_confs(spark)
+    import os
+
+    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.sources.evolving import read_with_evolution
+
+    path = _fixture_dir(sf_dir, "orders_vintages")
+    if not os.path.exists(os.path.join(path, "_SUCCESS_V2")):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            cents("o_totalprice").alias("total_cents"),
+            F.year("o_orderdate").alias("o_year"),
+            F.to_date("o_orderdate").alias("odate"),
+        )
+        cut = F.lit("1995-01-01").cast("date")
+        v1 = orders.where(F.col("odate") < cut).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_custkey",
+            "total_cents",
+            "o_year",
+        )
+        v2 = orders.where(F.col("odate") >= cut).select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_custkey",
+            "total_cents",
+            "o_year",
+            F.lit("web").alias("channel"),
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2.write.mode("append").parquet(path)
+        with open(os.path.join(path, "_SUCCESS_V2"), "w") as fh:
+            fh.write("v2 appended\n")
+    contract = (
+        "o_orderkey bigint, o_custkey bigint, total_cents bigint, "
+        "o_year int, channel string"
+    )
+    df = read_with_evolution(spark, path, contract)
+    return df.groupBy("channel", "o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_cents").alias("revenue_cents"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN NULL
+            ELSE 'web' END AS channel,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents,
+       MAX(o_orderkey) AS max_orderkey
+FROM orders GROUP BY 1, 2
+"""
+
+ROUND7_QUERIES["schema_evolution_read"] = (
+    q_schema_evolution_read,
+    _EVOLUTION_SQL,
+)

@@ -1091,3 +1091,27 @@ def test_novelty_gram_join_no_cartesian(spark):
     plan = _plan(q_ngram_novelty_profile(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_wau_dedups_before_expansion(spark):
+    """The 7x fan-out must multiply the DEDUPLICATED (user, day) frame:
+    an aggregate sits below the generate/explode node."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_rolling_7d_distinct_users,
+    )
+
+    plan = _plan(q_rolling_7d_distinct_users(spark, SF_DIR))
+    assert _min_node_id(plan, "Generate") > _min_node_id(plan, "HashAggregate")
+    assert "BroadcastHashJoin" in plan  # calendar restriction broadcast
+
+
+def test_time_decay_pairing_is_user_equi_join(spark):
+    """Purchase-touch pairing joins on the user key with a time-range
+    residual — never a time-only nested loop."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_time_decay_attribution,
+    )
+
+    plan = _plan(q_time_decay_attribution(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
