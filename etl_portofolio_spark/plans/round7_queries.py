@@ -1990,3 +1990,333 @@ ROUND7_QUERIES["schema_evolution_read"] = (
     q_schema_evolution_read,
     _EVOLUTION_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# spearman_quantity_discount — rank correlation on bounded domains
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between ``l_quantity`` and
+    ``l_discount`` — monotone-association detection that Pearson (on
+    values) misses.  Both variables live on small integer domains
+    (quantity 1..50, discount in basis points), so tie-averaged ranks
+    are computed per DOMAIN VALUE from one combinable groupBy — no
+    fact row is ever sorted — and ρ is Pearson over the rank pairs,
+    assembled from exact integer accumulators (doubled ranks) with one
+    IEEE division+sqrt at the end, rounded to 6.
+
+    Completes the correlation family next to exact Pearson
+    (`stats_corr_exact`), Kendall (`brand_rank_kendall_tau`) and
+    mutual information (`quantity_price_mutual_information`).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d_bp"),
+    )
+    cells = li.groupBy("q", "d_bp").agg(F.count(F.lit(1)).alias("cnt"))
+    # tie-averaged doubled rank per domain value, from marginal counts
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    qr = (
+        cells.groupBy("q")
+        .agg(F.sum("cnt").alias("nq"))
+        .select(
+            "q",
+            "nq",
+            (
+                F.lit(2) * F.coalesce(F.sum("nq").over(wq), F.lit(0))
+                + F.col("nq")
+                + 1
+            ).alias("qrank2"),
+        )
+    )
+    wd = Window.orderBy("d_bp").rowsBetween(Window.unboundedPreceding, -1)
+    dr = (
+        cells.groupBy("d_bp")
+        .agg(F.sum("cnt").alias("nd"))
+        .select(
+            "d_bp",
+            (
+                F.lit(2) * F.coalesce(F.sum("nd").over(wd), F.lit(0))
+                + F.col("nd")
+                + 1
+            ).alias("drank2"),
+        )
+    )
+    joined = (
+        cells.join(F.broadcast(qr.select("q", "qrank2")), "q")
+        .join(F.broadcast(dr), "d_bp")
+    )
+    # Pearson over doubled ranks: scale factors cancel in ρ
+    # second-moment accumulators in DECIMAL(38,0): Σ cnt·r²  reaches
+    # ~n³ — past int64 at SF >= 1 even though the test scales fit
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = joined.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("qrank2")).alias("sx"),
+        F.sum(F.col("cnt") * F.col("drank2")).alias("sy"),
+        F.sum(dec(F.col("cnt") * F.col("qrank2")) * F.col("qrank2")).alias("sxx"),
+        F.sum(dec(F.col("cnt") * F.col("drank2")) * F.col("drank2")).alias("syy"),
+        F.sum(dec(F.col("cnt") * F.col("qrank2")) * F.col("drank2")).alias("sxy"),
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = nd("n") * nd("sxy") - nd("sx") * nd("sy")
+    den = F.sqrt(
+        (nd("n") * nd("sxx") - nd("sx") * nd("sx"))
+        * (nd("n") * nd("syy") - nd("sy") * nd("sy"))
+    )
+    return agg.select(
+        "n", F.round(num / den, 6).alias("spearman_rho_r6")
+    )
+
+
+_SPEARMAN_SQL = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d_bp
+  FROM lineitem
+), cells AS (
+  SELECT q, d_bp, COUNT(*) AS cnt FROM li GROUP BY 1, 2
+), qm AS (
+  SELECT q, SUM(cnt) AS nq FROM cells GROUP BY 1
+), qr AS (
+  SELECT q, 2 * COALESCE(SUM(nq) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nq + 1
+           AS qrank2
+  FROM qm
+), dm AS (
+  SELECT d_bp, SUM(cnt) AS nd FROM cells GROUP BY 1
+), dr AS (
+  SELECT d_bp, 2 * COALESCE(SUM(nd) OVER (ORDER BY d_bp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nd + 1
+           AS drank2
+  FROM dm
+), agg AS (
+  SELECT SUM(cnt) AS n,
+         SUM(cnt * qrank2) AS sx, SUM(cnt * drank2) AS sy,
+         SUM(cnt * qrank2 * qrank2) AS sxx,
+         SUM(cnt * drank2 * drank2) AS syy,
+         SUM(cnt * qrank2 * drank2) AS sxy
+  FROM cells JOIN qr USING (q) JOIN dr USING (d_bp)
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS spearman_rho_r6
+FROM agg
+"""
+
+ROUND7_QUERIES["spearman_quantity_discount"] = (
+    q_spearman_quantity_discount,
+    _SPEARMAN_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# isotonic_price_curve — monotone regression via the minimax identity
+# ---------------------------------------------------------------------------
+
+
+def q_isotonic_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of mean line-item
+    price against quantity — the calibration-curve fit (PAVA) expressed
+    DECLARATIVELY through the minimax identity:
+    ``iso(v) = max_{i<=v} min_{j>=v} weightedMean(y, i..j)``,
+    which equals the pool-adjacent-violators solution exactly.  No
+    sequential pooling loop: interval means come from prefix sums over
+    the 50-value quantity DOMAIN, the (i, v, j) enumeration is a
+    domain-bounded triple (~22k rows — O(D³) in the domain size D,
+    ZERO dependence on fact rows), and the min/max cascade is two
+    groupBys.  Interval means are IEEE divisions of exact integer
+    sums; the fitted level rounds to 4 on emission.
+
+    The builder-side monotonicity of the output is the algorithm's own
+    guarantee and is pinned by the oracle hash (any violation would
+    diverge from the SQL minimax).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(cents("l_extendedprice")).alias("s"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pref = per_v.select(
+        "v",
+        "w",
+        "s",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("s").over(wcum).alias("cs"),
+    )
+    left = pref.select(
+        F.col("v").alias("i"),
+        (F.col("cw") - F.col("w")).alias("cw_before"),
+        (F.col("cs") - F.col("s")).alias("cs_before"),
+    )
+    right = pref.select(
+        F.col("v").alias("j"), F.col("cw").alias("cw_j"), F.col("cs").alias("cs_j")
+    )
+    intervals = left.crossJoin(right).where(F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cs_j") - F.col("cs_before")).cast("double")
+            / (F.col("cw_j") - F.col("cw_before")).cast("double")
+        ).alias("mean_ij"),
+    )
+    doms = pref.select(F.col("v").alias("v"))
+    triples = intervals.join(
+        F.broadcast(doms),
+        (F.col("i") <= F.col("v")) & (F.col("v") <= F.col("j")),
+    )
+    inner = triples.groupBy("v", "i").agg(F.min("mean_ij").alias("min_right"))
+    iso = inner.groupBy("v").agg(F.max("min_right").alias("iso_raw"))
+    return (
+        per_v.join(iso, "v")
+        .select(
+            "v",
+            "w",
+            F.round(
+                F.col("s").cast("double") / F.col("w").cast("double"), 4
+            ).alias("mean_r4"),
+            F.round("iso_raw", 4).alias("iso_r4"),
+        )
+    )
+
+
+_ISOTONIC_SQL = """
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS w,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS s
+  FROM lineitem GROUP BY 1
+), pref AS (
+  SELECT v, w, s,
+         SUM(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(s) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM per_v
+), intervals AS (
+  SELECT a.v AS i, b.v AS j,
+         CAST(b.cs - (a.cs - a.s) AS DOUBLE)
+         / CAST(b.cw - (a.cw - a.w) AS DOUBLE) AS mean_ij
+  FROM pref a JOIN pref b ON a.v <= b.v
+), inner_min AS (
+  SELECT d.v, t.i, MIN(t.mean_ij) AS min_right
+  FROM intervals t JOIN pref d ON t.i <= d.v AND d.v <= t.j
+  GROUP BY 1, 2
+), iso AS (
+  SELECT v, MAX(min_right) AS iso_raw FROM inner_min GROUP BY 1
+)
+SELECT p.v, p.w,
+       round(CAST(p.s AS DOUBLE) / CAST(p.w AS DOUBLE), 4) AS mean_r4,
+       round(i.iso_raw, 4) AS iso_r4
+FROM per_v p JOIN iso i ON p.v = i.v
+"""
+
+ROUND7_QUERIES["isotonic_price_curve"] = (
+    q_isotonic_price_curve,
+    _ISOTONIC_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation — optimal stratified-sample allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10_000
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation for a stratified sample of ``lineitem`` by
+    return flag: the sampling budget splits proportionally to
+    ``N_h · σ_h`` (stratum size × price standard deviation) — the
+    allocation that minimizes the estimator's variance at fixed cost.
+    σ comes from the exact integer one-pass identity
+    (``n·Σx² − (Σx)²`` on DECIMAL accumulators — order-independent),
+    shares are floored to integers and the remainder goes to the
+    largest-remainder strata (largest fractional part, stratum-name
+    tiebreak) so allocations sum to EXACTLY the budget.
+
+    Scale design: one combinable groupBy to the |strata| frame; the
+    allocation arithmetic runs on that domain-bounded frame with
+    windows over it.  The same shape runs per-source or per-language
+    for corpus sampling budgets.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = cents("l_extendedprice")
+    stats = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(x.cast("decimal(38,0)")).alias("sx"),
+        F.sum((x.cast("decimal(38,0)") * x)).alias("sxx"),
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    sigma = F.sqrt(
+        (nd("n_h") * nd("sxx") - nd("sx") * nd("sx")) / (nd("n_h") * nd("n_h"))
+    )
+    weighted = stats.select(
+        "stratum", "n_h", (nd("n_h") * sigma).alias("w")
+    )
+    wall = Window.partitionBy()
+    shared = weighted.select(
+        "stratum",
+        "n_h",
+        (F.lit(float(_NEYMAN_BUDGET)) * F.col("w") / F.sum("w").over(wall)).alias(
+            "alloc_raw"
+        ),
+    )
+    flo = F.floor("alloc_raw").cast("long")
+    ranked = shared.select(
+        "stratum",
+        "n_h",
+        flo.alias("alloc_floor"),
+        (F.col("alloc_raw") - flo).alias("frac"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum(flo).over(wall)).alias("slack"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("frac").desc(), F.col("stratum").asc())
+    )
+    return ranked.select(
+        "stratum",
+        "n_h",
+        (
+            F.col("alloc_floor")
+            + F.when(rn <= F.col("slack"), 1).otherwise(0)
+        ).alias("alloc_n"),
+    )
+
+
+_NEYMAN_SQL = f"""
+WITH stats AS (
+  SELECT l_returnflag AS stratum, COUNT(*) AS n_h,
+         SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY 1
+), weighted AS (
+  SELECT stratum, n_h,
+         CAST(n_h AS DOUBLE)
+         * sqrt((CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE))) AS w
+  FROM stats
+), shared AS (
+  SELECT stratum, n_h,
+         CAST({_NEYMAN_BUDGET} AS DOUBLE) * w / SUM(w) OVER () AS alloc_raw
+  FROM weighted
+), ranked AS (
+  SELECT stratum, n_h,
+         CAST(floor(alloc_raw) AS BIGINT) AS alloc_floor,
+         alloc_raw - floor(alloc_raw) AS frac,
+         {_NEYMAN_BUDGET} - SUM(CAST(floor(alloc_raw) AS BIGINT)) OVER () AS slack
+  FROM shared
+)
+SELECT stratum, n_h,
+       alloc_floor + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, stratum ASC)
+                               <= slack THEN 1 ELSE 0 END AS alloc_n
+FROM ranked
+"""
+
+ROUND7_QUERIES["neyman_allocation"] = (q_neyman_allocation, _NEYMAN_SQL)

@@ -956,7 +956,7 @@ def _min_node_id(plan: str, node: str) -> int:
     never raw fact rows."""
     import re
 
-    ids = [int(m) for m in re.findall(rf"\b{node}\w* \((\d+)\)", plan)]
+    ids = [int(m) for m in re.findall(rf"\b{node}[^(\n]* \((\d+)\)", plan)]
     assert ids, f"no {node} node found in plan"
     return min(ids)
 
@@ -1115,3 +1115,26 @@ def test_time_decay_pairing_is_user_equi_join(spark):
     plan = _plan(q_time_decay_attribution(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_isotonic_triples_are_domain_bounded(spark):
+    """The minimax enumeration must consume the 50-value aggregated
+    domain (HashAggregate below every join), never fact rows."""
+    from etl_portofolio_spark.plans.round7_queries import q_isotonic_price_curve
+
+    plan = _plan(q_isotonic_price_curve(spark, SF_DIR))
+    assert _min_node_id(plan, "BroadcastNestedLoopJoin") > _min_node_id(
+        plan, "HashAggregate"
+    )
+
+
+def test_spearman_single_fact_scan_decimal_accumulators(spark):
+    """Rank margins and moments all derive from ONE cells aggregate;
+    no SortMergeJoin; second moments are decimal-typed."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_spearman_quantity_discount,
+    )
+
+    plan = _plan(q_spearman_quantity_discount(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "decimal(38,0)" in plan
