@@ -2320,3 +2320,195 @@ FROM ranked
 """
 
 ROUND7_QUERIES["neyman_allocation"] = (q_neyman_allocation, _NEYMAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# fd_repair_election — majority repair of a violated functional dependency
+# ---------------------------------------------------------------------------
+
+
+def q_fd_repair_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remediation for `fd_violation_audit`: for the (deliberately
+    violated) dependency ``p_type → p_size``, elect the canonical size
+    per type by majority vote (count desc, value asc — total order, no
+    arbitrary winner) and report, per violating type, the elected
+    value, how many variant values existed, and how many rows a repair
+    pass would rewrite — the fix-plan a data-quality pipeline executes,
+    not just the audit that finds the breakage.
+
+    Scale design: two-level aggregation exactly like the audit (pair
+    counts → per-key election), the election itself a per-key window
+    over that key's own variants (bounded by variant fan-out).
+    """
+    apply_runtime_confs(spark)
+    part = load_table(spark, sf_dir, "part")
+    pairs = part.groupBy("p_type", "p_size").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("p_type").orderBy(
+        F.col("n").desc(), F.col("p_size").asc()
+    )
+    elected = pairs.select(
+        "p_type",
+        "p_size",
+        "n",
+        F.row_number().over(win).alias("rk"),
+        F.sum("n").over(Window.partitionBy("p_type")).alias("n_rows"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_type")).alias("n_variants"),
+    )
+    return (
+        elected.where((F.col("rk") == 1) & (F.col("n_variants") > 1))
+        .select(
+            "p_type",
+            F.col("p_size").alias("elected_size"),
+            "n_variants",
+            "n_rows",
+            (F.col("n_rows") - F.col("n")).alias("rows_to_rewrite"),
+        )
+    )
+
+
+_FD_REPAIR_SQL = """
+WITH pairs AS (
+  SELECT p_type, p_size, COUNT(*) AS n FROM part GROUP BY 1, 2
+), elected AS (
+  SELECT p_type, p_size, n,
+         ROW_NUMBER() OVER (PARTITION BY p_type
+                            ORDER BY n DESC, p_size ASC) AS rk,
+         SUM(n) OVER (PARTITION BY p_type) AS n_rows,
+         COUNT(*) OVER (PARTITION BY p_type) AS n_variants
+  FROM pairs
+)
+SELECT p_type, p_size AS elected_size, n_variants, n_rows,
+       n_rows - n AS rows_to_rewrite
+FROM elected WHERE rk = 1 AND n_variants > 1
+"""
+
+ROUND7_QUERIES["fd_repair_election"] = (q_fd_repair_election, _FD_REPAIR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalization — map per-source distributions onto the pool
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the event ``value`` metric across
+    sources (event types): each source's empirical distribution maps
+    onto the POOLED distribution — the batch-effect correction ML
+    preprocessing applies so no source's scale dominates a model.
+
+    For every distinct (source, value-cent) point with cumulative
+    source fraction q, the normalized value is the smallest pooled
+    value-cent whose pooled cumulative fraction reaches q — a
+    FORWARD AS-OF join on cumulative fractions, made exact by integer
+    cross-multiplication (``cumP · n_src >= cumS · n_pool`` — no
+    float quantiles anywhere).
+
+    Scale design: both distributions are value-cent histograms
+    (domain-bounded after one combinable groupBy each); the as-of
+    match is a window-merge over the UNION of the two cumulative
+    curves per source — sort cost bounded by distinct value-cents,
+    never event rows.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("src"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    src_h = ev.groupBy("src", "vc").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    src_c = src_h.select(
+        "src",
+        "vc",
+        F.sum("n").over(wsrc).alias("cum_s"),
+        F.sum("n").over(Window.partitionBy("src")).alias("n_s"),
+    )
+    pool_h = ev.groupBy("vc").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    pool_c = pool_h.select(
+        F.col("vc").alias("pvc"),
+        F.sum("n").over(wp).alias("cum_p"),
+        F.sum("n").over(Window.partitionBy()).alias("n_p"),
+    )
+    # merge both curves per source, ordered by cumulative FRACTION via
+    # cross-multiplied integers; pooled points carry their value, source
+    # points pick the first pooled value at or after their fraction
+    src_pts = src_c.select(
+        "src",
+        "vc",
+        (F.col("cum_s").cast("decimal(38,0)")).alias("num"),
+        F.col("n_s").alias("den"),
+        F.lit(1).alias("is_src"),
+        F.lit(None).cast("long").alias("pool_vc"),
+    )
+    pool_pts = src_c.select("src").distinct().crossJoin(pool_c).select(
+        "src",
+        F.lit(None).cast("long").alias("vc"),
+        (F.col("cum_p").cast("decimal(38,0)")).alias("num"),
+        F.col("n_p").alias("den"),
+        F.lit(0).alias("is_src"),
+        F.col("pvc").alias("pool_vc"),
+    )
+    merged = src_pts.unionByName(pool_pts).select(
+        "*",
+        # scaled fraction key, FLOORED — a bare decimal cast would
+        # round HALF_UP while the oracle's // floors (boundary skew)
+        F.floor(F.col("num") * F.lit(10 ** 18) / F.col("den"))
+        .cast("decimal(38,0)")
+        .alias("frac_key"),
+    )
+    wmerge = (
+        Window.partitionBy("src")
+        .orderBy(F.col("frac_key").asc(), F.col("is_src").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = merged.select(
+        "src",
+        "vc",
+        "is_src",
+        F.first(F.col("pool_vc"), ignorenulls=True).over(wmerge).alias("norm_vc"),
+    ).where(F.col("is_src") == 1)
+    return matched.select("src", "vc", "norm_vc")
+
+
+_QNORM_SQL = """
+WITH ev AS (
+  SELECT event_type AS src, CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+), src_c AS (
+  SELECT src, vc,
+         SUM(n) OVER (PARTITION BY src ORDER BY vc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+         SUM(n) OVER (PARTITION BY src) AS n_s
+  FROM (SELECT src, vc, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+), pool_c AS (
+  SELECT vc AS pvc,
+         SUM(n) OVER (ORDER BY vc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+         SUM(n) OVER () AS n_p
+  FROM (SELECT vc, COUNT(*) AS n FROM ev GROUP BY 1)
+), src_pts AS (
+  SELECT src, vc, CAST(cum_s AS HUGEINT) AS num, n_s AS den,
+         1 AS is_src, CAST(NULL AS BIGINT) AS pool_vc
+  FROM src_c
+), pool_pts AS (
+  SELECT s.src, CAST(NULL AS BIGINT) AS vc, CAST(cum_p AS HUGEINT) AS num,
+         n_p AS den, 0 AS is_src, pvc AS pool_vc
+  FROM (SELECT DISTINCT src FROM src_c) s, pool_c
+), merged AS (
+  SELECT *, num * 1000000000000000000 // den AS frac_key
+  FROM (SELECT * FROM src_pts UNION ALL BY NAME SELECT * FROM pool_pts)
+)
+SELECT src, vc,
+       FIRST_VALUE(pool_vc IGNORE NULLS)
+         OVER (PARTITION BY src ORDER BY frac_key ASC, is_src ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS norm_vc
+FROM merged
+QUALIFY is_src = 1
+"""
+
+ROUND7_QUERIES["quantile_normalization"] = (
+    q_quantile_normalization,
+    _QNORM_SQL,
+)

@@ -1138,3 +1138,15 @@ def test_spearman_single_fact_scan_decimal_accumulators(spark):
     plan = _plan(q_spearman_quantity_discount(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "decimal(38,0)" in plan
+
+
+def test_quantile_normalization_windows_after_histograms(spark):
+    """The fraction-merge windows must consume value-cent HISTOGRAMS
+    (aggregates), never raw event rows."""
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_quantile_normalization,
+    )
+
+    plan = _plan(q_quantile_normalization(spark, SF_DIR))
+    assert _min_node_id(plan, "Window") > _min_node_id(plan, "HashAggregate")
+    assert "CartesianProduct" not in plan
