@@ -2512,3 +2512,281 @@ ROUND7_QUERIES["quantile_normalization"] = (
     q_quantile_normalization,
     _QNORM_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# ks_drift_test — exact two-sample Kolmogorov-Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+
+def q_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second halves of the event stream (split at the median day by
+    calendar midpoint): D = max |F1(x) − F2(x)| over the value-cent
+    domain, computed EXACTLY by integer cross-multiplication —
+    ``|cum1·n2 − cum2·n1|`` — so the supremum selection never compares
+    floats.  The classic nonparametric companion to the PSI monitor
+    (`histogram_drift_psi`): PSI needs binning choices, KS does not.
+
+    Scale design: both samples collapse to value-cent histograms (one
+    combinable groupBy); the CDF merge runs over the union of distinct
+    value-cents (domain-bounded); one row out.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.to_date(
+            F.from_unixtime(
+                (
+                    F.floor(F.unix_timestamp(F.min("ts")))
+                    + F.floor(F.unix_timestamp(F.max("ts")))
+                )
+                / 2
+            )
+        ).alias("mid_day")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        F.when(F.to_date("ts") < F.col("mid_day"), 1).otherwise(2).alias("half"),
+    )
+    hist = tagged.groupBy("vc").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wcum = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    curves = hist.select(
+        "vc",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+    )
+    return curves.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(gap).alias("ks_scaled"),
+        F.round(
+            F.max(gap).cast("double")
+            / (F.max("n1") * F.max("n2")).cast("double"),
+            6,
+        ).alias("ks_r6"),
+    )
+
+
+_KS_SQL = """
+WITH mid AS (
+  SELECT CAST(to_timestamp((CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                            + CAST(floor(epoch(MAX(ts))) AS BIGINT)) / 2)
+              AS DATE) AS mid_day
+  FROM events
+), tagged AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+         CASE WHEN CAST(ts AS DATE) < mid_day THEN 1 ELSE 2 END AS half
+  FROM events, mid
+), hist AS (
+  SELECT vc,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS c2
+  FROM tagged GROUP BY 1
+), curves AS (
+  SELECT vc,
+         SUM(c1) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         SUM(c2) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+         SUM(c1) OVER () AS n1,
+         SUM(c2) OVER () AS n2
+  FROM hist
+)
+SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+       MAX(abs(cum1 * n2 - cum2 * n1)) AS ks_scaled,
+       round(CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / CAST(MAX(n1) * MAX(n2) AS DOUBLE), 6) AS ks_r6
+FROM curves
+"""
+
+ROUND7_QUERIES["ks_drift_test"] = (q_ks_drift_test, _KS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest_price — unequal-variance two-sample t from exact moments
+# ---------------------------------------------------------------------------
+
+
+def q_welch_ttest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on line-item price between
+    returned ('R') and non-returned ('N') items, with the
+    Welch-Satterthwaite degrees of freedom — the default two-sample
+    mean test when variances differ.  Everything derives from ONE
+    combinable pass of exact integer/decimal moments (n, Σx, Σx² in
+    cents); t and df are a single IEEE expression over those integers,
+    rounded to 6.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    x = cents("l_extendedprice").cast("decimal(38,0)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    p = stats.select(
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("l_returnflag") == "N", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("l_returnflag") == "N", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("l_returnflag") == "N", F.col("sxx"))).alias("sxx2"),
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1 = nd("sx1") / nd("n1")
+    m2 = nd("sx2") / nd("n2")
+    v1 = (nd("sxx1") - nd("sx1") * nd("sx1") / nd("n1")) / (nd("n1") - 1)
+    v2 = (nd("sxx2") - nd("sx2") * nd("sx2") / nd("n2")) / (nd("n2") - 1)
+    se2 = v1 / nd("n1") + v2 / nd("n2")
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / nd("n1")) * (v1 / nd("n1")) / (nd("n1") - 1)
+        + (v2 / nd("n2")) * (v2 / nd("n2")) / (nd("n2") - 1)
+    )
+    return p.select(
+        "n1",
+        "n2",
+        F.round(m1 - m2, 6).alias("mean_diff_cents_r6"),
+        F.round(t, 6).alias("welch_t_r6"),
+        F.round(df, 6).alias("welch_df_r6"),
+    )
+
+
+_WELCH_SQL = """
+WITH stats AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxx
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+), p AS (
+  SELECT MAX(CASE WHEN l_returnflag = 'R' THEN n END) AS n1,
+         MAX(CASE WHEN l_returnflag = 'R' THEN sx END) AS sx1,
+         MAX(CASE WHEN l_returnflag = 'R' THEN sxx END) AS sxx1,
+         MAX(CASE WHEN l_returnflag = 'N' THEN n END) AS n2,
+         MAX(CASE WHEN l_returnflag = 'N' THEN sx END) AS sx2,
+         MAX(CASE WHEN l_returnflag = 'N' THEN sxx END) AS sxx2
+  FROM stats
+), m AS (
+  SELECT n1, n2,
+         CAST(sx1 AS DOUBLE) / n1 AS m1,
+         CAST(sx2 AS DOUBLE) / n2 AS m2,
+         (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1) AS v1,
+         (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n2) / (n2 - 1) AS v2
+  FROM p
+), se AS (
+  SELECT *, v1 / n1 + v2 / n2 AS se2 FROM m
+)
+SELECT n1, n2,
+       round(m1 - m2, 6) AS mean_diff_cents_r6,
+       round((m1 - m2) / sqrt(se2), 6) AS welch_t_r6,
+       round((se2 * se2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df_r6
+FROM se
+"""
+
+ROUND7_QUERIES["welch_ttest_price"] = (q_welch_ttest_price, _WELCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join_colocated — write-time shuffle, join-time zero Exchange
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join through bucketed tables, oracle-gated: lineitem
+    and orders are saved bucketed by their join key into the same
+    bucket count (`sinks/writer.py::write_bucketed_table`), so the
+    orderkey join runs with ZERO join-side Exchange — the shuffle was
+    paid once at write time and amortizes over every later join on the
+    key.  The builder inspects the formatted plan and FAILS if a
+    hash-partitioning exchange on either join key appears, so the
+    co-location claim is enforced in the gating query itself, not just
+    a unit test; the oracle recomputes the rollup from the raw tables
+    — bucketing must be invisible in answers.
+
+    100 TB: this is the canonical pre-shuffled-fact-table layout; the
+    remaining Exchange in the plan belongs to the final small rollup
+    only.
+    """
+    apply_runtime_confs(spark)
+    import hashlib
+    import os
+
+    from etl_portofolio_spark.sinks.writer import write_bucketed_table
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    li_t, ord_t = f"r7_li_b_{tag}", f"r7_ord_b_{tag}"
+
+    def _clear_stale(table: str) -> None:
+        # in-memory catalog: a fresh session forgets the table but the
+        # managed location survives; Spark then refuses the CREATE.
+        # The data is a pure derivative of the sf tables — rewriting is
+        # always safe.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+    if not spark.catalog.tableExists(li_t):
+        _clear_stale(li_t)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", cents("l_extendedprice").alias("price_c")
+        )
+        write_bucketed_table(li, li_t, "l_orderkey", _BUCKETS)
+    if not spark.catalog.tableExists(ord_t):
+        _clear_stale(ord_t)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        write_bucketed_table(orders, ord_t, "o_orderkey", _BUCKETS)
+    joined = (
+        spark.table(li_t)
+        .join(
+            spark.table(ord_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price_c").alias("revenue_cents"),
+        )
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for key in ("l_orderkey", "o_orderkey"):
+        if f"hashpartitioning({key}" in plan:
+            raise AssertionError(
+                f"bucketed join regressed: join-side exchange on {key}"
+            )
+    return joined
+
+
+_BUCKETED_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+ROUND7_QUERIES["bucketed_join_colocated"] = (
+    q_bucketed_join_colocated,
+    _BUCKETED_SQL,
+)
