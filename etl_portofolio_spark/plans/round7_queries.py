@@ -2790,3 +2790,154 @@ ROUND7_QUERIES["bucketed_join_colocated"] = (
     q_bucketed_join_colocated,
     _BUCKETED_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_tumbling_oracle — a REAL streaming run, hash-gated
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_tumbling_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming executed FOR REAL inside the correctness
+    gate: the events table is laid out as time-ordered files, consumed
+    as a file-source stream one file per micro-batch with a 1-day
+    watermark, aggregated into 6-hour tumbling windows, and drained to
+    completion with an availableNow trigger into a memory sink.  The
+    oracle is the plain batch SQL — so the streaming engine's state
+    management, watermarking, and multi-batch accumulation must
+    reproduce the batch answer bit-for-bit.
+
+    Determinism by construction: files are range-partitioned and
+    sorted on event time, so each micro-batch's minimum event time is
+    >= every earlier batch's maximum — no record ever arrives behind
+    the watermark, and the 1-day lateness is never exercised as a drop
+    (the no-drop setup a correctness gate needs; the drop path is
+    test-gated in `tests/test_io_streaming.py`).  Complete output mode
+    emits every window including unfinalized ones.
+
+    100 TB: this IS the production shape — file-source micro-batches,
+    watermark-bounded state, window aggregation; availableNow is the
+    catch-up/backfill trigger.
+    """
+    apply_runtime_confs(spark)
+    import os
+
+    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.streaming.structured import (
+        read_file_stream,
+        windowed_counts,
+    )
+
+    path = _fixture_dir(sf_dir, "events_stream_ordered")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        (
+            ev.repartitionByRange(6, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    stream = read_file_stream(
+        spark,
+        path,
+        schema="event_id bigint, ts timestamp, event_type string, value double",
+        max_files_per_trigger=1,
+    )
+    agg = windowed_counts(stream, window="6 hours", lateness="1 day")
+    import hashlib
+
+    sink = f"r7_stream_sink_{hashlib.md5(path.encode()).hexdigest()[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # session TZ is pinned UTC — format to a string so the comparator
+    # never sees engine-specific timestamp rendering
+    return spark.table(sink).select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+_STREAM_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+         AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+ROUND7_QUERIES["streaming_tumbling_oracle"] = (
+    q_streaming_tumbling_oracle,
+    _STREAM_TUMBLING_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# observe_metrics_audit — pipeline-side metrics via Dataset.observe
+# ---------------------------------------------------------------------------
+
+
+def q_observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters collected THROUGH the execution pipeline
+    with ``Dataset.observe`` (CollectMetricsExec): row count, exact
+    revenue cents, and the key envelope ride along with a full-scan
+    noop write — zero extra passes, the metrics a production job
+    attaches to every load and ships to its monitor
+    (`streaming/monitor.py` is the streaming face of the same idea).
+    The oracle recomputes the same aggregates declaratively: the
+    observed values must be exact, not approximations.
+
+    Only deterministic, order-insensitive aggregates are legal here
+    (count / integer sum / min / max) — an observe() of a float sum
+    would be partition-order-dependent and could never pass this gate.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("r7_li_load_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["revenue_cents"],
+                m["min_orderkey"],
+                m["max_orderkey"],
+            )
+        ],
+        "n_rows bigint, revenue_cents bigint, min_orderkey bigint, "
+        "max_orderkey bigint",
+    )
+
+
+_OBSERVE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents,
+       MIN(l_orderkey) AS min_orderkey,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem
+"""
+
+ROUND7_QUERIES["observe_metrics_audit"] = (
+    q_observe_metrics_audit,
+    _OBSERVE_SQL,
+)
