@@ -2941,3 +2941,261 @@ ROUND7_QUERIES["observe_metrics_audit"] = (
     q_observe_metrics_audit,
     _OBSERVE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff_lift — two-period causal panel estimate
+# ---------------------------------------------------------------------------
+
+_DID_CUTOVER = "2024-01-16"  # mid-range of the 30-day event window
+
+
+def q_diff_in_diff_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treatment = odd-user cohort (the
+    deterministic assignment `conversion_rate_ztest` also uses),
+    periods split at the mid-range cutover date; the DiD estimate is
+    ``(post_T − pre_T) − (post_C − pre_C)`` on mean event value —
+    the causal panel companion to CUPED (`ab_test_cuped_lift`):
+    CUPED reduces variance within one period, DiD removes level
+    differences across periods.
+
+    One combinable pass produces the 2×2 cell moments (exact integer
+    cents); the four means and the estimate are a single IEEE
+    expression rounded to 6.  Per-cell rows emit alongside the
+    estimate so the parallel-trends inputs are auditable.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+        (F.to_date("ts") >= F.lit(_DID_CUTOVER).cast("date"))
+        .cast("int")
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_c"),
+    )
+    nd = lambda c: c.cast("double")  # noqa: E731
+    mean_of = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            nd(F.col("sum_c")) / nd(F.col("n")),
+        )
+    )
+    est = cells.agg(
+        mean_of(1, 0).alias("pre_t"),
+        mean_of(1, 1).alias("post_t"),
+        mean_of(0, 0).alias("pre_c"),
+        mean_of(0, 1).alias("post_c"),
+    ).select(
+        F.lit(-1).alias("treated"),
+        F.lit(-1).alias("post"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("sum_c"),
+        F.round(
+            (F.col("post_t") - F.col("pre_t"))
+            - (F.col("post_c") - F.col("pre_c")),
+            6,
+        ).alias("did_cents_r6"),
+    )
+    detail = cells.select(
+        "treated",
+        "post",
+        "n",
+        "sum_c",
+        F.lit(None).cast("double").alias("did_cents_r6"),
+    )
+    return detail.unionByName(est)
+
+
+_DID_SQL = f"""
+WITH cells AS (
+  SELECT CAST(user_id % 2 = 1 AS INT) AS treated,
+         CAST(CAST(ts AS DATE) >= DATE '{_DID_CUTOVER}' AS INT) AS post,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_c
+  FROM events GROUP BY 1, 2
+), est AS (
+  SELECT -1 AS treated, -1 AS post,
+         CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS sum_c,
+         round((MAX(CASE WHEN treated = 1 AND post = 1
+                         THEN CAST(sum_c AS DOUBLE) / n END)
+                - MAX(CASE WHEN treated = 1 AND post = 0
+                           THEN CAST(sum_c AS DOUBLE) / n END))
+               - (MAX(CASE WHEN treated = 0 AND post = 1
+                           THEN CAST(sum_c AS DOUBLE) / n END)
+                  - MAX(CASE WHEN treated = 0 AND post = 0
+                             THEN CAST(sum_c AS DOUBLE) / n END)), 6)
+           AS did_cents_r6
+  FROM cells
+)
+SELECT treated, post, n, sum_c, CAST(NULL AS DOUBLE) AS did_cents_r6 FROM cells
+UNION ALL BY NAME
+SELECT * FROM est
+"""
+
+ROUND7_QUERIES["diff_in_diff_lift"] = (q_diff_in_diff_lift, _DID_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pca_top_eigenvector — dominant PCA direction by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIMS = 64
+_PCA_ROUNDS = 8
+
+
+def q_pca_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding cloud by POWER
+    ITERATION over the exact covariance matrix — the whitening /
+    dimensionality-diagnostic a representation pipeline runs next to
+    `embedding_covariance_topk` (which reports entries; this extracts
+    the direction).  Eight fixed iterations from the all-ones start;
+    every matrix-vector product accumulates per-term-rounded
+    DECIMAL(38,12) partials (order-independent), normalization is one
+    IEEE sqrt/division per round with the result re-rounded to 9 — so
+    the whole iteration is bit-deterministic and the oracle can replay
+    it as eight unrolled SQL rounds.
+
+    Scale design: covariance assembly is the only data-sized stage
+    (explode join keyed ON vec_id — shuffle is dims× the vector count,
+    never pairs-of-vectors); the iteration itself runs on the D×D
+    frame (4096 rows), cost independent of corpus size.  For D where
+    D² explode is too wide, the numpy gram kernel
+    (`similarity.py`'s Arrow path) is the drop-in; the plan shape
+    here is the declarative twin.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, _PCA_DIMS)).alias("dim", "xf"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xf").cast("double"), 12)
+        .cast("decimal(38,12)")
+        .alias("x"),
+    )
+    comps = scoped_persist(comps)
+    means = comps.groupBy("dim").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mu"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = comps.select(
+        "vec_id", F.col("dim").alias("i"), F.col("x").alias("xa")
+    ).join(
+        F.broadcast(means.select(F.col("dim").alias("i"), F.col("mu").alias("mu_a"))),
+        "i",
+    )
+    b = comps.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("dim").alias("j"),
+        F.col("x").alias("xb"),
+    ).join(
+        F.broadcast(means.select(F.col("dim").alias("j"), F.col("mu").alias("mu_b"))),
+        "j",
+    )
+    cov = (
+        a.join(b, a.vec_id == b.vec_id_b)
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("xa").cast("double") - F.col("mu_a"))
+                * (F.col("xb").cast("double") - F.col("mu_b")),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+        .join(F.broadcast(means.select(F.col("dim").alias("i"), "n")), "i")
+        .select(
+            "i",
+            "j",
+            (F.col("sp").cast("double") / F.col("n").cast("double")).alias("c"),
+        )
+    )
+    cov = scoped_persist(cov)
+    v = means.select(F.col("dim").alias("j"), F.lit(1.0).alias("v"))
+    norm_col = None
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cov.join(v, "j")
+            .select("i", F.round(F.col("c") * F.col("v"), 12).cast(
+                "decimal(38,12)"
+            ).alias("t"))
+            .groupBy("i")
+            .agg(F.sum("t").cast("double").alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)"))
+                .cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"),
+            F.round(F.col("w") / F.col("nrm"), 9).alias("v"),
+            F.col("nrm"),
+        )
+        norm_col = "nrm"
+    return v.select(
+        F.col("j").alias("dim"),
+        F.round("v", 6).alias("loading_r6"),
+        F.round(norm_col, 6).alias("eigenvalue_r6"),
+    )
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(
+            f""", w{r} AS (
+  SELECT c.i, CAST(SUM(CAST(round(c.c * p.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS w
+  FROM cov c JOIN {prev} p ON c.j = p.j GROUP BY 1
+), n{r} AS (
+  SELECT sqrt(CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM w{r}
+), v{r} AS (
+  SELECT i AS j, round(w / nrm, 9) AS v FROM w{r}, n{r}
+)"""
+        )
+        prev = f"v{r}"
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(u.i - 1 AS INT) AS dim,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE), 12) AS DECIMAL(38,12)) AS x
+  FROM embeddings, LATERAL unnest(generate_series(1, {_PCA_DIMS})) AS u(i)
+), m AS (
+  SELECT dim, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu, COUNT(*) AS n
+  FROM ex GROUP BY 1
+), cov AS (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(SUM(CAST(round((CAST(a.x AS DOUBLE) - ma.mu)
+                             * (CAST(b.x AS DOUBLE) - mb.mu), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE)
+         / CAST(MAX(ma.n) AS DOUBLE) AS c
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+  JOIN m ma ON ma.dim = a.dim JOIN m mb ON mb.dim = b.dim
+  GROUP BY 1, 2
+), v0 AS (
+  SELECT dim AS j, 1.0 AS v FROM m
+){''.join(rounds)}
+SELECT v.j AS dim, round(v.v, 6) AS loading_r6,
+       round(n{_PCA_ROUNDS}.nrm, 6) AS eigenvalue_r6
+FROM v{_PCA_ROUNDS} v, n{_PCA_ROUNDS}
+"""
+
+
+ROUND7_QUERIES["pca_top_eigenvector"] = (
+    q_pca_top_eigenvector,
+    _pca_oracle(),
+)
