@@ -98,6 +98,10 @@ HEADLINE = (
     "edit_distance_verify",
     "zorder_pruned_scan_2d",
     "holt_trend_forecast",
+    # real execution-engine paths: an actual structured-streaming drain
+    # (availableNow, memory sink) and the co-located bucketed join
+    "streaming_tumbling_oracle",
+    "bucketed_join_colocated",
 )
 
 

@@ -3145,6 +3145,11 @@ def q_pca_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w") / F.col("nrm"), 9).alias("v"),
             F.col("nrm"),
         )
+        # truncate lineage each round: without this the plan doubles per
+        # iteration (task binaries 1.6→12 MiB over 8 rounds, ~100 s at
+        # sf0.1); the checkpointed frame is 64 rows — same discipline as
+        # the PageRank/CC/k-core loops
+        v = v.localCheckpoint(eager=True)
         norm_col = "nrm"
     return v.select(
         F.col("j").alias("dim"),
