@@ -3204,3 +3204,301 @@ ROUND7_QUERIES["pca_top_eigenvector"] = (
     q_pca_top_eigenvector,
     _pca_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rrf_fusion — reciprocal-rank fusion of lexical + vector rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 100
+_RRF_TERMS = ("spark", "table", "hash", "merge")
+
+
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: a lexical ranking
+    (panel-term hit count over documents) and a vector ranking (cosine
+    against the vec_id=0 probe embedding) fuse as
+    ``Σ 1/(60 + rank)`` over each list's top-100 — the standard
+    RAG-stack merge of BM25-style and ANN retrieval, rank-based so
+    the two score scales never need calibrating.
+
+    Scale design: each list is a TakeOrderedAndProject top-100 (never
+    a global sort); ranks come from windows over those 100-row frames;
+    the fusion join is id-keyed over <=200 rows.  Cosine dot products
+    accumulate per-term-rounded DECIMAL partials in fixed array order;
+    both scores round to 6 BEFORE ranking (the cross-engine ranking
+    rule), ids break ties everywhere.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lex_score = F.size(
+        F.filter(F.split("text", " "), lambda t: t.isin(*_RRF_TERMS))
+    )
+    lex_top = (
+        docs.select(F.col("doc_id").alias("id"), lex_score.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    wl = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+    lex_ranked = lex_top.select("id", F.row_number().over(wl).alias("r_lex"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("id", "dim", F.col("xf").cast("double").alias("x"))
+    probe = ex.where(F.col("id") == 0).select(
+        "dim", F.col("x").alias("p")
+    )
+    scored = (
+        ex.join(F.broadcast(probe), "dim")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("p"), 12).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("dot"),
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+                ).cast("double")
+            ).alias("nx"),
+        )
+        .where(F.col("id") != 0)
+        .select("id", F.round(F.col("dot") / F.col("nx"), 6).alias("s"))
+    )
+    vec_top = scored.orderBy(F.col("s").desc(), F.col("id").asc()).limit(
+        _RRF_DEPTH
+    )
+    wv = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+    vec_ranked = vec_top.select("id", F.row_number().over(wv).alias("r_vec"))
+
+    fused = lex_ranked.join(vec_ranked, "id", "full").select(
+        "id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)
+            ),
+            9,
+        ).alias("rrf_r9"),
+    )
+    return fused.orderBy(F.col("rrf_r9").desc(), F.col("id").asc()).limit(10)
+
+
+_RRF_SQL = f"""
+WITH lex_top AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ({", ".join("'" + t + "'" for t in _RRF_TERMS)}))) AS s
+  FROM documents ORDER BY s DESC, id ASC LIMIT {_RRF_DEPTH}
+), lex_ranked AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r_lex FROM lex_top
+), ex AS (
+  SELECT vec_id AS id, CAST(u.i AS INT) - 1 AS dim,
+         CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS u(i)
+), probe AS (
+  SELECT dim, x AS p FROM ex WHERE id = 0
+), scored AS (
+  SELECT e.id,
+         round(CAST(SUM(CAST(round(e.x * p.p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / sqrt(CAST(SUM(CAST(round(e.x * e.x, 12) AS DECIMAL(38,12)))
+                           AS DOUBLE)), 6) AS s
+  FROM ex e JOIN probe p ON e.dim = p.dim
+  WHERE e.id <> 0
+  GROUP BY e.id
+), vec_top AS (
+  SELECT id, s FROM scored ORDER BY s DESC, id ASC LIMIT {_RRF_DEPTH}
+), vec_ranked AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r_vec FROM vec_top
+)
+SELECT COALESCE(l.id, v.id) AS id, l.r_lex, v.r_vec,
+       round(COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0)
+             + COALESCE(1.0 / ({_RRF_K} + v.r_vec), 0), 9) AS rrf_r9
+FROM lex_ranked l FULL JOIN vec_ranked v ON l.id = v.id
+ORDER BY rrf_r9 DESC, id ASC LIMIT 10
+"""
+
+ROUND7_QUERIES["hybrid_rrf_fusion"] = (q_hybrid_rrf_fusion, _RRF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# business_days_latency — closed-form business-day arithmetic
+# ---------------------------------------------------------------------------
+
+#: a Monday far before every date in the data (1970-01-05)
+_BD_EPOCH = "1970-01-05"
+
+
+def q_business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency in BUSINESS days per order priority —
+    SLA reporting that must not count weekends.  Business-day counting
+    is CLOSED FORM (no calendar table, no explode):
+    ``g(d) = 5·(days_since_monday_epoch ÷ 7) + min(days mod 7, 5)``
+    counts business days from a fixed epoch Monday, and the latency is
+    ``g(ship) − g(order)`` — pure integer arithmetic on datediffs,
+    identical in both engines.
+
+    Scale design: one combinable groupBy to first-ship per order, one
+    map-side expression per row, one rollup by priority; the latency
+    histogram emits mean scaled to integers (sum/count separately) so
+    no float aggregate exists.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("sd")
+    )
+
+    def g(col: str):
+        days = F.datediff(F.col(col), F.lit(_BD_EPOCH).cast("date"))
+        return F.lit(5) * F.floor(days / 7) + F.least(
+            days - F.lit(7) * F.floor(days / 7), F.lit(5)
+        )
+
+    paired = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority", (g("sd") - g("od")).cast("long").alias("bdays")
+    )
+    return paired.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("bdays").alias("sum_bdays"),
+        F.min("bdays").alias("min_bdays"),
+        F.max("bdays").alias("max_bdays"),
+    )
+
+
+_BDAYS_SQL = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS sd
+  FROM lineitem GROUP BY 1
+), paired AS (
+  SELECT o.o_orderpriority,
+         (5 * ((datediff('day', DATE '{_BD_EPOCH}', s.sd)) // 7)
+          + least(datediff('day', DATE '{_BD_EPOCH}', s.sd)
+                  - 7 * ((datediff('day', DATE '{_BD_EPOCH}', s.sd)) // 7), 5))
+         - (5 * ((datediff('day', DATE '{_BD_EPOCH}', CAST(o.o_orderdate AS DATE))) // 7)
+            + least(datediff('day', DATE '{_BD_EPOCH}', CAST(o.o_orderdate AS DATE))
+                    - 7 * ((datediff('day', DATE '{_BD_EPOCH}', CAST(o.o_orderdate AS DATE))) // 7), 5))
+           AS bdays
+  FROM orders o JOIN first_ship s ON o.o_orderkey = s.l_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(bdays) AS sum_bdays,
+       MIN(bdays) AS min_bdays, MAX(bdays) AS max_bdays
+FROM paired GROUP BY 1
+"""
+
+ROUND7_QUERIES["business_days_latency"] = (
+    q_business_days_latency,
+    _BDAYS_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# brand_series_correlation_topk — time-series similarity over brands
+# ---------------------------------------------------------------------------
+
+
+def q_brand_series_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which brands move together?  Pearson correlation between every
+    brand pair's MONTHLY revenue series, top-20 most-correlated pairs
+    — the time-series similarity search behind "related products" and
+    demand-transfer analysis.
+
+    Scale design: the fact table collapses once to (brand, month,
+    cents); the pair frame is |brands|² month-joined series — DOMAIN-
+    bounded (25 brands × ~84 months), never fact-sized.  Correlations
+    assemble from exact integer sums (DECIMAL second moments), round
+    to 6 BEFORE the top-k ordering, brand pair breaks ties; only
+    pairs with full month overlap and nonzero variance rank.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand", F.date_format("l_shipdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(cents("l_extendedprice")).alias("rev"))
+    )
+    monthly = scoped_persist(monthly)
+    a = monthly.select(
+        F.col("p_brand").alias("ba"), "month", F.col("rev").alias("xa")
+    )
+    b = monthly.select(
+        F.col("p_brand").alias("bb"), "month", F.col("rev").alias("xb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    moments = (
+        a.join(b, "month")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(dec(F.col("xa")) * F.col("xa")).alias("sxx"),
+            F.sum(dec(F.col("xb")) * F.col("xb")).alias("syy"),
+            F.sum(dec(F.col("xa")) * F.col("xb")).alias("sxy"),
+        )
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = nd("n") * nd("sxy") - nd("sx") * nd("sy")
+    varx = nd("n") * nd("sxx") - nd("sx") * nd("sx")
+    vary = nd("n") * nd("syy") - nd("sy") * nd("sy")
+    corr = moments.where((varx > 0) & (vary > 0)).select(
+        "ba",
+        "bb",
+        "n",
+        F.round(num / F.sqrt(varx * vary), 6).alias("corr_r6"),
+    )
+    return corr.orderBy(
+        F.col("corr_r6").desc(), F.col("ba").asc(), F.col("bb").asc()
+    ).limit(20)
+
+
+_BRAND_CORR_SQL = """
+WITH monthly AS (
+  SELECT p_brand, strftime(l_shipdate, '%Y-%m') AS month,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), moments AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, COUNT(*) AS n,
+         SUM(a.rev) AS sx, SUM(b.rev) AS sy,
+         SUM(CAST(a.rev AS HUGEINT) * a.rev) AS sxx,
+         SUM(CAST(b.rev AS HUGEINT) * b.rev) AS syy,
+         SUM(CAST(a.rev AS HUGEINT) * b.rev) AS sxy
+  FROM monthly a JOIN monthly b
+    ON a.month = b.month AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT ba, bb, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS corr_r6
+FROM moments
+WHERE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+  AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+ORDER BY corr_r6 DESC, ba ASC, bb ASC LIMIT 20
+"""
+
+ROUND7_QUERIES["brand_series_correlation_topk"] = (
+    q_brand_series_correlation_topk,
+    _BRAND_CORR_SQL,
+)

@@ -1150,3 +1150,28 @@ def test_quantile_normalization_windows_after_histograms(spark):
     plan = _plan(q_quantile_normalization(spark, SF_DIR))
     assert _min_node_id(plan, "Window") > _min_node_id(plan, "HashAggregate")
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_lists_are_take_ordered(spark):
+    """Both retrieval lists must be TakeOrderedAndProject top-k, never
+    a global sort of the corpus; the probe side broadcasts."""
+    from etl_portofolio_spark.plans.round7_queries import q_hybrid_rrf_fusion
+
+    plan = _plan(q_hybrid_rrf_fusion(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_brand_series_corr_pairs_after_monthly_collapse(spark):
+    """The pair join must consume the (brand, month) aggregate, never
+    fact rows, and the final top-k rides TakeOrdered."""
+    from etl_portofolio_spark.caching import release_cached
+    from etl_portofolio_spark.plans.round7_queries import (
+        q_brand_series_correlation_topk,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_brand_series_correlation_topk(spark, SF_DIR))
+    release_cached()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
