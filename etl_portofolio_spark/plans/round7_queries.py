@@ -3502,3 +3502,76 @@ ROUND7_QUERIES["brand_series_correlation_topk"] = (
     q_brand_series_correlation_topk,
     _BRAND_CORR_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# weekday_seasonality_index — day-of-week effect as exact rationals
+# ---------------------------------------------------------------------------
+
+
+def q_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index for order revenue: each weekday's
+    mean daily revenue over the grand mean daily revenue, scaled so
+    1000 = average — the calendar-effect profile demand planning
+    divides out before trend fitting (the weekly companion to
+    `seasonal_decomposition`'s additive split).
+
+    Exactness: both means are rationals of integer cents and day
+    counts; the index is one IEEE division chain scaled by 1000 and
+    rounded to 4.  ISO weekday (1=Mon) is pure datediff arithmetic
+    modulo 7 from an epoch Monday — identical in both engines, no
+    locale-dependent dayname anywhere.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    dow = (
+        F.datediff(F.col("day"), F.lit(_BD_EPOCH).cast("date")) % 7 + 1
+    ).cast("int")
+    per_dow = daily.select(dow.alias("iso_dow"), "rev_c").groupBy(
+        "iso_dow"
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev_c").alias("rev_cents"),
+    )
+    wall = Window.partitionBy()
+    return per_dow.select(
+        "iso_dow",
+        "n_days",
+        "rev_cents",
+        F.round(
+            F.lit(1000.0)
+            * (F.col("rev_cents").cast("double") / F.col("n_days").cast("double"))
+            / (
+                F.sum("rev_cents").over(wall).cast("double")
+                / F.sum("n_days").over(wall).cast("double")
+            ),
+            4,
+        ).alias("index_r4"),
+    )
+
+
+_WEEKDAY_IDX_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), per_dow AS (
+  SELECT CAST(datediff('day', DATE '{_BD_EPOCH}', day) % 7 + 1 AS INT)
+           AS iso_dow,
+         COUNT(*) AS n_days, SUM(rev_c) AS rev_cents
+  FROM daily GROUP BY 1
+)
+SELECT iso_dow, n_days, rev_cents,
+       round(1000.0 * (CAST(rev_cents AS DOUBLE) / n_days)
+             / (SUM(rev_cents) OVER () * 1.0 / SUM(n_days) OVER ()), 4)
+         AS index_r4
+FROM per_dow
+"""
+
+ROUND7_QUERIES["weekday_seasonality_index"] = (
+    q_weekday_seasonality_index,
+    _WEEKDAY_IDX_SQL,
+)
