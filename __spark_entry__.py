@@ -101,13 +101,24 @@ def _evidence_scores() -> dict[str, tuple[int, int]]:
     return scores
 
 
-# VERDICT r3 #6 asked for these single-checked r3 greens to get their
-# second check in r4; the single-checked pool (63) exceeds the 50-slot
-# window, so they are spliced in right after the zero-green group.
-# Refresh (or empty) this tuple each round from the latest VERDICT.md.
-# Round 5: nothing red or grey in the r4 verdict — leave empty so the
-# evidence rotation alone decides ordering (once-green queries lead).
-_JUDGE_RECHECK: tuple[str, ...] = ()
+# Spliced in at the head of the zero-green group (ahead of
+# never-checked queries). Refresh (or empty) this tuple each round from
+# the latest VERDICT.md.
+# Round 7: the 8 CORRECTNESS_r06 hash reds — root-caused to uncast
+# HUGEINT oracle output columns (see plans/oracle_types.py), fixed and
+# re-verified locally; they must lead the rotation so the driver
+# re-samples them this round. The 49 never-checked queries fill the
+# remaining window slots via the (n_green, n_checked) sort.
+_JUDGE_RECHECK: tuple[str, ...] = (
+    "wap_time_travel_delta",
+    "pareto_frontier_customers",
+    "revenue_bridge_by_brand",
+    "abc_pareto_classification",
+    "prorated_revenue_by_shipmode",
+    "time_weighted_value",
+    "mv_rollup_rewrite",
+    "rolling_median_revenue",
+)
 
 
 def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

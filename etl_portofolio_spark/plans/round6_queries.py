@@ -17,7 +17,6 @@ machinery must be *invisible* in the results.
 
 from __future__ import annotations
 
-import hashlib
 import os
 from collections.abc import Callable
 
@@ -26,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_portofolio_spark.catalog import load_table
 from etl_portofolio_spark.plans.analytics_queries import cents
+from etl_portofolio_spark.plans.oracle_types import oracle_bigint
 from etl_portofolio_spark.session import apply_runtime_confs
 
 def _round_half_up(x: float, k: int) -> float:
@@ -39,21 +39,14 @@ def _round_half_up(x: float, k: int) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
-#: version tag baked into fixture paths — bump when fixture-building
-#: logic changes so stale dirs from older code can never be reused
-_FIXTURE_TAG = "r6a"
-
-
-def _fixture_dir(sf_dir: str, name: str) -> str:
-    """Deterministic per-sf_dir scratch location for derived fixtures.
-
-    Keyed by a hash of the absolute sf_dir (distinct scale factors and
-    robustness-check altered-layout copies each get their own dir) and
-    by ``_FIXTURE_TAG`` (code-version isolation).  Lives under /tmp:
-    the fixture is a cache, rebuilt on demand from the sf tables.
-    """
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join("/tmp", f"spark_graft_fixtures_{_FIXTURE_TAG}", key, name)
+# Derived-fixture cache: content-keyed paths + atomic publish live in
+# `etl_portofolio_spark.fixtures` (r6 postmortem: a path-keyed cache
+# can serve stale state after testdata regeneration).  `_fixture_dir`
+# stays importable for tests that need to locate a fixture.
+from etl_portofolio_spark.fixtures import (  # noqa: E402
+    ensure_fixture,
+    fixture_dir as _fixture_dir,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -85,12 +78,13 @@ def q_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_portofolio_spark.sinks.writer import write_range_clustered
     from etl_portofolio_spark.sources.skipping import skipping_scan
 
-    path = _fixture_dir(sf_dir, "events_clustered")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "value"
         )
-        write_range_clustered(ev, path, "event_id", n_files=8)
+        write_range_clustered(ev, tmp, "event_id", n_files=8)
+
+    path = ensure_fixture(sf_dir, "events_clustered", _build)
     bounds = (
         spark.read.parquet(path)
         .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
@@ -147,8 +141,7 @@ def q_wap_time_travel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_versions,
     )
 
-    root = _fixture_dir(sf_dir, "wap_orders")
-    if len(snapshot_versions(spark, root)) < 2:
+    def _build(tmp: str) -> None:
         orders = load_table(spark, sf_dir, "orders")
         monthly = (
             orders.groupBy(
@@ -162,11 +155,35 @@ def q_wap_time_travel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
             .agg(F.sum(cents("o_totalprice")).alias("revenue_cents"))
         )
-        publish_snapshot(spark, v1, root)
-        publish_snapshot(spark, monthly, root)
+        publish_snapshot(spark, v1, tmp)
+        publish_snapshot(spark, monthly, tmp)
+
+    root = ensure_fixture(
+        sf_dir,
+        "wap_orders",
+        _build,
+        ready=lambda p: len(snapshot_versions(spark, p)) >= 2,
+    )
     versions = snapshot_versions(spark, root)
     old = read_snapshot(spark, root, version=versions[-2])
     cur = read_snapshot(spark, root)  # resolves the live pointer
+    # freshness audit: a materialization that can silently diverge from
+    # its definition is the failure WAP exists to prevent — compare one
+    # aggregate of the live snapshot against a recompute and refuse to
+    # answer from a stale store (content keying makes this unreachable
+    # in normal operation; tampering or manual edits still trip it)
+    live_total = cur.agg(F.sum("revenue_cents")).first()[0]
+    true_total = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum(cents("o_totalprice")))
+        .first()[0]
+    )
+    if live_total != true_total:
+        raise AssertionError(
+            f"wap_orders live snapshot is stale: snapshot total "
+            f"{live_total} != source total {true_total} — rebuild the "
+            "fixture (delete its cache dir) instead of serving drift"
+        )
     return (
         cur.alias("cur")
         .join(old.alias("old"), "month", "left")
@@ -184,7 +201,7 @@ def q_wap_time_travel_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WAP_TIME_TRAVEL_DELTA_SQL = """
+_WAP_TIME_TRAVEL_DELTA_SQL = oracle_bigint("""
 WITH cur AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
          SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
@@ -199,7 +216,7 @@ SELECT cur.month AS month,
        cur.rev AS rev_new_cents,
        cur.rev - COALESCE(old.rev, 0) AS delta_cents
 FROM cur LEFT JOIN old ON cur.month = old.month
-"""
+""", "rev_old_cents", "rev_new_cents", "delta_cents")
 
 
 ROUND6_QUERIES: dict[
@@ -288,7 +305,7 @@ def q_pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PARETO_SQL = """
+_PARETO_SQL = oracle_bigint("""
 WITH cust AS (
   SELECT o_custkey AS custkey,
          SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
@@ -302,7 +319,7 @@ WHERE NOT EXISTS (
   WHERE b.rev_cents >= a.rev_cents AND b.n_orders <= a.n_orders
     AND (b.rev_cents > a.rev_cents OR b.n_orders < a.n_orders)
 )
-"""
+""", "rev_cents")
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +391,7 @@ def q_revenue_bridge_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BRIDGE_SQL = """
+_BRIDGE_SQL = oracle_bigint("""
 WITH yearly AS (
   SELECT p_brand, EXTRACT(year FROM l_shipdate) AS yr,
          SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c,
@@ -402,7 +419,7 @@ SELECT y96.p_brand AS brand, rev96_c, rev97_c,
                 * CAST(qty97_c - qty96_c AS DOUBLE), 0) AS BIGINT)
          AS residual_c
 FROM y96 JOIN y97 ON y96.p_brand = y97.p_brand
-"""
+""", "rev96_c", "rev97_c", "delta_c", "residual_c")
 
 
 ROUND6_QUERIES["pareto_frontier_customers"] = (
@@ -482,7 +499,7 @@ def q_abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ABC_SQL = """
+_ABC_SQL = oracle_bigint("""
 WITH parts AS (
   SELECT l_partkey AS partkey,
          SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
@@ -499,7 +516,7 @@ SELECT CASE WHEN share <= 0.80 THEN 'A'
        SUM(rev_c) AS class_rev_cents
 FROM ranked
 GROUP BY 1
-"""
+""", "class_rev_cents")
 
 
 # ---------------------------------------------------------------------------
@@ -543,9 +560,11 @@ def q_prorated_revenue_by_shipmode(
     alloc = (
         li.join(orders, "l_orderkey")
         .withColumn("sumw", F.sum("w").over(per_order))
-        .withColumn("base", (F.col("total_c") * F.col("w")) / F.col("sumw"))
+        # `div`, not `/`+floor: long/long `/` is IEEE double division,
+        # exact only while total_c*w < 2^53; `div` is true integer
+        # division at any magnitude, matching the oracle's `//`
         .withColumn(
-            "base", F.floor(F.col("base")).cast("long")
+            "base", F.expr("(total_c * w) div sumw").cast("long")
         )
         .withColumn("frac", (F.col("total_c") * F.col("w")) % F.col("sumw"))
         .withColumn("rem", F.col("total_c") - F.sum("base").over(per_order))
@@ -566,7 +585,7 @@ def q_prorated_revenue_by_shipmode(
     )
 
 
-_PRORATION_SQL = """
+_PRORATION_SQL = oracle_bigint("""
 WITH joined AS (
   SELECT l_orderkey, l_linenumber,
          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w,
@@ -593,7 +612,7 @@ SELECT 'mode_' || CAST(l_linenumber % 4 AS VARCHAR) AS shipmode,
        COUNT(*) AS n_lines
 FROM ranked
 GROUP BY 1
-"""
+""", "allocated_cents", "raw_cents")
 
 
 ROUND6_QUERIES["abc_pareto_classification"] = (
@@ -902,11 +921,20 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     next event, so the average weights each value by how LONG it held —
     the finance/IoT semantics a row-weighted avg silently gets wrong.
 
+    Integer end to end (the r6 version rounded value*dur to 9 decimals
+    at |x|~1e7 — past the round(x,9) safety bound of 4.5e6, and the
+    exact class of cross-engine last-digit drift this repo bans): the
+    value snaps to exact integer cents at scan, the per-segment product
+    cents x seconds is a BIGINT, and the final average emits as BIGINT
+    ten-thousandths of a value unit via quotient/remainder long
+    division — no doubles anywhere, so the hash is bit-deterministic.
+
     Scale: one window per user (lead over the user partition — maximal
-    parallelism, no global sort); value x duration products round to 9
-    into DECIMAL(38,9) before summing, so the cohort rollup is
-    order-independent; durations are integer epoch-second diffs.  The
-    final division happens once per cohort in double, rounded to 6.
+    parallelism, no global sort); durations are integer epoch-second
+    diffs.  Overflow headroom: the split `q*1e4 + (r*1e4) div d` form
+    keeps every intermediate under 2^63 as long as a cohort's total
+    seconds stay below 9.2e14 (≈29M years of per-user gaps), vs ~1e15
+    cents-seconds for the naive `(s*1e4) div d`.
     """
     apply_runtime_confs(spark)
     from pyspark.sql import Window
@@ -914,46 +942,55 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.floor(F.unix_timestamp("ts")).alias("sec"),
-        "value",
+        cents("value").alias("vc"),
     )
-    w = Window.partitionBy("user_id").orderBy("sec", "value")
+    w = Window.partitionBy("user_id").orderBy("sec", "vc")
     seg = ev.withColumn("nxt", F.lead("sec").over(w)).where(
         F.col("nxt").isNotNull()
     )
     weighted = seg.select(
         (F.col("user_id") % 20).alias("cohort"),
         (F.col("nxt") - F.col("sec")).alias("dur"),
-        F.round(F.col("value") * (F.col("nxt") - F.col("sec")), 9)
-        .cast("decimal(38,9)")
-        .alias("vd"),
+        (F.col("vc") * (F.col("nxt") - F.col("sec"))).alias("vd_c"),
     )
-    return weighted.groupBy("cohort").agg(
+    agg = weighted.groupBy("cohort").agg(
         F.sum("dur").alias("total_secs"),
-        F.round(
-            F.sum("vd").cast("double") / F.sum("dur").cast("double"), 6
-        ).alias("twa_value"),
+        F.sum("vd_c").alias("svd"),
+    )
+    # exact cents/sec -> value*1e4 units: q*1e4 + floor(rem*1e4 / d);
+    # svd, total_secs >= 0 so Spark `div` (truncate) == DuckDB `//` (floor)
+    twa_e4 = F.expr(
+        "(svd div total_secs) * 10000 "
+        "+ ((svd % total_secs) * 10000) div total_secs"
+    )
+    return agg.select(
+        "cohort", "total_secs", twa_e4.alias("twa_value_e4")
     )
 
 
-_TWA_SQL = """
+_TWA_SQL = oracle_bigint("""
 WITH ev AS (
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
   FROM events
 ), seg AS (
-  SELECT user_id, sec, value,
-         LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, value) AS nxt
+  SELECT user_id, sec, vc,
+         LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, vc) AS nxt
   FROM ev
 ), weighted AS (
   SELECT user_id % 20 AS cohort, nxt - sec AS dur,
-         CAST(round(value * (nxt - sec), 9) AS DECIMAL(38,9)) AS vd
+         vc * (nxt - sec) AS vd_c
   FROM seg WHERE nxt IS NOT NULL
+), agg AS (
+  SELECT cohort, CAST(SUM(dur) AS BIGINT) AS total_secs,
+         CAST(SUM(vd_c) AS BIGINT) AS svd
+  FROM weighted GROUP BY 1
 )
-SELECT cohort, SUM(dur) AS total_secs,
-       round(CAST(SUM(vd) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
-         AS twa_value
-FROM weighted
-GROUP BY 1
-"""
+SELECT cohort, total_secs,
+       (svd // total_secs) * 10000
+         + ((svd % total_secs) * 10000) // total_secs AS twa_value_e4
+FROM agg
+""", "total_secs", "twa_value_e4")
 
 
 # ---------------------------------------------------------------------------
@@ -1063,14 +1100,19 @@ def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bloom_index,
     )
 
-    path = _fixture_dir(sf_dir, "events_hashed")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _ready(p: str) -> bool:
+        return os.path.exists(
+            os.path.join(p, "_SUCCESS")
+        ) and os.path.isdir(os.path.join(p, _BLOOM_DIR, "event_id"))
+
+    def _build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "value"
         )
-        ev.repartition(8).write.mode("overwrite").parquet(path)
-    if not os.path.isdir(os.path.join(path, _BLOOM_DIR, "event_id")):
-        build_bloom_index(spark, path, "event_id")
+        ev.repartition(8).write.mode("overwrite").parquet(tmp)
+        build_bloom_index(spark, tmp, "event_id")
+
+    path = ensure_fixture(sf_dir, "events_hashed", _build, ready=_ready)
     needle = spark.read.parquet(path).agg(F.max("event_id")).first()[0]
     df = bloom_point_lookup(spark, path, "event_id", needle)
     n_read = len(df.inputFiles())
@@ -1119,15 +1161,14 @@ def q_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_mv_meta,
     )
 
-    path = _fixture_dir(sf_dir, "mv_lineitem")
-    if load_mv_meta(path) is None:
+    def _build(tmp: str) -> None:
         li = load_table(spark, sf_dir, "lineitem").withColumn(
             "ship_year", F.year("l_shipdate").cast("long")
         )
         create_rollup_mv(
             spark,
             li,
-            path,
+            tmp,
             dims=("l_returnflag", "l_linestatus", "ship_year"),
             measures={
                 "qty_c": ("sum", "CAST(round(l_quantity * 100, 0) AS BIGINT)"),
@@ -1138,6 +1179,13 @@ def q_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows": ("count", "*"),
             },
         )
+
+    path = ensure_fixture(
+        sf_dir,
+        "mv_lineitem",
+        _build,
+        ready=lambda p: load_mv_meta(p) is not None,
+    )
     df = answer_from_mv(
         spark, path, dims=("l_returnflag", "ship_year"),
         measures=("qty_c", "price_c", "n_rows"),
@@ -1145,17 +1193,27 @@ def q_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = [f for f in df.inputFiles() if "mv_lineitem" not in f]
     if bad:
         raise AssertionError(f"MV rewrite leaked to non-MV files: {bad[:3]}")
+    # freshness audit (same contract as the WAP store): one exact
+    # aggregate of the MV vs a recompute from the fact table — an MV
+    # that diverged from its definition raises instead of answering
+    mv_rows = df.agg(F.sum("n_rows")).first()[0]
+    true_rows = load_table(spark, sf_dir, "lineitem").count()
+    if mv_rows != true_rows:
+        raise AssertionError(
+            f"mv_lineitem is stale: MV row tally {mv_rows} != fact rows "
+            f"{true_rows} — rebuild the fixture instead of serving drift"
+        )
     return df
 
 
-_MV_SQL = """
+_MV_SQL = oracle_bigint("""
 SELECT l_returnflag, EXTRACT(year FROM l_shipdate) AS ship_year,
        SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_c,
        SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS price_c,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY 1, 2
-"""
+""", "qty_c", "price_c")
 
 
 ROUND6_QUERIES["mv_rollup_rewrite"] = (q_mv_rollup_rewrite, _MV_SQL)
@@ -1198,7 +1256,7 @@ def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLLMED_SQL = """
+_ROLLMED_SQL = oracle_bigint("""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
@@ -1213,7 +1271,7 @@ SELECT day, rev_c,
        CAST(len(vals) AS BIGINT) AS n_days,
        vals[CAST(len(vals) // 2 + 1 AS INT)] AS rolling_median_c
 FROM arr
-"""
+""", "rev_c", "rolling_median_c")
 
 
 # ---------------------------------------------------------------------------
@@ -1935,7 +1993,7 @@ def q_brand_rank_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KENDALL_SQL = """
+_KENDALL_SQL = oracle_bigint("""
 WITH yearly AS (
   SELECT p_brand,
          SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
@@ -1961,7 +2019,7 @@ SELECT COUNT(*) AS n_pairs,
        round(CAST(SUM(conc) - SUM(disc) AS DOUBLE) / COUNT(*), 6)
          AS kendall_tau
 FROM pairs
-"""
+""", "concordant", "discordant")
 
 
 # ---------------------------------------------------------------------------
@@ -2107,7 +2165,7 @@ def q_sql_udf_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_UDF_SQL = """
+_SQL_UDF_SQL = oracle_bigint("""
 SELECT strftime(o_orderdate, '%Y%m%d') AS ds,
        SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents,
        COUNT(*) AS n_orders,
@@ -2117,7 +2175,7 @@ SELECT strftime(o_orderdate, '%Y%m%d') AS ds,
          AS sampled_cents
 FROM orders
 GROUP BY 1
-"""
+""", "revenue_cents", "sampled_cents")
 
 
 ROUND6_QUERIES["sql_udf_revenue_report"] = (
@@ -2335,7 +2393,7 @@ def q_returns_shrunk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
-_EB_SQL = f"""
+_EB_SQL = oracle_bigint(f"""
 WITH per_cust AS (
   SELECT o_custkey AS custkey,
          COUNT(*) AS n_lines,
@@ -2350,7 +2408,7 @@ SELECT custkey, n_lines, n_returns,
 FROM per_cust
 ORDER BY shrunk_rate DESC, custkey
 LIMIT 20
-"""
+""", "n_returns")
 
 
 ROUND6_QUERIES["clv_decile_migration"] = (q_clv_decile_migration, _CLV_SQL)
@@ -2553,7 +2611,7 @@ def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_SPAN_SQL = f"""
+_DUP_SPAN_SQL = oracle_bigint(f"""
 WITH tok AS (
   SELECT doc_id, source,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -2599,7 +2657,7 @@ SELECT source, COUNT(*) AS n_docs,
              AS DOUBLE) / COUNT(*), 6) AS avg_dup_ratio
 FROM all_docs
 GROUP BY 1
-"""
+""", "docs_with_dups")
 
 
 ROUND6_QUERIES["dup_span_report"] = (q_dup_span_report, _DUP_SPAN_SQL)

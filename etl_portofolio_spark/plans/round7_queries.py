@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_portofolio_spark.catalog import load_table
 from etl_portofolio_spark.plans.analytics_queries import cents
+from etl_portofolio_spark.plans.oracle_types import oracle_bigint
 from etl_portofolio_spark.session import apply_runtime_confs
 
 ROUND7_QUERIES: dict[
@@ -175,7 +176,7 @@ def q_mannwhitney_quantity_returns(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_MWU_SQL = """
+_MWU_SQL = oracle_bigint("""
 WITH per_v AS (
   SELECT CAST(l_quantity AS BIGINT) AS v,
          SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r,
@@ -203,7 +204,7 @@ SELECT n1, n2,
                         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1))))), 6)
          AS z_r6
 FROM agg
-"""
+""", "n1", "n2", "u1_x2", "tie_cubes")
 
 ROUND7_QUERIES["mannwhitney_quantity_returns"] = (
     q_mannwhitney_quantity_returns,
@@ -251,7 +252,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUSUM_SQL = """
+_CUSUM_SQL = oracle_bigint("""
 WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS day,
          SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
@@ -267,7 +268,7 @@ WITH daily AS (
 )
 SELECT day, t, n_days * cum - t * total AS cusum_scaled
 FROM scanned
-"""
+""", "cusum_scaled")
 
 ROUND7_QUERIES["cusum_changepoint"] = (q_cusum_changepoint, _CUSUM_SQL)
 
@@ -357,7 +358,7 @@ def q_km_time_to_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_SQL = """
+_KM_SQL = oracle_bigint("""
 WITH first_ret AS (
   SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ret_date
   FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
@@ -388,7 +389,7 @@ SELECT dur, d, n_risk,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
          AS log_surv_r6
 FROM terms
-"""
+""", "d", "n_risk")
 
 ROUND7_QUERIES["km_time_to_return"] = (q_km_time_to_return, _KM_SQL)
 
@@ -436,7 +437,7 @@ def q_data_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FRESHNESS_SQL = """
+_FRESHNESS_SQL = oracle_bigint("""
 WITH g AS (
   SELECT MAX(ts) AS gmax_ts FROM events
 ), per_type AS (
@@ -453,7 +454,7 @@ SELECT event_type, last_unix,
        CASE WHEN floor((gmax_unix - last_unix) / 60.0) > 1440
             THEN 1 ELSE 0 END AS stale_24h
 FROM per_type
-"""
+""", "events_7d")
 
 ROUND7_QUERIES["data_freshness_report"] = (
     q_data_freshness_report,
@@ -549,11 +550,13 @@ _INTERP_BRAND = "Brand#23"
 def q_linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series repair: daily revenue for one sparse brand, with
     missing calendar days filled by EXACT linear interpolation between
-    the surrounding observed days.  The interpolated value is emitted
-    as the IEEE double image of an integer rational —
-    ``(prev·(gap−off) + next·off) / gap`` with cents numerators — so
-    both engines compute one deterministic division, no rounding
-    disputes.
+    the surrounding observed days.  The interpolated value emits as
+    INTEGER ten-thousandths of a cent — ``(prev·(gap−off) + next·off)
+    · 1e4 div gap`` on cents numerators — floor division of exact
+    integers, bit-identical in both engines at any magnitude (the r6
+    emission was the double image of the same rational: deterministic
+    for a single division, but past the 4.5e6 audit bound the
+    check_oracle float audit now enforces).
 
     Scale design: the fact table collapses to a calendar-bounded daily
     aggregate; the spine explode and the prev/next IGNORE NULLS windows
@@ -589,20 +592,24 @@ def q_linear_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_val = F.first("rev_c", ignorenulls=True).over(
         word.rowsBetween(0, Window.unboundedFollowing)
     )
-    gap = F.datediff(next_day, prev_day)
-    off = F.datediff(F.col("day"), prev_day)
-    interp = F.when(
-        F.col("rev_c").isNotNull(), F.col("rev_c").cast("double")
-    ).otherwise(
-        (
-            prev_val * (gap - off) + next_val * off
-        ).cast("double")
-        / gap.cast("double")
+    ctx = joined.select(
+        "day",
+        "rev_c",
+        F.datediff(next_day, prev_day).alias("gap"),
+        F.datediff(F.col("day"), prev_day).alias("off"),
+        prev_val.alias("prev_val"),
+        next_val.alias("next_val"),
     )
-    return joined.select(
+    # nonneg operands: Spark `div` (truncate) == DuckDB `//` (floor)
+    interp = F.when(
+        F.col("rev_c").isNotNull(), F.col("rev_c") * F.lit(10_000)
+    ).otherwise(
+        F.expr("((prev_val * (gap - off) + next_val * off) * 10000) div gap")
+    )
+    return ctx.select(
         "day",
         F.when(F.col("rev_c").isNotNull(), 1).otherwise(0).alias("observed"),
-        interp.alias("rev_c_interp"),
+        interp.cast("long").alias("rev_c_interp_e4"),
     )
 
 
@@ -638,12 +645,12 @@ WITH daily AS (
 )
 SELECT day,
        CASE WHEN rev_c IS NOT NULL THEN 1 ELSE 0 END AS observed,
-       CASE WHEN rev_c IS NOT NULL THEN CAST(rev_c AS DOUBLE)
-            ELSE CAST(prev_val * (datediff('day', prev_day, next_day)
-                                  - datediff('day', prev_day, day))
-                      + next_val * datediff('day', prev_day, day) AS DOUBLE)
-                 / CAST(datediff('day', prev_day, next_day) AS DOUBLE)
-       END AS rev_c_interp
+       CAST(CASE WHEN rev_c IS NOT NULL THEN rev_c * 10000
+            ELSE ((prev_val * (datediff('day', prev_day, next_day)
+                               - datediff('day', prev_day, day))
+                   + next_val * datediff('day', prev_day, day)) * 10000)
+                 // datediff('day', prev_day, next_day)
+       END AS BIGINT) AS rev_c_interp_e4
 FROM ctx
 """
 
@@ -916,7 +923,7 @@ def q_sprt_daily_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPRT_SQL = f"""
+_SPRT_SQL = oracle_bigint(f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
@@ -936,7 +943,7 @@ SELECT day, x, n, round(cum, 6) AS llr_cum_r6,
             WHEN cum <= -{_SPRT_BOUND!r} THEN -1
             ELSE 0 END AS decision
 FROM cums
-"""
+""", "x")
 
 ROUND7_QUERIES["sprt_daily_decision"] = (q_sprt_daily_decision, _SPRT_SQL)
 
@@ -1061,7 +1068,7 @@ def q_kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KW_SQL = """
+_KW_SQL = oracle_bigint("""
 WITH per_v AS (
   SELECT CAST(l_quantity AS BIGINT) AS v,
          SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na_v,
@@ -1097,7 +1104,7 @@ SELECT n_a, n_n, n_r, ra_x2, rn_x2, rr_x2, tie_cubes,
                    * (CAST(n_a AS DOUBLE) + n_n + n_r) - (CAST(n_a AS DOUBLE) + n_n + n_r))), 6)
          AS h_tiecorrected_r6
 FROM agg
-"""
+""", "n_a", "n_n", "n_r", "ra_x2", "rn_x2", "rr_x2", "tie_cubes")
 
 ROUND7_QUERIES["kruskal_wallis_quantity"] = (
     q_kruskal_wallis_quantity,
@@ -1135,7 +1142,7 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear_cents(daily, "day", "rev_c")
 
 
-_HOLT_SQL = """
+_HOLT_SQL = oracle_bigint("""
 WITH RECURSIVE daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
@@ -1153,7 +1160,7 @@ WITH RECURSIVE daily AS (
 )
 SELECT day, level_c, trend_c, level_c + trend_c AS forecast_next_c
 FROM holt
-"""
+""", "level_c", "forecast_next_c")
 
 ROUND7_QUERIES["holt_trend_forecast"] = (q_holt_trend_forecast, _HOLT_SQL)
 
@@ -1183,20 +1190,19 @@ def q_zorder_pruned_scan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity in BOTH dimensions, independent of table size.
     """
     apply_runtime_confs(spark)
-    import os
-
-    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.fixtures import ensure_fixture
     from etl_portofolio_spark.sinks.writer import write_zorder_clustered
     from etl_portofolio_spark.sources.skipping import skipping_scan_multi
 
-    path = _fixture_dir(sf_dir, "events_zorder")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "value"
         )
         write_zorder_clustered(
-            ev, path, "user_id", "value", n_files=_ZORDER_FILES
+            ev, tmp, "user_id", "value", n_files=_ZORDER_FILES
         )
+
+    path = ensure_fixture(sf_dir, "events_zorder", _build)
     b = (
         spark.read.parquet(path)
         .agg(
@@ -1291,7 +1297,7 @@ def q_tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VOCAB_COVERAGE_SQL = f"""
+_VOCAB_COVERAGE_SQL = oracle_bigint(f"""
 WITH toks AS (
   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
 ), toks_f AS (
@@ -1308,7 +1314,7 @@ SELECT t.source, COUNT(*) AS n_tokens,
                   / COUNT(*)) AS BIGINT) AS oov_permille
 FROM toks_f t LEFT JOIN vocab v ON t.tok = v.tok
 GROUP BY 1
-"""
+""", "n_oov")
 
 ROUND7_QUERIES["tokenizer_vocab_coverage"] = (
     q_tokenizer_vocab_coverage,
@@ -1357,7 +1363,7 @@ def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LDIV_SQL = """
+_LDIV_SQL = oracle_bigint("""
 WITH per_bucket AS (
   SELECT c_nationkey, c_mktsegment,
          CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens_b,
@@ -1369,7 +1375,7 @@ SELECT c_nationkey, c_mktsegment,
        COUNT(*) AS l_distinct,
        CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS fails_l3
 FROM per_bucket GROUP BY 1, 2
-"""
+""", "k_size")
 
 ROUND7_QUERIES["l_diversity_report"] = (q_l_diversity_report, _LDIV_SQL)
 
@@ -1631,7 +1637,7 @@ def q_ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NOVELTY_SQL = f"""
+_NOVELTY_SQL = oracle_bigint(f"""
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
   FROM documents
@@ -1649,7 +1655,7 @@ SELECT gr.doc_id, COUNT(*) AS n_grams,
                   / COUNT(*)) AS BIGINT) AS novel_permille
 FROM grams gr JOIN firsts f ON gr.g = f.g
 GROUP BY 1
-"""
+""", "n_novel")
 
 ROUND7_QUERIES["ngram_novelty_profile"] = (
     q_ngram_novelty_profile,
@@ -1786,7 +1792,7 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECAY_SQL = f"""
+_DECAY_SQL = oracle_bigint(f"""
 WITH purchases AS (
   SELECT user_id AS u, event_id AS purchase_id, ts AS pts
   FROM events WHERE event_type = 'purchase'
@@ -1816,7 +1822,7 @@ SELECT purchase_id, touch_id, w,
        share_floor + CASE WHEN recency_rank = 1 THEN slack ELSE 0 END
          AS share_permille
 FROM ranked
-"""
+""", "share_permille")
 
 ROUND7_QUERIES["time_decay_attribution"] = (
     q_time_decay_attribution,
@@ -1851,12 +1857,10 @@ def q_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
 
-    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.fixtures import ensure_fixture
     from etl_portofolio_spark.sinks.writer import compact_partition
 
-    path = _fixture_dir(sf_dir, "events_fragmented")
-    marker = os.path.join(path, "_COMPACTED")
-    if not os.path.exists(marker):
+    def _build(tmp: str) -> None:
         ev = (
             load_table(spark, sf_dir, "events")
             .select(
@@ -1867,24 +1871,31 @@ def q_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .repartition(_COMPACT_SMALL_FILES)
         )
-        ev.write.partitionBy("ds").mode("overwrite").parquet(path)
+        ev.write.partitionBy("ds").mode("overwrite").parquet(tmp)
         target_ds = sorted(
             os.path.basename(p).split("=", 1)[1]
-            for p in glob.glob(os.path.join(path, "ds=*"))
+            for p in glob.glob(os.path.join(tmp, "ds=*"))
         )[0]
         before = len(
-            glob.glob(os.path.join(path, f"ds={target_ds}", "*.parquet"))
+            glob.glob(os.path.join(tmp, f"ds={target_ds}", "*.parquet"))
         )
-        compact_partition(spark, path, "ds", target_ds)
+        compact_partition(spark, tmp, "ds", target_ds)
         after = len(
-            glob.glob(os.path.join(path, f"ds={target_ds}", "*.parquet"))
+            glob.glob(os.path.join(tmp, f"ds={target_ds}", "*.parquet"))
         )
         if not after < before:
             raise AssertionError(
                 f"compaction did not reduce files: {before} -> {after}"
             )
-        with open(marker, "w") as fh:
+        with open(os.path.join(tmp, "_COMPACTED"), "w") as fh:
             fh.write(f"{target_ds}: {before} -> {after}\n")
+
+    path = ensure_fixture(
+        sf_dir,
+        "events_fragmented",
+        _build,
+        ready=lambda p: os.path.exists(os.path.join(p, "_COMPACTED")),
+    )
     return (
         spark.read.parquet(path)
         .groupBy("ds")
@@ -1895,12 +1906,12 @@ def q_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPACTION_SQL = """
+_COMPACTION_SQL = oracle_bigint("""
 SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS ds,
        COUNT(*) AS n_events,
        SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
 FROM events GROUP BY 1
-"""
+""", "value_cents")
 
 ROUND7_QUERIES["compaction_invariance"] = (
     q_compaction_invariance,
@@ -1934,11 +1945,10 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     import os
 
-    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.fixtures import ensure_fixture
     from etl_portofolio_spark.sources.evolving import read_with_evolution
 
-    path = _fixture_dir(sf_dir, "orders_vintages")
-    if not os.path.exists(os.path.join(path, "_SUCCESS_V2")):
+    def _build(tmp: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
@@ -1960,10 +1970,17 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             F.lit("web").alias("channel"),
         )
-        v1.write.mode("overwrite").parquet(path)
-        v2.write.mode("append").parquet(path)
-        with open(os.path.join(path, "_SUCCESS_V2"), "w") as fh:
+        v1.write.mode("overwrite").parquet(tmp)
+        v2.write.mode("append").parquet(tmp)
+        with open(os.path.join(tmp, "_SUCCESS_V2"), "w") as fh:
             fh.write("v2 appended\n")
+
+    path = ensure_fixture(
+        sf_dir,
+        "orders_vintages",
+        _build,
+        ready=lambda p: os.path.exists(os.path.join(p, "_SUCCESS_V2")),
+    )
     contract = (
         "o_orderkey bigint, o_custkey bigint, total_cents bigint, "
         "o_year int, channel string"
@@ -1976,7 +1993,7 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVOLUTION_SQL = """
+_EVOLUTION_SQL = oracle_bigint("""
 SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN NULL
             ELSE 'web' END AS channel,
        CAST(year(o_orderdate) AS INT) AS o_year,
@@ -1984,7 +2001,7 @@ SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN NULL
        SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents,
        MAX(o_orderkey) AS max_orderkey
 FROM orders GROUP BY 1, 2
-"""
+""", "revenue_cents")
 
 ROUND7_QUERIES["schema_evolution_read"] = (
     q_schema_evolution_read,
@@ -2072,7 +2089,7 @@ def q_spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPEARMAN_SQL = """
+_SPEARMAN_SQL = oracle_bigint("""
 WITH li AS (
   SELECT CAST(l_quantity AS BIGINT) AS q,
          CAST(round(l_discount * 100, 0) AS BIGINT) AS d_bp
@@ -2107,7 +2124,7 @@ SELECT n,
                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
          AS spearman_rho_r6
 FROM agg
-"""
+""", "n")
 
 ROUND7_QUERIES["spearman_quantity_discount"] = (
     q_spearman_quantity_discount,
@@ -2366,7 +2383,7 @@ def q_fd_repair_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FD_REPAIR_SQL = """
+_FD_REPAIR_SQL = oracle_bigint("""
 WITH pairs AS (
   SELECT p_type, p_size, COUNT(*) AS n FROM part GROUP BY 1, 2
 ), elected AS (
@@ -2380,7 +2397,7 @@ WITH pairs AS (
 SELECT p_type, p_size AS elected_size, n_variants, n_rows,
        n_rows - n AS rows_to_rewrite
 FROM elected WHERE rk = 1 AND n_variants > 1
-"""
+""", "n_rows", "rows_to_rewrite")
 
 ROUND7_QUERIES["fd_repair_election"] = (q_fd_repair_election, _FD_REPAIR_SQL)
 
@@ -2577,7 +2594,7 @@ def q_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KS_SQL = """
+_KS_SQL = oracle_bigint("""
 WITH mid AS (
   SELECT CAST(to_timestamp((CAST(floor(epoch(MIN(ts))) AS BIGINT)
                             + CAST(floor(epoch(MAX(ts))) AS BIGINT)) / 2)
@@ -2605,7 +2622,7 @@ SELECT MAX(n1) AS n1, MAX(n2) AS n2,
        round(CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
              / CAST(MAX(n1) * MAX(n2) AS DOUBLE), 6) AS ks_r6
 FROM curves
-"""
+""", "n1", "n2", "ks_scaled")
 
 ROUND7_QUERIES["ks_drift_test"] = (q_ks_drift_test, _KS_SQL)
 
@@ -2726,9 +2743,14 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
+    from etl_portofolio_spark.fixtures import source_fingerprint
     from etl_portofolio_spark.sinks.writer import write_bucketed_table
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # path AND content keyed (same contract as fixtures.fixture_dir):
+    # regenerated testdata changes the table names, forcing a rebuild
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + source_fingerprint(sf_dir)).encode()
+    ).hexdigest()[:8]
     li_t, ord_t = f"r7_li_b_{tag}", f"r7_ord_b_{tag}"
 
     def _clear_stale(table: str) -> None:
@@ -2779,12 +2801,12 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined
 
 
-_BUCKETED_SQL = """
+_BUCKETED_SQL = oracle_bigint("""
 SELECT o_orderpriority, COUNT(*) AS n_items,
        SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
-"""
+""", "revenue_cents")
 
 ROUND7_QUERIES["bucketed_join_colocated"] = (
     q_bucketed_join_colocated,
@@ -2820,25 +2842,27 @@ def q_streaming_tumbling_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch-up/backfill trigger.
     """
     apply_runtime_confs(spark)
-    import os
-
-    from etl_portofolio_spark.plans.round6_queries import _fixture_dir
+    from etl_portofolio_spark.fixtures import ensure_fixture
     from etl_portofolio_spark.streaming.structured import (
         read_file_stream,
         windowed_counts,
     )
 
-    path = _fixture_dir(sf_dir, "events_stream_ordered")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def _build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
+        # 3 time-ranged files -> 3 micro-batches: still a real multi-batch
+        # watermark advance, at half the per-batch fixed cost of the r6
+        # 6-batch version (VERDICT r6: 4.9 s = 11% of the bench headline)
         (
-            ev.repartitionByRange(6, F.col("ts"))
+            ev.repartitionByRange(3, F.col("ts"))
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
+
+    path = ensure_fixture(sf_dir, "events_stream_ordered", _build)
     stream = read_file_stream(
         spark,
         path,
@@ -2867,14 +2891,14 @@ def q_streaming_tumbling_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_TUMBLING_SQL = """
+_STREAM_TUMBLING_SQL = oracle_bigint("""
 SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
          AS w_start,
        event_type,
        COUNT(*) AS n_events,
        SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
 FROM events GROUP BY 1, 2
-"""
+""", "value_cents")
 
 ROUND7_QUERIES["streaming_tumbling_oracle"] = (
     q_streaming_tumbling_oracle,
@@ -2929,13 +2953,13 @@ def q_observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OBSERVE_SQL = """
+_OBSERVE_SQL = oracle_bigint("""
 SELECT COUNT(*) AS n_rows,
        SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents,
        MIN(l_orderkey) AS min_orderkey,
        MAX(l_orderkey) AS max_orderkey
 FROM lineitem
-"""
+""", "revenue_cents")
 
 ROUND7_QUERIES["observe_metrics_audit"] = (
     q_observe_metrics_audit,
@@ -3008,7 +3032,7 @@ def q_diff_in_diff_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detail.unionByName(est)
 
 
-_DID_SQL = f"""
+_DID_SQL = oracle_bigint(f"""
 WITH cells AS (
   SELECT CAST(user_id % 2 = 1 AS INT) AS treated,
          CAST(CAST(ts AS DATE) >= DATE '{_DID_CUTOVER}' AS INT) AS post,
@@ -3032,7 +3056,7 @@ WITH cells AS (
 SELECT treated, post, n, sum_c, CAST(NULL AS DOUBLE) AS did_cents_r6 FROM cells
 UNION ALL BY NAME
 SELECT * FROM est
-"""
+""", "sum_c")
 
 ROUND7_QUERIES["diff_in_diff_lift"] = (q_diff_in_diff_lift, _DID_SQL)
 
@@ -3379,7 +3403,7 @@ def q_business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BDAYS_SQL = f"""
+_BDAYS_SQL = oracle_bigint(f"""
 WITH first_ship AS (
   SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS sd
   FROM lineitem GROUP BY 1
@@ -3397,7 +3421,7 @@ WITH first_ship AS (
 SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(bdays) AS sum_bdays,
        MIN(bdays) AS min_bdays, MAX(bdays) AS max_bdays
 FROM paired GROUP BY 1
-"""
+""", "sum_bdays")
 
 ROUND7_QUERIES["business_days_latency"] = (
     q_business_days_latency,
@@ -3553,7 +3577,7 @@ def q_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WEEKDAY_IDX_SQL = f"""
+_WEEKDAY_IDX_SQL = oracle_bigint(f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
@@ -3569,7 +3593,7 @@ SELECT iso_dow, n_days, rev_cents,
              / (SUM(rev_cents) OVER () * 1.0 / SUM(n_days) OVER ()), 4)
          AS index_r4
 FROM per_dow
-"""
+""", "rev_cents")
 
 ROUND7_QUERIES["weekday_seasonality_index"] = (
     q_weekday_seasonality_index,

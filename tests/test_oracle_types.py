@@ -1,0 +1,113 @@
+"""Static output-type gate over every registered DuckDB oracle.
+
+CORRECTNESS_r06 postmortem: all 8 driver hash failures — and only
+those 8 among the driver-checked queries — had HUGEINT output columns
+(DuckDB widens SUM(BIGINT); Arrow surfaces it as decimal128(38,0),
+which the driver's repr-sensitive hash formats differently from
+Spark's plain long).  The DB-API description reports those columns as
+the generic 'NUMBER', so the runtime hazard check never saw them.
+
+This test binds every oracle with ``DESCRIBE`` (exact type names, no
+data scanned) and fails on any hazard output type, so the whole class
+of bug is structurally dead: a new oracle with an uncast SUM fails CI
+before it can fail the driver.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from etl_portofolio_spark.plans.oracle_types import (
+    DUCK_HAZARD_TYPES,
+    oracle_bigint,
+)
+
+_SF_DIR = "/root/testdata/sf0.001"
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in _TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def test_no_hazard_output_types_in_any_oracle(con):
+    bad: list[str] = []
+    for name, sql in entrymod.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in desc:
+            if any(h in str(typ).upper() for h in DUCK_HAZARD_TYPES):
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, (
+        "oracle output columns with hash-unstable DuckDB types "
+        "(wrap with plans.oracle_types.oracle_bigint):\n  "
+        + "\n  ".join(bad)
+    )
+
+
+def test_oracle_bigint_pins_named_columns_only(con):
+    sql = oracle_bigint(
+        "SELECT o_orderstatus AS st, SUM(o_orderkey) AS s, COUNT(*) AS c "
+        "FROM orders GROUP BY 1",
+        "s",
+    )
+    desc = {c: t for c, t, *_ in con.execute(f"DESCRIBE {sql}").fetchall()}
+    assert desc["s"] == "BIGINT"  # pinned (was HUGEINT)
+    assert desc["st"] == "VARCHAR"  # untouched
+    # column ORDER is preserved too — the driver compares sorted-by-name,
+    # but check_oracle prints in emitted order; keep both stable
+    cols = [c for c, *_ in con.execute(f"DESCRIBE {sql}").fetchall()]
+    assert cols == ["st", "s", "c"]
+
+
+def test_oracle_bigint_values_unchanged(con):
+    raw = "SELECT SUM(o_orderkey) AS s FROM orders"
+    wrapped = oracle_bigint(raw, "s")
+    assert (
+        con.execute(wrapped).fetchall() == con.execute(raw).fetchall()
+    )
+
+
+def test_oracle_bigint_requires_columns():
+    with pytest.raises(ValueError):
+        oracle_bigint("SELECT 1 AS x")
+
+
+def test_sig_digit_audit_flags_overflowing_round():
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from check_oracle import _sig_digits, float_hazards
+
+    assert _sig_digits(1.5) == 2
+    assert _sig_digits(12345678.123456789) > 15
+    assert _sig_digits(0.000125) == 3
+    # a round(x, 9) emission at |x|~1e7: 17 significant digits -> flagged
+    rows = [(1.0, 12345678.123456789), (2.0, 3.5)]
+    errs = float_hazards("q", rows, ["a", "b"])
+    assert len(errs) == 1 and "b" in errs[0]
+    # in-range doubles pass
+    assert float_hazards("q", [(1.5, 2.25)], ["a", "b"]) == []
+    # raw IEEE-deterministic doubles at small magnitude pass even with a
+    # full mantissa (norms, divisions — the embedding_quality_check case)
+    assert float_hazards("q", [(1.0000001086789103,)], ["n"]) == []
+    # integral-valued big doubles pass (exact in both engines)
+    assert float_hazards("q", [(1.23e12,)], ["n"]) == []

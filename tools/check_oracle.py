@@ -48,11 +48,18 @@ def _sortkey(row):
 # Type classes that cross the driver's engine→hash boundary unstably even
 # when Python values compare equal (learned from CORRECTNESS_r01: DuckDB
 # sum(BIGINT)→HUGEINT, DECIMAL on either side, TIMESTAMPTZ vs naive).
+#
+# CORRECTNESS_r06 postmortem: the DB-API `cursor.description` reports
+# HUGEINT (and every other numeric) as the generic 'NUMBER', so the
+# r1-era check that read `rel.description` was BLIND to the exact type
+# that caused all 8 r6 hash failures.  Duck-side detection now runs
+# `DESCRIBE <sql>`, which returns exact DuckDB type names.
 _SPARK_HAZARDS = ("decimal",)
-_DUCK_HAZARDS = ("DECIMAL", "HUGEINT", "UHUGEINT", "TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ")
 
 
-def type_hazards(name, spark_df, duck_types) -> list[str]:
+def type_hazards(name, spark_df, con, sql) -> list[str]:
+    from etl_portofolio_spark.plans.oracle_types import DUCK_HAZARD_TYPES
+
     errs = []
     for f in spark_df.schema.fields:
         if any(h in f.dataType.simpleString() for h in _SPARK_HAZARDS):
@@ -60,13 +67,56 @@ def type_hazards(name, spark_df, duck_types) -> list[str]:
                 f"{name}: HAZARD spark column {f.name} is {f.dataType.simpleString()} "
                 "(emit BIGINT/STRING/DOUBLE instead — driver hash is repr-sensitive)"
             )
-    for col, t in duck_types:
-        if any(h in str(t).upper() for h in _DUCK_HAZARDS):
+    for col, t, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        if any(h in str(t).upper() for h in DUCK_HAZARD_TYPES):
             errs.append(
                 f"{name}: HAZARD duck column {col} is {t} "
-                "(CAST to BIGINT/VARCHAR/DOUBLE/naive TIMESTAMP in the oracle)"
+                "(wrap the oracle with plans.oracle_types.oracle_bigint, or "
+                "CAST to BIGINT/VARCHAR/DOUBLE/naive TIMESTAMP)"
             )
     return errs
+
+
+def _sig_digits(v: float) -> int:
+    """Significant decimal digits in the shortest repr of v."""
+    s = repr(float(v))
+    if "e" in s or "E" in s:
+        s = s.split("e")[0].split("E")[0]
+    return len(s.lstrip("-0.").replace(".", "").rstrip("0") or "0")
+
+
+def float_hazards(name, rows, cols) -> list[str]:
+    """Flag emitted doubles whose magnitude ate the rounding headroom.
+
+    A value rounded to k>=1 decimals is only reproducible across
+    engines while |x| < 4.5e(15-k) (the repo's round-magnitude rule,
+    recorded after the seasonal_decomposition catch; violated again by
+    the r6 time_weighted_value at |x|~1e7 with k=9).  The audit flags
+    a double that BOTH sits at dangerous magnitude (>=4.5e6 — past the
+    bound even for k=9, the repo's largest k) AND still carries a
+    fractional mantissa needing >15 significant digits: big money/
+    measure values must emit as integer units.  Small-magnitude raw
+    doubles (norms, ratios, correctly-rounded sqrt/division results)
+    are IEEE-deterministic and pass untouched.
+    """
+    worst: dict[int, float] = {}
+    for r in rows:
+        for i, v in enumerate(r):
+            if (
+                isinstance(v, float)
+                and not math.isnan(v)
+                and abs(v) >= 4.5e6
+                and v != int(v)
+                and _sig_digits(v) > 15
+            ):
+                if abs(v) > abs(worst.get(i, 0.0)):
+                    worst[i] = v
+    return [
+        f"{name}: HAZARD column {cols[i]} emits double {v!r} (magnitude "
+        ">=4.5e6 with a >15-significant-digit mantissa) — past the "
+        "round(x,k) reproducibility bound; emit integer units instead"
+        for i, v in worst.items()
+    ]
 
 
 def compare(name, spark_df, duck_rows, duck_cols) -> list[str]:
@@ -123,9 +173,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             rel = con.execute(oracles[name])
             duck_cols = [d[0] for d in rel.description]
-            duck_types = [(d[0], d[1]) for d in rel.description]
             duck_rows = rel.fetchall()
-            errs = type_hazards(name, sdf, duck_types)
+            errs = type_hazards(name, sdf, con, oracles[name])
+            errs += float_hazards(name, duck_rows, duck_cols)
             errs += compare(name, sdf, duck_rows, duck_cols)
         except Exception as e:  # noqa: BLE001
             errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
