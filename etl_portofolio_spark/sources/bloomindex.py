@@ -73,9 +73,19 @@ def build_bloom_index(
     import pandas as pd
 
     num_hashes = _NUM_HASHES
+    # sidecar stores paths RELATIVE to the table root: the table dir
+    # may move after the build (fixtures publish via tmp-dir + atomic
+    # rename) and an absolute-path sidecar would then match nothing —
+    # every file "unindexed", pruning silently dead
+    root = os.path.abspath(path).rstrip("/")
 
     def _fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        file = pdf["__file"].iloc[0]
+        f = pdf["__file"].iloc[0]
+        for prefix in ("file://", ""):
+            if f.startswith(prefix + root):
+                f = f[len(prefix + root):]
+                break
+        file = f.lstrip("/")
         values = pdf["__v"].dropna().unique()
         m = max(64, int(len(values) * bits_per_value + 7) // 8 * 8)
         bits = bytearray(m // 8)
@@ -106,13 +116,41 @@ def build_bloom_index(
 def _load_sidecar(
     spark: SparkSession, path: str, col: str
 ) -> list[tuple[str, int, int, bytes]] | None:
+    """Sidecar rows with file paths resolved against the CURRENT table
+    root (they are stored relative — see build_bloom_index)."""
     target = f"{path}/{_BLOOM_DIR}/{col}"
     if not os.path.isdir(target):
         return None
+    root = os.path.abspath(path).rstrip("/")
     return [
-        (r["file"].removeprefix("file://"), r["m"], r["k"], bytes(r["bits"]))
+        (
+            os.path.join(root, r["file"].removeprefix("file://").lstrip("/")),
+            r["m"],
+            r["k"],
+            bytes(r["bits"]),
+        )
         for r in spark.read.parquet(target).collect()
     ]
+
+
+def _engine_string(spark: SparkSession, value: object) -> str:
+    """The needle rendered exactly as the BUILD rendered column values.
+
+    The sidecar hashes Spark's ``CAST(col AS STRING)``; a probe hashing
+    Python's ``str(value)`` diverges wherever the renderings differ
+    (``True`` vs ``true``, ``1e+16`` vs ``1.0E16``), turning every test
+    into a false NEGATIVE — the one failure mode a Bloom index must
+    never have.  Ints and strings render identically, so the common
+    key types skip the round-trip; everything else is normalized
+    through the same engine cast the build used.
+    """
+    if isinstance(value, str):
+        return value
+    if isinstance(value, int) and not isinstance(value, bool):
+        return str(value)
+    return spark.range(1).select(
+        F.lit(value).cast("string").alias("v")
+    ).first()["v"]
 
 
 def bloom_prune_files(
@@ -122,6 +160,10 @@ def bloom_prune_files(
 
     Like ``skipping.prune_files``: may keep useless files (false
     positives, ~1%), may NEVER drop a file that holds the value.
+
+    ``value`` must already be the engine-rendered string for non-int,
+    non-str needles (see :func:`_engine_string`); ``bloom_point_lookup``
+    handles that normalization for callers.
     """
     keep = []
     for f, m, k, bits in sidecar:
@@ -157,7 +199,9 @@ def bloom_point_lookup(
         return spark.read.parquet(path).where(F.col(col) == F.lit(value))
     indexed = {f for f, *_ in side}
     keep = [
-        f for f in bloom_prune_files(side, str(value)) if f in live
+        f
+        for f in bloom_prune_files(side, _engine_string(spark, value))
+        if f in live
     ] + sorted(live - indexed)
     if not keep:
         return spark.read.parquet(path).where(F.lit(False))
