@@ -89,6 +89,17 @@ def load_mv_meta(path: str) -> dict | None:
         return json.load(fh)
 
 
+def _write_mv_meta(path: str, meta: dict) -> None:
+    """Atomic meta commit: the rename IS the transaction boundary for
+    compaction (readers see either the old or the new generation,
+    never a half-written pointer)."""
+    p = os.path.join(path, _META_FILE)
+    tmp = f"{p}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, p)
+
+
 def answer_from_mv(
     spark: SparkSession,
     path: str,
@@ -157,8 +168,15 @@ def start_mv_maintenance(
     state.  Because every measure kind is RE-AGGREGABLE (the
     `create_rollup_mv` rule), the queryable MV is just the
     re-aggregation of all partials (:func:`read_maintained_mv`) and a
-    maintenance pass can fold old partials into one
+    maintenance pass can fold old partials into one folded generation
     (:func:`compact_mv_partials`) without changing any answer.
+
+    Replay x compaction: once batch N is folded (``folded_through`` in
+    the meta), its rows live inside the folded generation — a
+    checkpoint-replayed batch N must NOT rewrite ``batch_id=N`` or
+    every answer double-counts.  The sink therefore drops any batch at
+    or below the folded watermark; dynamic overwrite keeps handling
+    replays ABOVE it.
     """
     for name, (kind, _e) in measures.items():
         if kind not in _REAGG:
@@ -169,6 +187,9 @@ def start_mv_maintenance(
     def _sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        cur = load_mv_meta(mv_root) or {}
+        if int(batch_id) <= cur.get("folded_through", -1):
+            return  # replayed batch already folded into a generation
         if batch.isEmpty():
             return
         out = _batch_rollup(batch, dims, measures).withColumn(
@@ -177,9 +198,13 @@ def start_mv_maintenance(
         out.write.mode("overwrite").partitionBy("batch_id").parquet(partials)
 
     os.makedirs(mv_root, exist_ok=True)
-    meta = {"dims": list(dims), "measures": {k: list(v) for k, v in measures.items()}}
-    with open(os.path.join(mv_root, _META_FILE), "w") as fh:
-        json.dump(meta, fh)
+    # merge over existing meta: a restart must NOT reset the folded
+    # watermark/generation, or the replay guard above goes blind
+    meta = load_mv_meta(mv_root) or {}
+    meta.update(
+        {"dims": list(dims), "measures": {k: list(v) for k, v in measures.items()}}
+    )
+    _write_mv_meta(mv_root, meta)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir
@@ -189,37 +214,95 @@ def start_mv_maintenance(
     return writer.start()
 
 
+def _partial_batch_ids(mv_root: str) -> list[int]:
+    partials = f"{mv_root}/partials"
+    if not os.path.isdir(partials):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(partials)
+        if d.startswith("batch_id=")
+    )
+
+
+def _mv_parts(spark: SparkSession, mv_root: str, meta: dict) -> DataFrame | None:
+    """Unfolded partials above the watermark + the folded generation."""
+    gen = meta.get("folded_gen", 0)
+    through = meta.get("folded_through", -1)
+    frames = []
+    live = [b for b in _partial_batch_ids(mv_root) if b > through]
+    if live:
+        frames.append(
+            spark.read.option("basePath", f"{mv_root}/partials").parquet(
+                *[f"{mv_root}/partials/batch_id={b}" for b in live]
+            ).drop("batch_id")
+        )
+    if gen > 0:
+        frames.append(spark.read.parquet(f"{mv_root}/folded/gen={gen}"))
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def read_maintained_mv(spark: SparkSession, mv_root: str) -> DataFrame:
-    """The queryable face of a stream-maintained MV: re-aggregate all
-    batch partials under the MV's own measure kinds."""
+    """The queryable face of a stream-maintained MV: re-aggregate the
+    folded generation plus every batch partial above the folded
+    watermark under the MV's own measure kinds."""
     meta = load_mv_meta(mv_root)
     if meta is None:
         raise RewriteError(f"no MV metadata under {mv_root}")
-    partials = spark.read.parquet(f"{mv_root}/partials")
+    parts = _mv_parts(spark, mv_root, meta)
+    if parts is None:
+        raise RewriteError(f"no partials or folded generation under {mv_root}")
     aggs = [
         _REAGG[kind](F.col(name)).alias(name)
         for name, (kind, _e) in ((k, tuple(v)) for k, v in meta["measures"].items())
     ]
-    return partials.groupBy(*[F.col(d) for d in meta["dims"]]).agg(*aggs)
+    return parts.groupBy(*[F.col(d) for d in meta["dims"]]).agg(*aggs)
 
 
 def compact_mv_partials(spark: SparkSession, mv_root: str) -> int:
-    """Fold every batch partial into a single ``batch_id=-1`` partial —
-    bounded partial count for a long-running maintenance stream.
-    Answers are invariant (re-aggregable measures); returns the number
-    of partial files removed.  Run from the maintenance loop, not the
-    hot path."""
+    """Fold the current state (previous folded generation + all batch
+    partials above the folded watermark) into generation G+1 — bounded
+    partial count for a long-running maintenance stream.  Answers are
+    invariant (re-aggregable measures); returns the number of batch
+    PARTIALS folded (0 = nothing to do).  Run from the maintenance
+    loop, not the hot path.
+
+    Crash-safe ordering: the new generation is fully written BEFORE
+    the atomic meta rename commits it; old dirs are garbage-collected
+    after.  A crash at any point leaves either the old state (commit
+    not reached) or the new state plus unreferenced garbage — never a
+    window with no partials, which the old rmtree+rename swap had.
+    The previous generation is retained for in-flight readers that
+    resolved the old meta; it is removed on the NEXT compaction.
+    """
     import shutil
 
+    meta = load_mv_meta(mv_root)
+    if meta is None:
+        raise RewriteError(f"no MV metadata under {mv_root}")
+    through = meta.get("folded_through", -1)
+    gen = meta.get("folded_gen", 0)
+    to_fold = [b for b in _partial_batch_ids(mv_root) if b > through]
+    if not to_fold:
+        return 0
     folded = read_maintained_mv(spark, mv_root)
-    partials = f"{mv_root}/partials"
-    tmp = f"{mv_root}/partials_compact_tmp"
-    folded.withColumn("batch_id", F.lit(-1)).write.mode(
-        "overwrite"
-    ).partitionBy("batch_id").parquet(tmp)
-    before = len(
-        [f for f in os.listdir(partials) if f.startswith("batch_id=")]
-    )
-    shutil.rmtree(partials)
-    os.rename(tmp, partials)
-    return before
+    new_gen = gen + 1
+    folded.write.mode("overwrite").parquet(f"{mv_root}/folded/gen={new_gen}")
+    meta = dict(meta)
+    meta["folded_gen"] = new_gen
+    meta["folded_through"] = max(to_fold)
+    _write_mv_meta(mv_root, meta)  # <- the commit point
+    # GC: folded batch partials and the generation BEFORE the previous
+    # one (retention 1 generation for in-flight readers)
+    for b in to_fold:
+        shutil.rmtree(
+            f"{mv_root}/partials/batch_id={b}", ignore_errors=True
+        )
+    if gen > 1:
+        shutil.rmtree(f"{mv_root}/folded/gen={gen - 1}", ignore_errors=True)
+    return len(to_fold)

@@ -117,12 +117,12 @@ def test_streaming_mv_maintenance_matches_batch(spark, tmp_path):
         "max_c": ("max", "CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
     }
 
-    def run_wave():
+    def run_wave(checkpoint=None):
         stream = spark.readStream.schema(
             spark.read.parquet(src).schema
         ).option("maxFilesPerTrigger", "1").parquet(src)
         q = start_mv_maintenance(
-            stream, mv_root, ("o_orderpriority",), measures, ckpt
+            stream, mv_root, ("o_orderpriority",), measures, checkpoint or ckpt
         )
         q.awaitTermination(120)
 
@@ -160,4 +160,45 @@ def test_streaming_mv_maintenance_matches_batch(spark, tmp_path):
     # compaction folds partials, answers invariant
     removed = compact_mv_partials(spark, mv_root)
     assert removed >= 2
+    assert mv_rows() == batch_rollup()
+    # nothing new to fold -> no-op
+    assert compact_mv_partials(spark, mv_root) == 0
+
+    # checkpoint replay AFTER compaction: removing the last commit
+    # marker simulates a crash between the batch write and its commit
+    # — Spark re-runs that batch on restart; its rows already live in
+    # the folded generation, so the sink must drop it (the double-count
+    # defect the folded watermark exists to prevent).  Replay runs from
+    # a copied checkpoint: Spark 4 flags in-place commit-log edits on a
+    # previously-used path as concurrent modification.
+    import glob
+    import os
+    import shutil
+
+    ckpt2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(ckpt, ckpt2)
+    commits = [
+        c
+        for c in sorted(glob.glob(os.path.join(ckpt2, "commits", "*")))
+        if not c.endswith(".tmp") and not os.path.basename(c).startswith(".")
+    ]
+    os.remove(commits[-1])
+    # drop the Hadoop checksum sidecar too, or the re-commit's rename
+    # trips ChecksumFileSystem and masquerades as concurrent use
+    crc = os.path.join(
+        os.path.dirname(commits[-1]),
+        f".{os.path.basename(commits[-1])}.crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_wave(ckpt2)
+    assert mv_rows() == batch_rollup()
+
+    # post-compaction ingest still counts (watermark blocks only <=;
+    # duplicate source rows are fine — both sides count them equally)
+    orders.limit(300).coalesce(1).write.mode("append").parquet(src)
+    run_wave(ckpt2)
+    assert mv_rows() == batch_rollup()
+    # and a second compaction folds the new partials onto the old gen
+    assert compact_mv_partials(spark, mv_root) >= 1
     assert mv_rows() == batch_rollup()

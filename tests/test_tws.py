@@ -78,10 +78,36 @@ def test_fold_matches_batch_twin_on_fixture(spark):
     assert got == expected
 
 
+def test_tws_plan_builds_without_protobuf(spark, tmp_path):
+    """Pins the env-gated skip below to exactly the runtime seam: the
+    transformWithStateInPandas PLAN (processor wiring, output schema,
+    state spec) must construct without google.protobuf — only batch
+    EXECUTION speaks the protobuf state protocol.  If this test ever
+    fails, the 1-skip is hiding an API regression in our code, not an
+    environment gap."""
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+    src_dir = str(tmp_path / "src")
+    ev.limit(10).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    sessions = sessionize_stream_tws(stream, gap_minutes=30)
+    assert sessions.isStreaming
+    assert [f.name for f in sessions.schema.fields] == [
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    ]
+
+
 @pytest.mark.skipif(
     not _HAS_PROTOBUF,
-    reason="transformWithState runtime needs google.protobuf (absent in "
-    "this container; documented seam in streaming/tws.py)",
+    reason="transformWithState RUNTIME needs google.protobuf (absent in "
+    "this container; documented seam in streaming/tws.py). The operator "
+    "semantics stay covered unconditionally: fold_sessions kernel tests "
+    "+ the batch-twin differential above + plan construction in "
+    "test_tws_plan_builds_without_protobuf.",
 )
 def test_tws_sessionize_matches_batch_minus_open_sessions(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events").select("user_id", "ts")
