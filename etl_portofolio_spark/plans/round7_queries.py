@@ -2852,11 +2852,14 @@ def q_streaming_tumbling_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
-        # 3 time-ranged files -> 3 micro-batches: still a real multi-batch
-        # watermark advance, at half the per-batch fixed cost of the r6
-        # 6-batch version (VERDICT r6: 4.9 s = 11% of the bench headline)
+        # 2 time-ranged files -> 2 micro-batches: the minimum that still
+        # exercises a real cross-batch watermark advance (batch 1 runs
+        # under the watermark set by batch 0's max event time).  Each
+        # micro-batch costs ~1.5 s of fixed streaming machinery (offset/
+        # commit logs, planning) regardless of rows — the r6 6-batch
+        # version spent 4.9 s = 11% of the bench headline on that.
         (
-            ev.repartitionByRange(3, F.col("ts"))
+            ev.repartitionByRange(2, F.col("ts"))
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
             .parquet(tmp)
