@@ -84,6 +84,59 @@ def test_oracle_bigint_requires_columns():
         oracle_bigint("SELECT 1 AS x")
 
 
+#: Known-safe high-precision roundings: every entry is a value with
+#: |x| <= ~100 (correlations, cosine partials, idf terms), far under
+#: the round(x,k) reproducibility bound |x| < 4.5e(15-k).
+_HIGH_K_ROUND_ALLOWLIST = {
+    ("advanced_queries.py", "round(corr, 9)"),
+    ("round5g_queries.py", "round(idf * norm, 9)"),
+    ("round5h_queries.py", "round(a.c * b.c, 12)"),
+    ("round5h_queries.py", "round(a.c * a.c, 12)"),
+    ("round5h_queries.py", "round(b.c * b.c, 12)"),
+    ("round7_queries.py", "round(c.c * p.v, 12)"),
+    ("round7_queries.py", "round(w * w, 12)"),
+    ("round7_queries.py", "round(w / nrm, 9)"),
+    ("round7_queries.py", "round(e.x * p.p, 12)"),
+    ("round7_queries.py", "round(e.x * e.x, 12)"),
+}
+
+
+def test_high_precision_roundings_are_allowlisted():
+    """Static tripwire for the round-magnitude rule (VERDICT r6 #3):
+    round(x, k>=7) is only cross-engine reproducible while
+    |x| < 4.5e(15-k) — ~4.5e6 at k=9, the bound the r6
+    time_weighted_value violated at |x|~1e7.  Any NEW high-k rounding
+    must be added here with its magnitude argument, or emitted as
+    integer units instead."""
+    import glob
+    import os
+    import re
+
+    plans = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_portofolio_spark",
+        "plans",
+    )
+    found = set()
+    pat = re.compile(r"round\([^()]*,\s*(\d+)\)")
+    for path in glob.glob(os.path.join(plans, "*.py")):
+        src = open(path).read()
+        for m in pat.finditer(src):
+            if int(m.group(1)) >= 7:
+                found.add((os.path.basename(path), m.group(0)))
+    # drop the known docstring PROSE mention of the rule itself
+    # ("round(x,9)" in the time_weighted_value postmortem); real calls
+    # reference a column or alias, never a bare x
+    found = {f for f in found if f[1] != "round(x,9)"}
+    new = found - _HIGH_K_ROUND_ALLOWLIST
+    gone = _HIGH_K_ROUND_ALLOWLIST - found
+    assert not new, (
+        "new round(x, k>=7) emission(s) — verify |x| < 4.5e(15-k) and "
+        f"allowlist, or emit integer units: {sorted(new)}"
+    )
+    assert not gone, f"stale allowlist entries: {sorted(gone)}"
+
+
 def test_sig_digit_audit_flags_overflowing_round():
     import os
     import sys
