@@ -2757,12 +2757,22 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in-memory catalog: a fresh session forgets the table but the
         # managed location survives; Spark then refuses the CREATE.
         # The data is a pure derivative of the sf tables — rewriting is
-        # always safe.
+        # always safe.  Old-TAG siblings (prior testdata fingerprints)
+        # are swept too, matching fixtures._sweep_stale_siblings —
+        # otherwise every regeneration leaks a full bucketed copy of
+        # the two largest tables into the warehouse dir.
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+        prefix = table.lower().rsplit("_", 1)[0] + "_"
+        try:
+            for d in os.listdir(wh):
+                if d.startswith(prefix) and d != table.lower():
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+        except FileNotFoundError:
+            pass
 
     if not spark.catalog.tableExists(li_t):
         _clear_stale(li_t)

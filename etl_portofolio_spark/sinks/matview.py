@@ -225,16 +225,36 @@ def _partial_batch_ids(mv_root: str) -> list[int]:
     )
 
 
-def _mv_parts(spark: SparkSession, mv_root: str, meta: dict) -> DataFrame | None:
-    """Unfolded partials above the watermark + the folded generation."""
+def _live_batch_ids(mv_root: str, meta: dict) -> list[int]:
+    """Batch partials that count toward answers: ids above the folded
+    watermark, plus a legacy ``batch_id=-1`` folded partial written by
+    the pre-generation compactor (honored only while no generation
+    exists — once gen>0 that data lives inside the generation)."""
     gen = meta.get("folded_gen", 0)
     through = meta.get("folded_through", -1)
+    return [
+        b
+        for b in _partial_batch_ids(mv_root)
+        if b > through or (b == -1 and gen == 0)
+    ]
+
+
+def _mv_parts(
+    spark: SparkSession, mv_root: str, meta: dict, batch_ids: list[int]
+) -> DataFrame | None:
+    """The EXACT given batch partials + the folded generation.
+
+    Callers pass the batch-id list explicitly so one filesystem listing
+    feeds both "what to read" and any bookkeeping derived from it —
+    compaction folding a re-listed (possibly larger) set than it
+    watermarks would double-count late-committed batches forever.
+    """
+    gen = meta.get("folded_gen", 0)
     frames = []
-    live = [b for b in _partial_batch_ids(mv_root) if b > through]
-    if live:
+    if batch_ids:
         frames.append(
             spark.read.option("basePath", f"{mv_root}/partials").parquet(
-                *[f"{mv_root}/partials/batch_id={b}" for b in live]
+                *[f"{mv_root}/partials/batch_id={b}" for b in batch_ids]
             ).drop("batch_id")
         )
     if gen > 0:
@@ -247,6 +267,14 @@ def _mv_parts(spark: SparkSession, mv_root: str, meta: dict) -> DataFrame | None
     return out
 
 
+def _reaggregate(parts: DataFrame, meta: dict) -> DataFrame:
+    aggs = [
+        _REAGG[kind](F.col(name)).alias(name)
+        for name, (kind, _e) in ((k, tuple(v)) for k, v in meta["measures"].items())
+    ]
+    return parts.groupBy(*[F.col(d) for d in meta["dims"]]).agg(*aggs)
+
+
 def read_maintained_mv(spark: SparkSession, mv_root: str) -> DataFrame:
     """The queryable face of a stream-maintained MV: re-aggregate the
     folded generation plus every batch partial above the folded
@@ -254,14 +282,10 @@ def read_maintained_mv(spark: SparkSession, mv_root: str) -> DataFrame:
     meta = load_mv_meta(mv_root)
     if meta is None:
         raise RewriteError(f"no MV metadata under {mv_root}")
-    parts = _mv_parts(spark, mv_root, meta)
+    parts = _mv_parts(spark, mv_root, meta, _live_batch_ids(mv_root, meta))
     if parts is None:
         raise RewriteError(f"no partials or folded generation under {mv_root}")
-    aggs = [
-        _REAGG[kind](F.col(name)).alias(name)
-        for name, (kind, _e) in ((k, tuple(v)) for k, v in meta["measures"].items())
-    ]
-    return parts.groupBy(*[F.col(d) for d in meta["dims"]]).agg(*aggs)
+    return _reaggregate(parts, meta)
 
 
 def compact_mv_partials(spark: SparkSession, mv_root: str) -> int:
@@ -279,18 +303,25 @@ def compact_mv_partials(spark: SparkSession, mv_root: str) -> int:
     window with no partials, which the old rmtree+rename swap had.
     The previous generation is retained for in-flight readers that
     resolved the old meta; it is removed on the NEXT compaction.
+
+    Concurrency with the live stream: the batch-id list is taken in
+    ONE listing and exactly that set is folded, watermarked, and
+    GC'd — a batch the stream commits after the listing stays live
+    above the watermark and is folded next time.  (Folding from a
+    second listing would count such a batch inside the generation AND
+    leave it live — double-counted forever.)
     """
     import shutil
 
     meta = load_mv_meta(mv_root)
     if meta is None:
         raise RewriteError(f"no MV metadata under {mv_root}")
-    through = meta.get("folded_through", -1)
     gen = meta.get("folded_gen", 0)
-    to_fold = [b for b in _partial_batch_ids(mv_root) if b > through]
+    to_fold = _live_batch_ids(mv_root, meta)  # the ONE listing
     if not to_fold:
         return 0
-    folded = read_maintained_mv(spark, mv_root)
+    parts = _mv_parts(spark, mv_root, meta, to_fold)
+    folded = _reaggregate(parts, meta)
     new_gen = gen + 1
     folded.write.mode("overwrite").parquet(f"{mv_root}/folded/gen={new_gen}")
     meta = dict(meta)

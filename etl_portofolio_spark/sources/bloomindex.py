@@ -85,6 +85,14 @@ def build_bloom_index(
             if f.startswith(prefix + root):
                 f = f[len(prefix + root):]
                 break
+        else:
+            # path spelling mismatch (symlinked dirs, scheme variants):
+            # persisting a mangled pseudo-relative path would make every
+            # probe miss-and-keep (full scan) — fail the BUILD instead
+            raise ValueError(
+                f"bloom build: listed file {f!r} is not under the table "
+                f"root {root!r}; canonicalize the table path"
+            )
         file = f.lstrip("/")
         values = pdf["__v"].dropna().unique()
         m = max(64, int(len(values) * bits_per_value + 7) // 8 * 8)

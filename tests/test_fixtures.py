@@ -63,13 +63,13 @@ def test_ensure_fixture_builds_once_then_serves_cache(sf_copy):
     p1 = ensure_fixture(sf_copy, "demo", build)
     assert os.path.exists(os.path.join(p1, "_SUCCESS"))
     assert len(calls) == 1
-    assert ".build-" not in p1 and not os.path.basename(p1).startswith(".")
+    assert "tmpbuild-" not in p1 and not os.path.basename(p1).startswith(".")
     # cached: the build must NOT run again
     p2 = ensure_fixture(sf_copy, "demo", build)
     assert p2 == p1 and len(calls) == 1
     # no leftover temp dirs from the build
     assert not [
-        d for d in os.listdir(os.path.dirname(p1)) if d.startswith(".build-")
+        d for d in os.listdir(os.path.dirname(p1)) if d.startswith("tmpbuild-")
     ]
 
 

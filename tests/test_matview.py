@@ -202,3 +202,40 @@ def test_streaming_mv_maintenance_matches_batch(spark, tmp_path):
     # and a second compaction folds the new partials onto the old gen
     assert compact_mv_partials(spark, mv_root) >= 1
     assert mv_rows() == batch_rollup()
+
+
+def test_legacy_minus_one_partial_still_counts(spark, tmp_path):
+    """A store written by the pre-generation compactor keeps all folded
+    rows in partials/batch_id=-1 with no folded_gen/folded_through in
+    the meta. The new reader must include that partial (it is excluded
+    only once a generation exists), or upgrading silently drops every
+    row folded before the upgrade."""
+    import json
+    import os
+
+    from etl_portofolio_spark.sinks.matview import (
+        _META_FILE,
+        compact_mv_partials,
+        read_maintained_mv,
+    )
+
+    mv_root = str(tmp_path / "legacy_mv")
+    os.makedirs(mv_root)
+    with open(os.path.join(mv_root, _META_FILE), "w") as fh:
+        json.dump(
+            {"dims": ["k"], "measures": {"n": ["sum", "ignored"]}}, fh
+        )
+    spark.createDataFrame([("a", 10), ("b", 5)], "k string, n long").write.parquet(
+        f"{mv_root}/partials/batch_id=-1"
+    )
+    spark.createDataFrame([("a", 1)], "k string, n long").write.parquet(
+        f"{mv_root}/partials/batch_id=3"
+    )
+    got = {r["k"]: r["n"] for r in read_maintained_mv(spark, mv_root).collect()}
+    assert got == {"a": 11, "b": 5}
+    # compaction folds BOTH (legacy -1 included), answers invariant,
+    # and the legacy partial is never double-honored afterwards
+    assert compact_mv_partials(spark, mv_root) == 2
+    got2 = {r["k"]: r["n"] for r in read_maintained_mv(spark, mv_root).collect()}
+    assert got2 == {"a": 11, "b": 5}
+    assert compact_mv_partials(spark, mv_root) == 0

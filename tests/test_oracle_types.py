@@ -23,8 +23,7 @@ from etl_portofolio_spark.plans.oracle_types import (
     DUCK_HAZARD_TYPES,
     oracle_bigint,
 )
-
-_SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR as _SF_DIR
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -85,19 +84,44 @@ def test_oracle_bigint_requires_columns():
 
 
 #: Known-safe high-precision roundings: every entry is a value with
-#: |x| <= ~100 (correlations, cosine partials, idf terms), far under
-#: the round(x,k) reproducibility bound |x| < 4.5e(15-k).
+#: |x| <= ~1e3 (ranks/shares <=1, embedding components ~1, cosine and
+#: covariance partials <=~100, idf/log terms <=~1e3), far under the
+#: round(x,k) reproducibility bound |x| < 4.5e(15-k) (4.5e6 at k=9,
+#: 4.5e3 at k=12 — the k=12 entries are all |x|<=~1 products).
+#: Snippets are whitespace-normalized match texts.
 _HIGH_K_ROUND_ALLOWLIST = {
+    ("advanced_queries.py", 'round(F.col("n").cast("double") / total.cast("double"), 9)'),
+    ("advanced_queries.py", "round(F.cume_dist().over(w), 9)"),
+    ("advanced_queries.py", "round(F.percent_rank().over(w), 9)"),
     ("advanced_queries.py", "round(corr, 9)"),
+    ("advanced_queries.py", "round(cume_dist() OVER w, 9)"),
+    ("advanced_queries.py", "round(percent_rank() OVER w, 9)"),
+    ("round5g_queries.py", "round(F.sqrt(sumsq), 9)"),
     ("round5g_queries.py", "round(idf * norm, 9)"),
-    ("round5h_queries.py", "round(a.c * b.c, 12)"),
+    ("round5h_queries.py", "round(CAST(embedding[i] AS DOUBLE), 12)"),
+    ("round5h_queries.py", 'round(F.col("ca") * F.col("ca"), 12)'),
+    ("round5h_queries.py", 'round(F.col("ca") * F.col("cb"), 12)'),
+    ("round5h_queries.py", 'round(F.col("cb") * F.col("cb"), 12)'),
+    ("round5h_queries.py", 'round(F.col("x").cast("double"), 12)'),
     ("round5h_queries.py", "round(a.c * a.c, 12)"),
+    ("round5h_queries.py", "round(a.c * b.c, 12)"),
     ("round5h_queries.py", "round(b.c * b.c, 12)"),
+    ("round6_queries.py", "round(CAST(embedding[i] AS DOUBLE), 12)"),
+    ("round6_queries.py", "round(COALESCE(dup_tokens, 0) / CAST(n_tokens AS DOUBLE), 9)"),
+    ("round6_queries.py", 'round(F.col("xf").cast("double"), 12)'),
+    ("round7_queries.py", "round(CAST(embedding[u.i] AS DOUBLE), 12)"),
+    ("round7_queries.py", "round(CAST(x AS DOUBLE) * {_SPRT_LA!r} + CAST(n - x AS DOUBLE) * ({_SPRT_LB!r}), 9)"),
+    ("round7_queries.py", 'round(F.col("c") * F.col("v"), 12)'),
+    ("round7_queries.py", 'round(F.col("w") * F.col("w"), 12)'),
+    ("round7_queries.py", 'round(F.col("w") / F.col("nrm"), 9)'),
+    ("round7_queries.py", 'round(F.col("x") * F.col("p"), 12)'),
+    ("round7_queries.py", 'round(F.col("x") * F.col("x"), 12)'),
+    ("round7_queries.py", 'round(F.col("xf").cast("double"), 12)'),
     ("round7_queries.py", "round(c.c * p.v, 12)"),
+    ("round7_queries.py", "round(e.x * e.x, 12)"),
+    ("round7_queries.py", "round(e.x * p.p, 12)"),
     ("round7_queries.py", "round(w * w, 12)"),
     ("round7_queries.py", "round(w / nrm, 9)"),
-    ("round7_queries.py", "round(e.x * p.p, 12)"),
-    ("round7_queries.py", "round(e.x * e.x, 12)"),
 }
 
 
@@ -118,12 +142,15 @@ def test_high_precision_roundings_are_allowlisted():
         "plans",
     )
     found = set()
-    pat = re.compile(r"round\([^()]*,\s*(\d+)\)")
+    # one level of nested parens so round(SUM(x), 9) / round(CAST(...))
+    # forms are visible — the original [^()]* pattern was blind to them
+    pat = re.compile(r"round\((?:[^()]|\([^()]*\))*,\s*(\d+)\)")
     for path in glob.glob(os.path.join(plans, "*.py")):
         src = open(path).read()
         for m in pat.finditer(src):
             if int(m.group(1)) >= 7:
-                found.add((os.path.basename(path), m.group(0)))
+                snip = re.sub(r"\s+", " ", m.group(0))
+                found.add((os.path.basename(path), snip))
     # drop the known docstring PROSE mention of the rule itself
     # ("round(x,9)" in the time_weighted_value postmortem); real calls
     # reference a column or alias, never a bare x

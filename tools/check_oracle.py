@@ -112,7 +112,7 @@ def float_hazards(name, rows, cols) -> list[str]:
         for i, v in enumerate(r):
             if (
                 isinstance(v, float)
-                and not math.isnan(v)
+                and math.isfinite(v)  # int(inf) would raise OverflowError
                 and abs(v) >= 4.5e6
                 and v != int(v)
                 and _sig_digits(v) > 15
