@@ -42,6 +42,7 @@ _PLAN_MODULES: tuple[tuple[str, str], ...] = (
     ("etl_portofolio_spark.plans.round5h_queries", "ROUND5H_QUERIES"),
     ("etl_portofolio_spark.plans.round6_queries", "ROUND6_QUERIES"),
     ("etl_portofolio_spark.plans.round7_queries", "ROUND7_QUERIES"),
+    ("etl_portofolio_spark.plans.round7b_queries", "ROUND7B_QUERIES"),
 )
 
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -102,6 +102,12 @@ HEADLINE = (
     # (availableNow, memory sink) and the co-located bucketed join
     "streaming_tumbling_oracle",
     "bucketed_join_colocated",
+    # round-7b additions: portable HLL registers, retrieval evals
+    # (MRR, MMR), and the sink write-path readback
+    "hll_register_sketch",
+    "mrr_label_retrieval",
+    "mmr_diversified_topk",
+    "sink_partition_roundtrip",
 )
 
 

@@ -1,0 +1,625 @@
+"""Round-7b query wave — retrieval evaluation, sketch registers, MMR
+diversification, and a write-path roundtrip that puts the K1/K4 sink
+machinery under the driver's oracle gate.
+
+Each entry: name -> (builder(spark, sf_dir) -> DataFrame, DuckDB oracle
+SQL).  Same determinism contract as every other wave: md5-based hashing
+only (``functions.hashing.h32`` is bit-identical in both engines),
+integer emission wherever a float could drift (reciprocal ranks in
+exact 1/2520 units, HLL registers as lowest-set-bit integers), cosine
+scores as per-term-rounded DECIMAL partials rounded to 6 before any
+ranking, ids breaking every tie.
+
+Scale notes inline per query; the wave's common theme is BOUNDED
+panels: retrieval evals run over a fixed probe panel, MMR runs over a
+top-k candidate list, HLL registers are a 64-row frame — none of the
+downstream arithmetic ever touches fact-row cardinalities.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_portofolio_spark.catalog import load_table
+from etl_portofolio_spark.functions.hashing import h32, h32_sql
+from etl_portofolio_spark.plans.oracle_types import oracle_bigint
+from etl_portofolio_spark.session import apply_runtime_confs
+
+ROUND7B_QUERIES: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {}
+
+
+# ---------------------------------------------------------------------------
+# hll_register_sketch — HyperLogLog register construction, exactly
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers
+
+
+def q_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of a HyperLogLog cardinality sketch over
+    ``orders.o_custkey``, emitted EXACTLY: each key routes to register
+    ``h32('hllreg:'||key) % 64`` and contributes the lowest set bit of
+    an independent hash ``h32('hllrho:'||key)`` — ``h & -h``, the
+    power-of-two twin of the leading-run length rho that HLL's
+    estimator consumes.  The output is the 64-row register table
+    (register, max lowest-set-bit, exact distinct keys per register):
+    everything the driver-side estimator needs, with zero floating
+    point anywhere.
+
+    Spark's own ``approx_count_distinct`` is HLL++ but its registers
+    are not reproducible outside the JVM; this query evidences the
+    portable construction — the register table is mergeable across
+    shards/streams by ``max`` (the sketch property that makes HLL the
+    100 TB cardinality tool), and the per-register distinct count
+    doubles as a router-uniformity audit.
+
+    Scale design: one map-side-combinable pass over orders (max is
+    algebraic; the per-register COUNT(DISTINCT) expands to at most
+    #keys rows pre-shuffle, keyed by 64 registers with uniform md5
+    routing — no hot key possible).  The output frame is 64 rows.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("string")
+    keyed = orders.select(
+        (h32(F.concat(F.lit("hllreg:"), ck)) % F.lit(_HLL_M)).alias("register"),
+        h32(F.concat(F.lit("hllrho:"), ck)).alias("__h"),
+        F.col("o_custkey").alias("__k"),
+    ).select(
+        "register",
+        F.expr("__h & -__h").alias("__t"),
+        "__k",
+    )
+    return keyed.groupBy("register").agg(
+        F.max("__t").alias("max_lowbit"),
+        F.countDistinct("__k").alias("n_keys"),
+    )
+
+
+_HLL_SQL = f"""
+WITH keyed AS (
+  SELECT {h32_sql("'hllreg:' || CAST(o_custkey AS VARCHAR)")} % {_HLL_M} AS register,
+         {h32_sql("'hllrho:' || CAST(o_custkey AS VARCHAR)")} AS h,
+         o_custkey AS k
+  FROM orders
+)
+SELECT register,
+       MAX(h & (-h)) AS max_lowbit,
+       COUNT(DISTINCT k) AS n_keys
+FROM keyed
+GROUP BY register
+"""
+
+ROUND7B_QUERIES["hll_register_sketch"] = (q_hll_register_sketch, _HLL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mrr_label_retrieval — mean reciprocal rank in exact 1/2520 units
+# ---------------------------------------------------------------------------
+
+_MRR_PROBES = 5  # vec_id 0..4
+_MRR_K = 10
+_MRR_LCM = 2520  # lcm(1..10): 2520/rank is an exact integer for rank<=10
+
+
+def q_mrr_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: for each probe vector (vec_id 0..4),
+    rank every other embedding by cosine and find the rank of the
+    first SAME-LABEL hit within the top-10 — the reciprocal-rank
+    metric behind MRR@k, emitted in exact 1/2520 units
+    (lcm(1..10) — ``2520 div rank`` is an exact integer, so the eval
+    has no float anywhere).  A probe with no same-label hit in the
+    top-10 reports rank -1 and 0 units.
+
+    Scale design: the probe panel is FIXED (5 rows broadcast after the
+    dim-explode); candidate scoring is one equi-join on dim followed
+    by a (probe, candidate)-keyed aggregation — panel × corpus × dims,
+    linear in the corpus, the eval-panel shape that stays cheap at any
+    corpus size.  Ranking windows partition BY PROBE, so the per-group
+    sort is parallel across the panel and never global.  Cosine dots
+    accumulate per-term-rounded DECIMAL partials in fixed array order
+    (the repo's cross-engine dot-product rule), rounded to 6 before
+    ranking; ids break ties.
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("lbl"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("id", "lbl", "dim", F.col("xf").cast("double").alias("x"))
+    probes = ex.where(F.col("id") < _MRR_PROBES).select(
+        F.col("id").alias("pid"),
+        F.col("lbl").alias("plbl"),
+        "dim",
+        F.col("x").alias("p"),
+    )
+    scored = (
+        ex.join(F.broadcast(probes), "dim")
+        .where(F.col("id") != F.col("pid"))
+        .groupBy("pid", "plbl", "id", "lbl")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("p"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+                ).cast("double")
+            ).alias("nx"),
+        )
+        .select(
+            "pid",
+            "plbl",
+            "id",
+            "lbl",
+            F.round(F.col("dot") / F.col("nx"), 6).alias("s"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("s").desc(), F.col("id").asc())
+    top = scored.select(
+        "pid", "plbl", "lbl", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= _MRR_K)
+    return (
+        top.groupBy("pid")
+        .agg(
+            F.min(
+                F.when(F.col("lbl") == F.col("plbl"), F.col("rnk"))
+            ).alias("__fr")
+        )
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.coalesce(F.col("__fr"), F.lit(-1)).cast("long").alias(
+                "first_rel_rank"
+            ),
+            F.coalesce(
+                F.expr(f"{_MRR_LCM} div __fr"), F.lit(0)
+            ).cast("long").alias("rr_units_2520"),
+        )
+    )
+
+
+_MRR_SQL = f"""
+WITH ex AS (
+  SELECT vec_id AS id, label AS lbl, CAST(u.i AS INT) - 1 AS dim,
+         CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS u(i)
+), probes AS (
+  SELECT id AS pid, lbl AS plbl, dim, x AS p FROM ex WHERE id < {_MRR_PROBES}
+), scored AS (
+  SELECT e.pid_ AS pid, e.plbl_ AS plbl, e.id, e.lbl,
+         round(CAST(SUM(CAST(round(e.x * e.p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / sqrt(CAST(SUM(CAST(round(e.x * e.x, 12) AS DECIMAL(38,12)))
+                           AS DOUBLE)), 6) AS s
+  FROM (
+    SELECT p.pid AS pid_, p.plbl AS plbl_, c.id, c.lbl, c.x, p.p
+    FROM ex c JOIN probes p ON c.dim = p.dim AND c.id <> p.pid
+  ) e
+  GROUP BY e.pid_, e.plbl_, e.id, e.lbl
+), top AS (
+  SELECT pid, plbl, lbl,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY s DESC, id ASC) AS rnk
+  FROM scored
+  QUALIFY rnk <= {_MRR_K}
+), firsts AS (
+  SELECT pid, MIN(CASE WHEN lbl = plbl THEN rnk END) AS fr
+  FROM top GROUP BY pid
+)
+SELECT pid AS probe_id,
+       CAST(COALESCE(fr, -1) AS BIGINT) AS first_rel_rank,
+       CAST(COALESCE({_MRR_LCM} // fr, 0) AS BIGINT) AS rr_units_2520
+FROM firsts
+"""
+
+ROUND7B_QUERIES["mrr_label_retrieval"] = (q_mrr_label_retrieval, _MRR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversified_topk — Maximal Marginal Relevance re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 12  # candidate pool (top-k by relevance)
+_MMR_PICK = 4  # greedy selections
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedily re-rank the top-12
+    cosine candidates of probe vec_id=0 so each pick maximizes
+    ``relevance − max-similarity-to-already-picked`` (lambda=1/2, the
+    monotone-equivalent form) — the standard diversified-retrieval
+    stage between ANN top-k and an LLM context window.
+
+    Scale design: relevance is the corpus-linear scored scan all ANN
+    queries share; everything after runs on the BOUNDED candidate
+    panel — 12 rows, 132 ordered pairs — localCheckpointed once so the
+    4 unrolled greedy rounds never re-derive the corpus scan and the
+    final plan stays constant-size.  Every score is rounded to 6
+    before comparison and ids break ties, so the greedy argmax is
+    deterministic cross-engine; the oracle replays the same 4 rounds
+    as unrolled CTEs.
+    """
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("id", "dim", F.col("xf").cast("double").alias("x"))
+    probe = ex.where(F.col("id") == 0).select("dim", F.col("x").alias("p"))
+    rel = (
+        ex.join(F.broadcast(probe), "dim")
+        .where(F.col("id") != 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("p"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+                ).cast("double")
+            ).alias("nx"),
+        )
+        .select("id", F.round(F.col("dot") / F.col("nx"), 6).alias("r"))
+    )
+    cand = (
+        rel.orderBy(F.col("r").desc(), F.col("id").asc())
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    ce = ex.join(F.broadcast(cand.select("id")), "id")
+    norms = ce.groupBy("id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+            ).cast("double")
+        ).alias("n")
+    )
+    a = ce.select(F.col("id").alias("ia"), "dim", F.col("x").alias("xa"))
+    b = ce.select(F.col("id").alias("ib"), "dim", F.col("x").alias("xb"))
+    sims = (
+        a.join(b, "dim")
+        .where(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(F.round(F.col("xa") * F.col("xb"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+        .join(norms.select(F.col("id").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(norms.select(F.col("id").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia", "ib", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("s")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    picks: list[DataFrame] = []
+    selected = (
+        cand.orderBy(F.col("r").desc(), F.col("id").asc())
+        .limit(1)
+        .select("id", F.col("r").alias("mmr_r6"))
+    )
+    picks.append(selected.select(F.lit(1).cast("long").alias("sel_rank"), "id", "mmr_r6"))
+    sel_ids = selected.select("id")
+    for t in range(2, _MMR_PICK + 1):
+        ms = (
+            sims.join(sel_ids.withColumnRenamed("id", "ib"), "ib")
+            .groupBy("ia")
+            .agg(F.max("s").alias("msim"))
+        )
+        pick = (
+            cand.join(sel_ids, "id", "left_anti")
+            .join(ms.withColumnRenamed("ia", "id"), "id")
+            .select("id", F.round(F.col("r") - F.col("msim"), 6).alias("mmr_r6"))
+            .orderBy(F.col("mmr_r6").desc(), F.col("id").asc())
+            .limit(1)
+        )
+        picks.append(
+            pick.select(F.lit(t).cast("long").alias("sel_rank"), "id", "mmr_r6")
+        )
+        sel_ids = sel_ids.union(pick.select("id")).localCheckpoint(eager=True)
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out
+
+
+def _mmr_sql() -> str:
+    base = f"""
+WITH ex AS (
+  SELECT vec_id AS id, CAST(u.i AS INT) - 1 AS dim,
+         CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS u(i)
+), probe AS (
+  SELECT dim, x AS p FROM ex WHERE id = 0
+), rel AS (
+  SELECT e.id,
+         round(CAST(SUM(CAST(round(e.x * p.p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / sqrt(CAST(SUM(CAST(round(e.x * e.x, 12) AS DECIMAL(38,12)))
+                           AS DOUBLE)), 6) AS r
+  FROM ex e JOIN probe p ON e.dim = p.dim
+  WHERE e.id <> 0
+  GROUP BY e.id
+), cand AS (
+  SELECT id, r FROM rel ORDER BY r DESC, id ASC LIMIT {_MMR_CAND}
+), ce AS (
+  SELECT e.id, e.dim, e.x FROM ex e JOIN cand c ON e.id = c.id
+), norms AS (
+  SELECT id,
+         sqrt(CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS n
+  FROM ce GROUP BY id
+), sims AS (
+  SELECT a.id AS ia, b.id AS ib,
+         round(CAST(SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / (na.n * nb.n), 6) AS s
+  FROM ce a JOIN ce b ON a.dim = b.dim AND a.id <> b.id
+  JOIN norms na ON na.id = a.id
+  JOIN norms nb ON nb.id = b.id
+  GROUP BY a.id, b.id, na.n, nb.n
+), s1 AS (
+  SELECT id, r AS mmr FROM cand ORDER BY r DESC, id ASC LIMIT 1
+)"""
+    sel_union = "SELECT id FROM s1"
+    for t in range(2, _MMR_PICK + 1):
+        base += f""", s{t} AS (
+  SELECT c.id, round(c.r - MAX(s.s), 6) AS mmr
+  FROM cand c JOIN sims s ON s.ia = c.id AND s.ib IN ({sel_union})
+  WHERE c.id NOT IN ({sel_union})
+  GROUP BY c.id, c.r
+  ORDER BY mmr DESC, c.id ASC LIMIT 1
+)"""
+        sel_union += f" UNION ALL SELECT id FROM s{t}"
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS sel_rank, id, mmr AS mmr_r6 FROM s{t}"
+        for t in range(1, _MMR_PICK + 1)
+    )
+    return base + "\n" + finals
+
+
+ROUND7B_QUERIES["mmr_diversified_topk"] = (q_mmr_diversified_topk, _mmr_sql())
+
+
+# ---------------------------------------------------------------------------
+# sink_partition_roundtrip — K1 append + K4 idempotent rewrite, oracle-gated
+# ---------------------------------------------------------------------------
+
+
+def q_sink_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write path under the oracle gate: ingest ``events`` into a
+    ds-partitioned warehouse through the production sink
+    (``sinks.writer.write_partitioned`` — the reference's K1 append /
+    K4 truncate-then-append as dynamic partition overwrite,
+    `Ingestion Data (XML).py:129-141` semantics), deliberately
+    DOUBLE-INGESTING one boundary day and healing it with the
+    idempotent per-partition rewrite.  The query answers from the
+    warehouse; the oracle recomputes from the source parquet — equal
+    results prove the append/rewrite sequence restored exactly-once
+    state.
+
+    Scale design: the warehouse is a content-keyed cached fixture
+    (rebuilt whenever the sources change, atomic publish — the r6
+    staleness lesson); writes flow through the adaptive file-sizing
+    path (K3); the readback is one map-side-combinable aggregate per
+    partition.  Only the ≤31-day boundary pick is driver-side.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.sinks.writer import write_partitioned
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ds", F.to_date("ts")
+        )
+        days = sorted(
+            r["ds"] for r in ev.select("ds").distinct().collect()
+        )  # bounded: calendar days, never fact rows
+        mid = days[len(days) // 2]
+        write_partitioned(ev.where(F.col("ds") <= F.lit(mid)), tmp, "ds", mode="append")
+        # double-ingest: the mid partition lands a second time
+        write_partitioned(ev.where(F.col("ds") >= F.lit(mid)), tmp, "ds", mode="append")
+        # heal: idempotent dynamic overwrite truncates ONLY ds=mid
+        write_partitioned(ev.where(F.col("ds") == F.lit(mid)), tmp, "ds", mode="overwrite")
+
+    path = ensure_fixture(sf_dir, "sink_roundtrip", _build)
+    wh = spark.read.parquet(path)
+    return (
+        wh.select(F.col("ds").cast("date").alias("ds"), "event_id", "user_id")
+        .groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+_SINK_SQL = """
+SELECT CAST(ts AS DATE) AS ds,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MAX(event_id) AS max_event_id
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+ROUND7B_QUERIES["sink_partition_roundtrip"] = (
+    q_sink_partition_roundtrip,
+    _SINK_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# xml_api_window_ingest — the S2/S3 HTTP XML-query source, oracle-gated
+# ---------------------------------------------------------------------------
+
+
+def q_xml_api_window_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's XML-query API ingestion (S2/S3,
+    `Ingestion Data (XML).py:70-132`) under the oracle gate: the Spark 4
+    Python DataSource plans one input partition per daily window and
+    each EXECUTOR fetches + CSV-parses its own window (the reference
+    pulled the whole payload through driver pandas).  The fetch
+    boundary is the source's pluggable ``fetcher``; here it answers
+    from ``events.parquet`` deterministically
+    (`sources.xmlapi_fixture`), so DuckDB can recompute the expected
+    aggregate exactly — proving window planning, executor-side fetch,
+    explicit-schema CSV decode, and the fan-in aggregation end to end.
+
+    Scale design: windows fetch in parallel (one partition each, ~30
+    here, thousands in production); only the 1-row min/max bounds probe
+    is driver-side.  Payload numerics are integers rendered as text and
+    parsed into doubles losslessly, so the SUMs are exact at any scale
+    (< 2^53) and emit as BIGINT.
+    """
+    apply_runtime_confs(spark)
+    import os as _os
+
+    from etl_portofolio_spark.sources.http_xml import register_xml_api
+
+    register_xml_api(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_format(F.to_date(F.min("ts")), "yyyy-MM-dd 00:00:00").alias("s"),
+        F.date_format(
+            F.date_add(F.to_date(F.max("ts")), 1), "yyyy-MM-dd 00:00:00"
+        ).alias("e"),
+    ).first()  # bounded: one metadata row
+    raw = (
+        spark.read.format("xmlapi")
+        .option(
+            "fetcher",
+            "etl_portofolio_spark.sources.xmlapi_fixture:fetch_events_csv",
+        )
+        .option("url", _os.path.join(sf_dir, "events.parquet"))
+        .option("starttime", b["s"])
+        .option("endtime", b["e"])
+        .option("windowminutes", "1440")
+        .load()
+    )
+    return raw.groupBy(F.col("appId_String").alias("app_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("transactions").cast("long").alias("sum_tx"),
+        F.countDistinct("clientAddr").alias("n_clients"),
+        F.sum("throughput").cast("long").alias("sum_tp"),
+    )
+
+
+_XMLAPI_SQL = oracle_bigint(
+    """
+SELECT event_type AS app_id,
+       COUNT(*) AS n_rows,
+       SUM(event_id % 100) AS sum_tx,
+       COUNT(DISTINCT 'u' || CAST(user_id AS VARCHAR)) AS n_clients,
+       SUM(event_id % 1000) AS sum_tp
+FROM events
+GROUP BY event_type
+""",
+    "sum_tx",
+    "sum_tp",
+)
+
+ROUND7B_QUERIES["xml_api_window_ingest"] = (
+    q_xml_api_window_ingest,
+    _XMLAPI_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# jdbc_stripe_ingest — the S4 JDBC pushdown + parallel-stripe read, gated
+# ---------------------------------------------------------------------------
+
+
+def q_jdbc_stripe_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MySQL ``history`` ingestion (S4,
+    `Ingestion Data (MySQL).py:156-169`) under the oracle gate against a
+    LIVE JDBC database: a content-keyed embedded-Derby fixture is seeded
+    from ``events`` through Spark's JDBC WRITE path, then read back
+    through ``sources.jdbc.JdbcWindowSource`` — the derived-table
+    pushdown subquery plus 8 disjoint ``clock`` stripes fetching in
+    parallel (the single-connection read was the reference's
+    scalability defect).  The oracle recomputes the expected day
+    buckets from the source parquet.
+
+    Scale design: the seed is a one-time cached fixture (batch JDBC
+    inserts); the gated read is stripe-parallel with the range filter
+    executing INSIDE the database; only the 1-row clock-bounds probe is
+    driver-side.  Values are integers end to end.
+    """
+    apply_runtime_confs(spark)
+    import os as _os
+    from datetime import datetime, timezone
+
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.sources.jdbc import JdbcWindowSource
+
+    def _seed(tmp: str) -> None:
+        # UPPERCASE column names: Spark's JDBC write quotes identifiers
+        # exactly, while the pushdown subquery references them unquoted
+        # (folded to uppercase by Derby) — lowercase seeds don't resolve
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("ITEMID"),
+            F.unix_timestamp("ts").alias("CLOCK"),
+            (F.col("user_id") % 1000).alias("VAL"),
+        )
+        (
+            ev.write.format("jdbc")
+            .option("url", f"jdbc:derby:{tmp}/db;create=true")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .option("dbtable", "history")
+            .mode("overwrite")
+            .save()
+        )
+        open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    root = ensure_fixture(sf_dir, "jdbc_history_uc", _seed)
+    bounds = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("lo"),
+            F.max(F.unix_timestamp("ts")).alias("hi"),
+        )
+        .first()
+    )  # bounded: one metadata row
+    src = JdbcWindowSource(
+        url=f"jdbc:derby:{root}/db",
+        table="history",
+        user="",
+        password="",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        num_partitions=8,
+    )
+    window = src.read_window(
+        spark,
+        datetime.fromtimestamp(bounds["lo"], tz=timezone.utc),
+        datetime.fromtimestamp(bounds["hi"] + 1, tz=timezone.utc),
+    )
+    return window.groupBy(
+        F.expr("CLOCK div 86400").alias("day_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("VAL").alias("sum_value"),
+        F.min("CLOCK").alias("min_clock"),
+        F.max("CLOCK").alias("max_clock"),
+    )
+
+
+_JDBC_SQL = oracle_bigint(
+    """
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_bucket,
+       COUNT(*) AS n_rows,
+       SUM(user_id % 1000) AS sum_value,
+       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_clock,
+       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_clock
+FROM events
+GROUP BY 1
+""",
+    "sum_value",
+)
+
+ROUND7B_QUERIES["jdbc_stripe_ingest"] = (q_jdbc_stripe_ingest, _JDBC_SQL)

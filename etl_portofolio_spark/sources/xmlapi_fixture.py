@@ -1,0 +1,75 @@
+"""Deterministic executor-side fetcher for the XML-query API source.
+
+`sources.http_xml` keeps the HTTP boundary pluggable (a ``fetcher``
+option naming ``module:function`` importable on executors); this module
+is the fixture-backed implementation the oracle-gated registry query
+uses.  It plays the SERVER role of the reference's XML API
+(`Ingestion Data (XML).py:91-132`): given the ``GenericClientQuery``
+body, it answers with the window's rows as a CSV payload — derived
+deterministically from the local ``events.parquet``, so a DuckDB oracle
+can recompute the expected result exactly.
+
+Everything numeric in the payload is an INTEGER rendered as text
+(parsed into the schema's doubles losslessly), so the downstream
+aggregation is exact cross-engine.  The fetch runs ON THE EXECUTOR —
+one window per input partition — which is precisely the distributed
+ingestion shape the reference's driver-pandas loop lacked.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import re
+
+
+def fetch_events_csv(url: str, xml_body: str, window_id: str) -> str:
+    """Answer one ``GenericClientQuery`` window from events.parquet.
+
+    ``url`` is the parquet path; the [start, end) window comes from the
+    XML body.  Response columns map the reference's payload shape onto
+    deterministic functions of the event row:
+    waktu=ts, appId_String=event_type, clientAddr='u'||user_id,
+    serverAddr='s'||(event_id%7), transactions=event_id%100,
+    delay=user_id%50, throughput=event_id%1000.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    start = re.search(r"<startTime>(.*?)</startTime>", xml_body).group(1)
+    end = re.search(r"<endTime>(.*?)</endTime>", xml_body).group(1)
+    tbl = pq.read_table(
+        url, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    df = tbl.to_pandas()
+    lo, hi = pd.Timestamp(start), pd.Timestamp(end)
+    df = df[(df["ts"] >= lo) & (df["ts"] < hi)]
+
+    out = io.StringIO()
+    w = csv.writer(out)
+    w.writerow(
+        [
+            "waktu",
+            "appId_String",
+            "clientAddr",
+            "serverAddr",
+            "transactions",
+            "delay",
+            "throughput",
+        ]
+    )
+    for eid, ts, uid, et in zip(
+        df["event_id"], df["ts"], df["user_id"], df["event_type"]
+    ):
+        w.writerow(
+            [
+                str(ts)[:19],
+                et,
+                f"u{uid}",
+                f"s{eid % 7}",
+                str(eid % 100),
+                str(uid % 50),
+                str(eid % 1000),
+            ]
+        )
+    return out.getvalue()
