@@ -575,6 +575,17 @@ def q_jdbc_stripe_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .save()
         )
+        # Shut the embedded database DOWN before ensure_fixture renames
+        # the dir: a still-booted instance holds the moved files and the
+        # read-side boot at the published path fails ("Failed to start
+        # database").  Derby signals a successful shutdown by THROWING
+        # SQLException 08006 — the exception is the success path.
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp}/db;shutdown=true"
+            )
+        except Exception:
+            pass
         open(_os.path.join(tmp, "_SUCCESS"), "w").close()
 
     root = ensure_fixture(sf_dir, "jdbc_history_uc", _seed)
@@ -623,3 +634,180 @@ GROUP BY 1
 )
 
 ROUND7B_QUERIES["jdbc_stripe_ingest"] = (q_jdbc_stripe_ingest, _JDBC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# winsorized_mean_price — exact order-statistic clamping
+# ---------------------------------------------------------------------------
+
+
+def _order_stat(df: DataFrame, col: str, k: int, coarse: int = 4096) -> int:
+    """The k-th order statistic (1-based) of an integer column, by
+    two-level histogram descent — the theilsen/weighted-median
+    discipline: NO global sort; a coarse histogram locates the target
+    bin (collect bounded by domain/coarse), then the exact-value
+    histogram WITHIN that bin (collect bounded by ``coarse`` distinct
+    values) walks to the answer."""
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in df.groupBy(
+            F.floor(F.col(col) / F.lit(coarse)).cast("long").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    run = 0
+    for b, c in hist:
+        if run + c >= k:
+            break
+        run += c
+    fine = sorted(
+        (r["v"], r["c"])
+        for r in df.where(
+            F.floor(F.col(col) / F.lit(coarse)).cast("long") == b
+        )
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    for v, c in fine:
+        run += c
+        if run >= k:
+            return v
+    raise RuntimeError("order statistic descent fell off the histogram")
+
+
+def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue statistics: clamp ``l_extendedprice`` at its
+    exact 5th and 95th percentiles (order statistics at
+    k = ceil(q·n) — the convention pinned in both engines) and emit
+    the clamped sum — the outlier-robust mean every metrics pipeline
+    wants, with NO floating point: prices are integer cents, the
+    percentile bounds are exact order statistics, and the mean ships
+    as (sum, count) integers.
+
+    Scale design: the two percentile lookups are histogram descents
+    (two bounded collects each — domain/4096 coarse bins, ≤4096
+    exact values in the target bin), never a global sort; the clamp
+    pass is one map-side-combinable aggregate over a persisted
+    single-column projection.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    li = scoped_persist(
+        load_table(spark, sf_dir, "lineitem").select(
+            cents("l_extendedprice").alias("p_c")
+        )
+    )
+    n = li.count()
+    lo = _order_stat(li, "p_c", (5 * n + 99) // 100)
+    hi = _order_stat(li, "p_c", (95 * n + 99) // 100)
+    return li.agg(
+        F.lit(lo).cast("long").alias("lo_c"),
+        F.lit(hi).cast("long").alias("hi_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.least(F.greatest(F.col("p_c"), F.lit(lo)), F.lit(hi))
+        ).alias("sum_winsor_c"),
+    )
+
+
+_WINSOR_SQL = oracle_bigint(
+    """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p_c FROM lineitem
+), ranked AS (
+  SELECT p_c, ROW_NUMBER() OVER (ORDER BY p_c) AS rn FROM v
+), n AS (SELECT COUNT(*) AS n FROM v),
+bounds AS (
+  SELECT
+    (SELECT p_c FROM ranked WHERE rn = (5 * (SELECT n FROM n) + 99) // 100) AS lo_c,
+    (SELECT p_c FROM ranked WHERE rn = (95 * (SELECT n FROM n) + 99) // 100) AS hi_c
+)
+SELECT b.lo_c, b.hi_c,
+       COUNT(*) AS n_rows,
+       SUM(LEAST(GREATEST(v.p_c, b.lo_c), b.hi_c)) AS sum_winsor_c
+FROM v, bounds b
+GROUP BY b.lo_c, b.hi_c
+""",
+    "sum_winsor_c",
+)
+
+ROUND7B_QUERIES["winsorized_mean_price"] = (
+    q_winsorized_mean_price,
+    _WINSOR_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# source_shingle_overlap — pairwise lexical-overlap matrix between sources
+# ---------------------------------------------------------------------------
+
+_OVERLAP_TOP = 15
+
+
+def q_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diagnostics: how much 3-gram vocabulary do sources
+    SHARE?  For every source pair, count the distinct word-3-shingles
+    present in both — the lexical-overlap matrix that flags
+    near-mirror sources (crawl duplicates, re-hosted corpora) before
+    expensive doc-level dedup, reported as the top-15 most-overlapping
+    pairs.
+
+    Scale design: shingling reuses ``operators.dedup.shingled_docs``
+    (tokens materialized before the HOF — the O(len²) trap); the
+    (source, shingle) frame is distinct-reduced BEFORE the self-join,
+    so the join is keyed on the shingle and each shingle contributes
+    at most |sources|² rows regardless of corpus size; the result
+    frame is bounded by source-pair count.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.dedup import shingled_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingled_docs(docs, "doc_id", "text", k=3, extra_cols=("source",))
+    g = sh.select(
+        "source", F.explode("sh_set").alias("sh")
+    ).distinct()
+    a = g.select(F.col("source").alias("src_a"), "sh")
+    b = g.select(F.col("source").alias("src_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy(
+            F.col("n_shared_shingles").desc(),
+            F.col("src_a").asc(),
+            F.col("src_b").asc(),
+        )
+        .limit(_OVERLAP_TOP)
+    )
+
+
+from etl_portofolio_spark.plans.pipeline_queries import (  # noqa: E402
+    _SQL_SHINGLES,
+    _SQL_TOKENS,
+)
+
+_OVERLAP_SQL = rf"""
+WITH tok AS (
+  SELECT source, {_SQL_TOKENS.format(col="text")} AS t FROM documents
+), sh AS (
+  SELECT source, {_SQL_SHINGLES.format(t="t")} AS s FROM tok
+), g AS (
+  SELECT DISTINCT source, unnest(s) AS sh FROM sh
+)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_shingles
+FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY n_shared_shingles DESC, src_a ASC, src_b ASC
+LIMIT {_OVERLAP_TOP}
+"""
+
+ROUND7B_QUERIES["source_shingle_overlap"] = (
+    q_source_shingle_overlap,
+    _OVERLAP_SQL,
+)
