@@ -811,3 +811,85 @@ ROUND7B_QUERIES["source_shingle_overlap"] = (
     q_source_shingle_overlap,
     _OVERLAP_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_oracle — REAL streaming dedup of a replayed source
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_dedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming executed FOR REAL inside the gate, second
+    shape: an at-least-once source that REPLAYS every record twice is
+    deduplicated with ``dropDuplicatesWithinWatermark`` (bounded state:
+    one entry per key, evicted when the watermark passes — the contract
+    that makes streaming dedup viable at 100 TB) and aggregated into
+    daily counts.  The oracle is the plain batch count over the
+    ORIGINAL events — so the stream must drop exactly the synthetic
+    replays, across a real multi-batch run with state carried between
+    micro-batches.
+
+    Determinism by construction: both copies of a record share an
+    event time, so range-partitioning the replayed table on ``ts``
+    puts them in the same file → the same micro-batch, always within
+    the dedup horizon (the drop-after-horizon path is test-gated in
+    ``tests/test_io_streaming.py``).  Files are time-ordered, so no
+    record arrives behind the watermark.
+    """
+    apply_runtime_confs(spark)
+    import hashlib
+
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.streaming.structured import (
+        deduped_stream,
+        read_file_stream,
+    )
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type"
+        )
+        (
+            ev.unionAll(ev)  # the at-least-once replay, every record 2x
+            .repartitionByRange(2, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    path = ensure_fixture(sf_dir, "events_stream_replayed", _build)
+    stream = read_file_stream(
+        spark,
+        path,
+        schema="event_id bigint, ts timestamp, event_type string",
+        max_files_per_trigger=1,
+    )
+    clean = deduped_stream(stream, ("event_id",), "ts", "1 day")
+    agg = clean.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink = f"r7b_dedup_sink_{hashlib.md5(path.encode()).hexdigest()[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("d"),
+        "n_events",
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+ROUND7B_QUERIES["streaming_dedup_oracle"] = (
+    q_streaming_dedup_oracle,
+    _STREAM_DEDUP_SQL,
+)
