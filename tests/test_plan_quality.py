@@ -1175,3 +1175,43 @@ def test_brand_series_corr_pairs_after_monthly_collapse(spark):
     release_cached()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_single_shuffle_64_groups(spark):
+    """The register build must be one map-side-combinable pass: exactly
+    one exchange, keyed on the 64-value register — no sort, no join."""
+    from etl_portofolio_spark.plans.round7b_queries import (
+        q_hll_register_sketch,
+    )
+
+    plan = _plan(q_hll_register_sketch(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Expand" not in plan  # single distinct-agg, no row multiply
+    # formatted explain names each node twice (tree + detail header);
+    # count detail headers: the distinct rewrite needs exactly 2
+    # exchanges (key-dedup, then 64-register final)
+    assert plan.count(") Exchange") <= 2
+
+
+def test_mrr_probe_panel_broadcasts(spark):
+    """Candidate scoring must broadcast the 5-probe panel and rank via
+    per-probe windows — never a global sort of the corpus."""
+    from etl_portofolio_spark.plans.round7b_queries import (
+        q_mrr_label_retrieval,
+    )
+
+    plan = _plan(q_mrr_label_retrieval(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_join_keyed_on_shingle(spark):
+    """The pair join must be an equi-join on the shingle hash (sort- or
+    hash-based), never a cartesian over sources x shingles."""
+    from etl_portofolio_spark.plans.round7b_queries import (
+        q_source_shingle_overlap,
+    )
+
+    plan = _plan(q_source_shingle_overlap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "sh" in plan
