@@ -116,50 +116,38 @@ def q_mrr_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no float anywhere).  A probe with no same-label hit in the
     top-10 reports rank -1 and 0 units.
 
-    Scale design: the probe panel is FIXED (5 rows broadcast after the
-    dim-explode); candidate scoring is one equi-join on dim followed
-    by a (probe, candidate)-keyed aggregation — panel × corpus × dims,
-    linear in the corpus, the eval-panel shape that stays cheap at any
-    corpus size.  Ranking windows partition BY PROBE, so the per-group
-    sort is parallel across the panel and never global.  Cosine dots
-    accumulate per-term-rounded DECIMAL partials in fixed array order
-    (the repo's cross-engine dot-product rule), rounded to 6 before
-    ranking; ids break ties.
+    Scale design: the 5-row probe panel broadcasts against the corpus
+    (the corpus never shuffles) and cosines are MAP-SIDE sequential
+    array folds — the ``operators.similarity`` formulation whose
+    left-fold order the DuckDB ``list_reduce`` oracle replays exactly
+    (the proven ``ann_brute_force_topk`` pattern; an earlier
+    explode+equi-join+decimal-agg draft was 4× slower for identical
+    results).  Ranking windows partition BY PROBE, so the per-group
+    sort is parallel across the panel and never global; scores round
+    to 6 before ranking, ids break ties.
     """
     apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.similarity import _dvec, cosine
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
+    docs = emb.select(
         F.col("vec_id").alias("id"),
         F.col("label").alias("lbl"),
-        F.posexplode("embedding").alias("dim", "xf"),
-    ).select("id", "lbl", "dim", F.col("xf").cast("double").alias("x"))
-    probes = ex.where(F.col("id") < _MRR_PROBES).select(
+        _dvec("embedding").alias("v"),
+    )
+    probes = docs.where(F.col("id") < _MRR_PROBES).select(
         F.col("id").alias("pid"),
         F.col("lbl").alias("plbl"),
-        "dim",
-        F.col("x").alias("p"),
+        F.col("v").alias("qv"),
     )
-    scored = (
-        ex.join(F.broadcast(probes), "dim")
-        .where(F.col("id") != F.col("pid"))
-        .groupBy("pid", "plbl", "id", "lbl")
-        .agg(
-            F.sum(F.round(F.col("x") * F.col("p"), 12).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot"),
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
-                ).cast("double")
-            ).alias("nx"),
-        )
-        .select(
-            "pid",
-            "plbl",
-            "id",
-            "lbl",
-            F.round(F.col("dot") / F.col("nx"), 6).alias("s"),
-        )
+    scored = docs.join(
+        F.broadcast(probes), F.col("id") != F.col("pid")
+    ).select(
+        "pid",
+        "plbl",
+        "id",
+        "lbl",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("s"),
     )
     w = Window.partitionBy("pid").orderBy(F.col("s").desc(), F.col("id").asc())
     top = scored.select(
@@ -184,23 +172,21 @@ def q_mrr_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from etl_portofolio_spark.plans.pipeline_queries import (  # noqa: E402
+    _sql_cosine,
+)
+
 _MRR_SQL = f"""
-WITH ex AS (
-  SELECT vec_id AS id, label AS lbl, CAST(u.i AS INT) - 1 AS dim,
-         CAST(embedding[u.i] AS DOUBLE) AS x
-  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS u(i)
+WITH docs AS (
+  SELECT vec_id AS id, label AS lbl,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
 ), probes AS (
-  SELECT id AS pid, lbl AS plbl, dim, x AS p FROM ex WHERE id < {_MRR_PROBES}
+  SELECT id AS pid, lbl AS plbl, v AS qv FROM docs WHERE id < {_MRR_PROBES}
 ), scored AS (
-  SELECT e.pid_ AS pid, e.plbl_ AS plbl, e.id, e.lbl,
-         round(CAST(SUM(CAST(round(e.x * e.p, 12) AS DECIMAL(38,12))) AS DOUBLE)
-               / sqrt(CAST(SUM(CAST(round(e.x * e.x, 12) AS DECIMAL(38,12)))
-                           AS DOUBLE)), 6) AS s
-  FROM (
-    SELECT p.pid AS pid_, p.plbl AS plbl_, c.id, c.lbl, c.x, p.p
-    FROM ex c JOIN probes p ON c.dim = p.dim AND c.id <> p.pid
-  ) e
-  GROUP BY e.pid_, e.plbl_, e.id, e.lbl
+  SELECT p.pid, p.plbl, d.id, d.lbl,
+         round({_sql_cosine('p.qv', 'd.v')}, 6) AS s
+  FROM docs d, probes p WHERE d.id <> p.pid
 ), top AS (
   SELECT pid, plbl, lbl,
          ROW_NUMBER() OVER (PARTITION BY pid ORDER BY s DESC, id ASC) AS rnk
@@ -244,56 +230,32 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as unrolled CTEs.
     """
     apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.similarity import _dvec, cosine
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        F.col("vec_id").alias("id"),
-        F.posexplode("embedding").alias("dim", "xf"),
-    ).select("id", "dim", F.col("xf").cast("double").alias("x"))
-    probe = ex.where(F.col("id") == 0).select("dim", F.col("x").alias("p"))
+    docs = emb.select(F.col("vec_id").alias("id"), _dvec("embedding").alias("v"))
+    probe = docs.where(F.col("id") == 0).select(F.col("v").alias("qv"))
     rel = (
-        ex.join(F.broadcast(probe), "dim")
+        docs.join(F.broadcast(probe))
         .where(F.col("id") != 0)
-        .groupBy("id")
-        .agg(
-            F.sum(F.round(F.col("x") * F.col("p"), 12).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot"),
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
-                ).cast("double")
-            ).alias("nx"),
-        )
-        .select("id", F.round(F.col("dot") / F.col("nx"), 6).alias("r"))
+        .select("id", "v", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("r"))
     )
-    cand = (
+    # the bounded candidate panel (id, relevance, vector) — one action,
+    # then every greedy round reads these 12 rows, never the corpus
+    cv = (
         rel.orderBy(F.col("r").desc(), F.col("id").asc())
         .limit(_MMR_CAND)
         .localCheckpoint(eager=True)
     )
-    ce = ex.join(F.broadcast(cand.select("id")), "id")
-    norms = ce.groupBy("id").agg(
-        F.sqrt(
-            F.sum(
-                F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
-            ).cast("double")
-        ).alias("n")
-    )
-    a = ce.select(F.col("id").alias("ia"), "dim", F.col("x").alias("xa"))
-    b = ce.select(F.col("id").alias("ib"), "dim", F.col("x").alias("xb"))
+    cand = cv.select("id", "r")
+    a = cv.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = cv.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
     sims = (
-        a.join(b, "dim")
-        .where(F.col("ia") != F.col("ib"))
-        .groupBy("ia", "ib")
-        .agg(
-            F.sum(F.round(F.col("xa") * F.col("xb"), 12).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-        .join(norms.select(F.col("id").alias("ia"), F.col("n").alias("na")), "ia")
-        .join(norms.select(F.col("id").alias("ib"), F.col("n").alias("nb")), "ib")
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
         .select(
-            "ia", "ib", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("s")
+            "ia",
+            "ib",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"),
         )
         .localCheckpoint(eager=True)
     )
@@ -322,7 +284,9 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks.append(
             pick.select(F.lit(t).cast("long").alias("sel_rank"), "id", "mmr_r6")
         )
-        sel_ids = sel_ids.union(pick.select("id")).localCheckpoint(eager=True)
+        # no checkpoint: sel_ids stays a <=3-row union over the
+        # checkpointed panel — lineage is shallow by construction
+        sel_ids = sel_ids.union(pick.select("id"))
 
     out = picks[0]
     for p in picks[1:]:
@@ -332,36 +296,21 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mmr_sql() -> str:
     base = f"""
-WITH ex AS (
-  SELECT vec_id AS id, CAST(u.i AS INT) - 1 AS dim,
-         CAST(embedding[u.i] AS DOUBLE) AS x
-  FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS u(i)
+WITH docs AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
 ), probe AS (
-  SELECT dim, x AS p FROM ex WHERE id = 0
+  SELECT v AS qv FROM docs WHERE id = 0
 ), rel AS (
-  SELECT e.id,
-         round(CAST(SUM(CAST(round(e.x * p.p, 12) AS DECIMAL(38,12))) AS DOUBLE)
-               / sqrt(CAST(SUM(CAST(round(e.x * e.x, 12) AS DECIMAL(38,12)))
-                           AS DOUBLE)), 6) AS r
-  FROM ex e JOIN probe p ON e.dim = p.dim
-  WHERE e.id <> 0
-  GROUP BY e.id
+  SELECT d.id, round({_sql_cosine('p.qv', 'd.v')}, 6) AS r
+  FROM docs d, probe p WHERE d.id <> 0
 ), cand AS (
   SELECT id, r FROM rel ORDER BY r DESC, id ASC LIMIT {_MMR_CAND}
-), ce AS (
-  SELECT e.id, e.dim, e.x FROM ex e JOIN cand c ON e.id = c.id
-), norms AS (
-  SELECT id,
-         sqrt(CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS n
-  FROM ce GROUP BY id
+), cv AS (
+  SELECT c.id, c.r, d.v FROM cand c JOIN docs d ON d.id = c.id
 ), sims AS (
-  SELECT a.id AS ia, b.id AS ib,
-         round(CAST(SUM(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS DOUBLE)
-               / (na.n * nb.n), 6) AS s
-  FROM ce a JOIN ce b ON a.dim = b.dim AND a.id <> b.id
-  JOIN norms na ON na.id = a.id
-  JOIN norms nb ON nb.id = b.id
-  GROUP BY a.id, b.id, na.n, nb.n
+  SELECT a.id AS ia, b.id AS ib, round({_sql_cosine('a.v', 'b.v')}, 6) AS s
+  FROM cv a JOIN cv b ON a.id <> b.id
 ), s1 AS (
   SELECT id, r AS mmr FROM cand ORDER BY r DESC, id ASC LIMIT 1
 )"""

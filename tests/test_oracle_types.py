@@ -122,15 +122,6 @@ _HIGH_K_ROUND_ALLOWLIST = {
     ("round7_queries.py", "round(e.x * p.p, 12)"),
     ("round7_queries.py", "round(w * w, 12)"),
     ("round7_queries.py", "round(w / nrm, 9)"),
-    # round7b: embedding-component products, |x| <= ~1 << 4.5e3 (k=12)
-    ("round7b_queries.py", 'round(F.col("x") * F.col("p"), 12)'),
-    ("round7b_queries.py", 'round(F.col("x") * F.col("x"), 12)'),
-    ("round7b_queries.py", 'round(F.col("xa") * F.col("xb"), 12)'),
-    ("round7b_queries.py", "round(a.x * b.x, 12)"),
-    ("round7b_queries.py", "round(e.x * e.p, 12)"),
-    ("round7b_queries.py", "round(e.x * e.x, 12)"),
-    ("round7b_queries.py", "round(e.x * p.p, 12)"),
-    ("round7b_queries.py", "round(x * x, 12)"),
 }
 
 

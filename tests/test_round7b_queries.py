@@ -75,20 +75,20 @@ def test_mmr_greedy_matches_bruteforce(spark):
     }
 
     def dot(a, b):
-        return sum(round(x * y, 12) for x, y in zip(a, b))
+        # the plan's sequential left fold (aggregate from 0.0), exactly
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
 
-    def norm(a):
-        return dot(a, a) ** 0.5
+    def cos(a, b):
+        return dot(a, b) / ((dot(a, a) ** 0.5) * (dot(b, b) ** 0.5))
 
     p = emb[0]
-    rel = {
-        i: round(dot(v, p) / norm(v), 6)
-        for i, v in emb.items()
-        if i != 0
-    }
+    rel = {i: round(cos(p, v), 6) for i, v in emb.items() if i != 0}
     cand = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_CAND]
     sim = {
-        (a, b): round(dot(emb[a], emb[b]) / (norm(emb[a]) * norm(emb[b])), 6)
+        (a, b): round(cos(emb[a], emb[b]), 6)
         for a in cand
         for b in cand
         if a != b
@@ -109,7 +109,10 @@ def test_mmr_greedy_matches_bruteforce(spark):
         key=lambda r: r["sel_rank"],
     )
     assert [r["id"] for r in rows] == sel
-    assert [r["mmr_r6"] for r in rows] == mmrs
+    for got, want in zip((r["mmr_r6"] for r in rows), mmrs):
+        # Python round() is half-even, Spark's HALF_UP: equal except at
+        # exact half-boundaries, which cosine doubles never sit on
+        assert abs(got - want) < 1e-9, (got, want)
 
 
 def test_mrr_units_exact(spark):
