@@ -842,3 +842,133 @@ ROUND7B_QUERIES["streaming_dedup_oracle"] = (
     q_streaming_dedup_oracle,
     _STREAM_DEDUP_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# loo_target_encoding — leakage-free categorical feature encoding
+# ---------------------------------------------------------------------------
+
+
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of ``o_orderpriority`` against the
+    order total — the categorical-feature encoder that avoids target
+    leakage by excluding each row's own target from its category mean.
+    Emitted EXACTLY as integer (numerator, denominator) pairs:
+    ``loo_num_c = sum(cat) - own`` cents, ``loo_den = n(cat) - 1`` —
+    the training job divides; the gate never hashes a float.
+
+    Scale design: category stats come from a 5-row groupBy AGGREGATE
+    broadcast-joined back to the facts — NOT a window partitioned by
+    category, which would funnel each category's millions of rows
+    through one task at 100 TB.  One fact scan for stats, one for the
+    join; both map-side-combinable/broadcast.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents("o_totalprice").alias("own_c"),
+    )
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.sum("own_c").alias("__sum_c"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return orders.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("__sum_c") - F.col("own_c")).alias("loo_num_c"),
+        (F.col("__n") - F.lit(1)).alias("loo_den"),
+    )
+
+
+_LOO_SQL = oracle_bigint(
+    """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS own_c
+  FROM orders
+), stats AS (
+  SELECT o_orderpriority, SUM(own_c) AS sum_c, COUNT(*) AS n
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       s.sum_c - o.own_c AS loo_num_c,
+       s.n - 1 AS loo_den
+FROM o JOIN stats s USING (o_orderpriority)
+""",
+    "loo_num_c",
+    "loo_den",
+)
+
+ROUND7B_QUERIES["loo_target_encoding"] = (q_loo_target_encoding, _LOO_SQL)
+
+
+# ---------------------------------------------------------------------------
+# event_path_mining — top user-day event-type paths
+# ---------------------------------------------------------------------------
+
+_PATH_TOP = 20
+
+
+def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining, first stage: the most common user-day event
+    JOURNEYS.  Each (user, day)'s events collapse — ordered by event
+    time, event id breaking ties — into a '>'-joined path string
+    ('view>view>purchase'), and the top-20 paths by frequency are the
+    funnel-discovery report.
+
+    Determinism: the order key is (epoch SECONDS, event_id) — both
+    engines floor to seconds identically (the repo's epoch rule;
+    raw timestamp order would be truncation-sensitive, Spark reads
+    this parquet at micros while DuckDB keeps nanos).
+
+    Scale design: paths build per (user, day) group — parallelism is
+    the user-day count, collect_list is bounded by one user-day's
+    events; array_sort on (sec, id, type) structs is in-group only;
+    the final top-20 is TakeOrdered, never a global sort.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        "event_type",
+    )
+    paths = ev.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sec", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), F.col("path").asc())
+        .limit(_PATH_TOP)
+    )
+
+
+_PATH_SQL = f"""
+WITH paths AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         string_agg(event_type, '>'
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS path
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT path, COUNT(*) AS n_user_days
+FROM paths
+GROUP BY path
+ORDER BY n_user_days DESC, path ASC
+LIMIT {_PATH_TOP}
+"""
+
+ROUND7B_QUERIES["event_path_mining"] = (q_event_path_mining, _PATH_SQL)
