@@ -250,14 +250,13 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cv.select("id", "r")
     a = cv.select(F.col("id").alias("ia"), F.col("v").alias("va"))
     b = cv.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
-    sims = (
-        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
-        .select(
-            "ia",
-            "ib",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"),
-        )
-        .localCheckpoint(eager=True)
+    # lazy: each greedy round re-derives the 132-pair frame from the
+    # 12-row checkpointed panel — a map-side nested loop, cheaper than
+    # a second eager checkpoint action
+    sims = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"),
     )
 
     picks: list[DataFrame] = []
@@ -270,13 +269,13 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel_ids = selected.select("id")
     for t in range(2, _MMR_PICK + 1):
         ms = (
-            sims.join(sel_ids.withColumnRenamed("id", "ib"), "ib")
+            sims.join(F.broadcast(sel_ids.withColumnRenamed("id", "ib")), "ib")
             .groupBy("ia")
             .agg(F.max("s").alias("msim"))
         )
         pick = (
-            cand.join(sel_ids, "id", "left_anti")
-            .join(ms.withColumnRenamed("ia", "id"), "id")
+            cand.join(F.broadcast(sel_ids), "id", "left_anti")
+            .join(F.broadcast(ms.withColumnRenamed("ia", "id")), "id")
             .select("id", F.round(F.col("r") - F.col("msim"), 6).alias("mmr_r6"))
             .orderBy(F.col("mmr_r6").desc(), F.col("id").asc())
             .limit(1)
