@@ -971,3 +971,89 @@ LIMIT {_PATH_TOP}
 """
 
 ROUND7B_QUERIES["event_path_mining"] = (q_event_path_mining, _PATH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# xml_api_stream_oracle — the S2 STREAMING face drained under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_xml_api_stream_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third real streaming run under the gate, through the PYTHON
+    DataSource's streaming face: the XML-query API consumed as a
+    Structured Streaming source (checkpointable window offsets,
+    executor-side fetch per window — `sources.http_xml.XmlApiStreamReader`),
+    drained with availableNow into a complete-mode memory sink.  The
+    aggregate and oracle are the batch ingest's — the streaming path
+    must reproduce the batch answer exactly, which pins offset
+    planning, per-window partitioning, and multi-batch accumulation.
+
+    Scale design: same as the batch face — windows fetch in parallel
+    on executors; the streaming engine adds checkpointed offsets (the
+    incremental-ingest production shape for this API).  Payload
+    numerics are integers in doubles; sums are exact and emit BIGINT.
+    """
+    apply_runtime_confs(spark)
+    import hashlib
+    import os as _os
+
+    from etl_portofolio_spark.sources.http_xml import register_xml_api
+
+    register_xml_api(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_format(F.to_date(F.min("ts")), "yyyy-MM-dd 00:00:00").alias("s"),
+        F.date_format(
+            F.date_add(F.to_date(F.max("ts")), 1), "yyyy-MM-dd 00:00:00"
+        ).alias("e"),
+    ).first()  # bounded: one metadata row
+    stream = (
+        spark.readStream.format("xmlapi")
+        .option(
+            "fetcher",
+            "etl_portofolio_spark.sources.xmlapi_fixture:fetch_events_csv",
+        )
+        .option("url", _os.path.join(sf_dir, "events.parquet"))
+        .option("starttime", b["s"])
+        .option("endtime", b["e"])
+        .option("windowminutes", "1440")
+        .load()
+    )
+    # no countDistinct: distinct aggregates are unsupported on streams
+    # (the batch face carries the n_clients evidence)
+    agg = stream.groupBy(F.col("appId_String").alias("app_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("transactions").cast("long").alias("sum_tx"),
+        F.sum("throughput").cast("long").alias("sum_tp"),
+    )
+    sink = "r7b_xmlstream_" + hashlib.md5(
+        (sf_dir + b["s"] + b["e"]).encode()
+    ).hexdigest()[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+_XMLAPI_STREAM_SQL = oracle_bigint(
+    """
+SELECT event_type AS app_id,
+       COUNT(*) AS n_rows,
+       SUM(event_id % 100) AS sum_tx,
+       SUM(event_id % 1000) AS sum_tp
+FROM events
+GROUP BY event_type
+""",
+    "sum_tx",
+    "sum_tp",
+)
+
+ROUND7B_QUERIES["xml_api_stream_oracle"] = (
+    q_xml_api_stream_oracle,
+    _XMLAPI_STREAM_SQL,
+)
