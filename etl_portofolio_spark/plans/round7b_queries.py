@@ -1057,3 +1057,81 @@ ROUND7B_QUERIES["xml_api_stream_oracle"] = (
     q_xml_api_stream_oracle,
     _XMLAPI_STREAM_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental_runner_ingest — the §2.8 micro-batch runner, oracle-gated
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_runner_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's driver micro-batch loop (§2.8,
+    `Ingestion Data (MySQL).py:99-130` / `Processing Data.py:97-120`)
+    under the oracle gate: ``IncrementalRunner`` ingests events in
+    12-HOUR windows into a daily-``ds`` warehouse — windows FINER than
+    the partition key, so the first window of a day dynamic-overwrites
+    it and the second appends — then a second run RESUMES from the
+    partition-layout watermark (re-running the watermark day, which
+    must replace rather than duplicate).  The query answers from the
+    warehouse; the oracle recomputes from source — equality proves
+    window slicing, the K4 overwrite/append split, watermark resume,
+    and re-run idempotency in one artifact.
+
+    Scale design: each window writes only its own partitions; the
+    watermark is an O(#partitions) directory listing (the table IS the
+    state — no state store); the readback is one combinable aggregate.
+    Only day-boundary arithmetic is driver-side.
+    """
+    apply_runtime_confs(spark)
+    from datetime import datetime, timedelta
+
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.streaming.incremental import IncrementalRunner
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        start = datetime(b["lo"].year, b["lo"].month, b["lo"].day)
+        end = datetime(b["hi"].year, b["hi"].month, b["hi"].day) + timedelta(
+            days=1
+        )
+        runner = IncrementalRunner(
+            spark,
+            source=lambda s, e: ev.where(
+                (F.col("ts") >= F.lit(s)) & (F.col("ts") < F.lit(e))
+            ),
+            target_path=tmp,
+            transform=lambda df: df.withColumn(
+                "ds", F.date_format("ts", "yyyyMMdd")
+            ),
+        )
+        mid = start + timedelta(days=max((end - start).days // 2, 1))
+        runner.run(start, mid, timedelta(hours=12))
+        # resume: picks up at the watermark day and re-runs it — the
+        # dynamic overwrite must replace, never duplicate
+        runner.run_from_watermark(
+            end, timedelta(hours=12), default_start=start
+        )
+
+    path = ensure_fixture(sf_dir, "incremental_ingest", _build)
+    wh = spark.read.parquet(path)
+    return wh.groupBy(F.col("ds").cast("string").alias("ds")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+_INCR_SQL = """
+SELECT strftime(ts, '%Y%m%d') AS ds,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MAX(event_id) AS max_event_id
+FROM events
+GROUP BY 1
+"""
+
+ROUND7B_QUERIES["incremental_runner_ingest"] = (
+    q_incremental_runner_ingest,
+    _INCR_SQL,
+)
