@@ -1135,3 +1135,58 @@ ROUND7B_QUERIES["incremental_runner_ingest"] = (
     q_incremental_runner_ingest,
     _INCR_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# overwrite_table_roundtrip — K2 full overwrite, oracle-gated
+# ---------------------------------------------------------------------------
+
+
+def q_overwrite_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2, the reference's unpartitioned full overwrite
+    (`Ingestion Data (MySQL).py:52-57`), under the gate: a STALE
+    half-table is written first, then the production ``overwrite_table``
+    replaces it with the full snapshot — the query answers from the
+    store, so any append-instead-of-replace or partial overwrite
+    surfaces as extra/missing rows against the source oracle.
+
+    Scale design: one full-snapshot write (the K2 contract — this is
+    the small-dimension refresh pattern, not the fact path), one
+    combinable aggregate on readback.
+    """
+    apply_runtime_confs(spark)
+    import os as _os
+
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.sinks.writer import overwrite_table
+
+    def _build(tmp: str) -> None:
+        target = _os.path.join(tmp, "t")
+        cust = load_table(spark, sf_dir, "customer")
+        # stale state: half the rows — the overwrite must fully replace
+        overwrite_table(cust.where(F.col("c_custkey") % 2 == 0), target)
+        overwrite_table(cust, target)
+        open(_os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    root = ensure_fixture(sf_dir, "overwrite_k2", _build)
+    t = spark.read.parquet(_os.path.join(root, "t"))
+    return t.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+_K2_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_rows,
+       MIN(c_custkey) AS min_key,
+       MAX(c_custkey) AS max_key
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+ROUND7B_QUERIES["overwrite_table_roundtrip"] = (
+    q_overwrite_table_roundtrip,
+    _K2_SQL,
+)
