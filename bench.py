@@ -103,11 +103,19 @@ HEADLINE = (
     "streaming_tumbling_oracle",
     "bucketed_join_colocated",
     # round-7b additions: portable HLL registers, retrieval evals
-    # (MRR, MMR), and the sink write-path readback
+    # (MRR, MMR), the sink/runner write-path readbacks, and the two
+    # reference ingestion faces (XML-API DataSource, JDBC stripes)
     "hll_register_sketch",
     "mrr_label_retrieval",
     "mmr_diversified_topk",
     "sink_partition_roundtrip",
+    "xml_api_window_ingest",
+    "jdbc_stripe_ingest",
+    "source_shingle_overlap",
+    "event_path_mining",
+    "winsorized_mean_price",
+    "loo_target_encoding",
+    "incremental_runner_ingest",
 )
 
 
