@@ -1190,3 +1190,205 @@ ROUND7B_QUERIES["overwrite_table_roundtrip"] = (
     q_overwrite_table_roundtrip,
     _K2_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_balance — ANN index health: inverted-list size audit
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index operations: the size of every IVF inverted list and
+    its share of the corpus (exact permille) — the balance audit run
+    after every index build, because one oversized cell silently turns
+    nprobe=1 searches into near-brute-force scans and starves recall
+    on the rest.  Assignment reuses ``operators.similarity.ivf_assign``
+    (broadcast codebook, map-side argmax, lowest-centroid tiebreak) —
+    the same plan the gated ``ann_ivf_topk`` search uses, so this
+    audits the REAL index, not a re-derivation.
+
+    Scale design: one corpus scan for assignment, an 8-group
+    aggregate, and share arithmetic over the 8-row frame (the window
+    sees cells, never vectors).
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        ivf_assign(emb)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    total = Window.partitionBy()
+    return cells.select(
+        "cluster_id",
+        "n_vecs",
+        F.expr("n_vecs * 1000").cast("long").alias("__num"),
+        F.sum("n_vecs").over(total).alias("__tot"),
+    ).select(
+        "cluster_id",
+        "n_vecs",
+        F.expr("__num div __tot").cast("long").alias("share_permille"),
+    )
+
+
+_IVF_BALANCE_SQL = oracle_bigint(
+    f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, centroid_id AS cluster_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {{cos}} DESC, c.centroid_id ASC) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), cells AS (
+  SELECT cluster_id, COUNT(*) AS n_vecs FROM assigned GROUP BY cluster_id
+)
+SELECT cluster_id, n_vecs,
+       (n_vecs * 1000) // SUM(n_vecs) OVER () AS share_permille
+FROM cells
+""".format(cos=_sql_cosine("v.v", "c.cv")),
+    "share_permille",
+)
+
+ROUND7B_QUERIES["ivf_cell_balance"] = (q_ivf_cell_balance, _IVF_BALANCE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# tombstone_delete_audit — right-to-be-forgotten sweep with proof
+# ---------------------------------------------------------------------------
+
+
+def q_tombstone_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-ops delete sweep: a tombstone list (deletion-request
+    users, here the deterministic ``user_id % 97 = 0`` cohort) is
+    applied to the events table with a broadcast ANTI join, and the
+    audit row proves the sweep — rows before/after, rows removed,
+    distinct tombstoned users that HAD data, and the leak count after
+    the delete (must be 0; the gate hashes it).
+
+    Scale design: the tombstone list broadcasts (deletion requests are
+    always small relative to facts); the sweep is one anti join at
+    scan speed; both audit aggregates are single combinable passes.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    tombstones = (
+        ev.select("user_id").where(F.col("user_id") % 97 == 0).distinct()
+    )
+    cleaned = ev.join(F.broadcast(tombstones), "user_id", "left_anti")
+    before = ev.agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.countDistinct(
+            F.when(F.col("user_id") % 97 == 0, F.col("user_id"))
+        ).alias("n_tombstoned_users"),
+    )
+    after = cleaned.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(
+            F.when(F.col("user_id") % 97 == 0, 1).otherwise(0)
+        ).alias("n_leaked"),
+    )
+    return before.crossJoin(after).select(
+        "n_before",
+        "n_after",
+        (F.col("n_before") - F.col("n_after")).alias("n_removed"),
+        "n_tombstoned_users",
+        F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+    )
+
+
+_TOMBSTONE_SQL = oracle_bigint(
+    """
+WITH before AS (
+  SELECT COUNT(*) AS n_before,
+         COUNT(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+           AS n_tombstoned_users
+  FROM events
+), after AS (
+  SELECT COUNT(*) AS n_after,
+         COALESCE(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END), 0)
+           AS n_leaked
+  FROM events WHERE user_id % 97 <> 0
+)
+SELECT b.n_before, a.n_after,
+       b.n_before - a.n_after AS n_removed,
+       b.n_tombstoned_users,
+       CAST(a.n_leaked AS BIGINT) AS n_leaked
+FROM before b, after a
+""",
+    "n_removed",
+    "n_leaked",
+)
+
+ROUND7B_QUERIES["tombstone_delete_audit"] = (
+    q_tombstone_delete_audit,
+    _TOMBSTONE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# lag_feature_frame — forecasting feature matrix from the daily series
+# ---------------------------------------------------------------------------
+
+
+def q_lag_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecasting feature matrix: daily revenue with row-lagged
+    features (t-1, t-7, t-28 OBSERVATIONS — row-based, as documented)
+    and the trailing-7-row sum, all in exact integer cents — what a
+    gradient-boosted or linear forecaster trains on.  Missing lags are
+    NULL (series head), matching SQL LAG semantics in both engines.
+
+    Scale design: the fact table collapses to the calendar-bounded
+    daily frame FIRST (map-side-combinable groupBy); every window runs
+    over that ~2.4k-row frame, never over fact rows — the repo's
+    bounded-frame window rule.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    )
+    w = Window.orderBy("d")
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        "rev_c",
+        F.lag("rev_c", 1).over(w).alias("lag1_c"),
+        F.lag("rev_c", 7).over(w).alias("lag7_c"),
+        F.lag("rev_c", 28).over(w).alias("lag28_c"),
+        F.sum("rev_c").over(w7).alias("roll7_c"),
+    )
+
+
+_LAG_SQL = oracle_bigint(
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT d, rev_c,
+       LAG(rev_c, 1) OVER (ORDER BY d) AS lag1_c,
+       LAG(rev_c, 7) OVER (ORDER BY d) AS lag7_c,
+       LAG(rev_c, 28) OVER (ORDER BY d) AS lag28_c,
+       SUM(rev_c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS roll7_c
+FROM daily
+""",
+    "rev_c",
+    "lag1_c",
+    "lag7_c",
+    "lag28_c",
+    "roll7_c",
+)
+
+ROUND7B_QUERIES["lag_feature_frame"] = (q_lag_feature_frame, _LAG_SQL)
