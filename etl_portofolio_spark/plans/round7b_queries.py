@@ -1392,3 +1392,213 @@ FROM daily
 )
 
 ROUND7B_QUERIES["lag_feature_frame"] = (q_lag_feature_frame, _LAG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# session_gap_histogram — inter-event gap distribution (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution of inter-event gaps per user, in power-of-two
+    second buckets — the evidence base for choosing a sessionization
+    gap threshold (the knee of this histogram IS the session boundary
+    everyone otherwise guesses).  Gap = seconds since the user's
+    previous event; bucket = floor(log2(gap)) computed by BIT LENGTH
+    (``63 - bit_count`` tricks avoided: the bucket is the exponent of
+    the highest set bit, derived with integer comparisons in both
+    engines via length of the binary representation).
+
+    Scale design: the lag window partitions BY USER (parallelism =
+    user count, the sessionize_events discipline); the histogram is a
+    bounded ~32-bucket aggregate.  Zero-gap events (same second) land
+    in bucket -1.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.select(
+        (F.col("sec") - F.lag("sec", 1).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    # floor(log2(gap)) for gap>=1 == bit_length(gap)-1; Spark `bin()`
+    # and DuckDB `bit_length(...)` both give it without float log2
+    bucket = F.when(F.col("gap") <= 0, F.lit(-1)).otherwise(
+        F.length(F.expr("bin(gap)")) - 1
+    )
+    return (
+        gaps.groupBy(bucket.cast("long").alias("gap_bucket_log2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap").alias("min_gap_s"),
+            F.max("gap").alias("max_gap_s"),
+        )
+    )
+
+
+_GAP_SQL = """
+WITH gaps AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+  FROM events
+)
+SELECT CAST(CASE WHEN gap <= 0 THEN -1
+            ELSE length(bin(CAST(gap AS BIGINT)))::BIGINT - 1 END AS BIGINT)
+         AS gap_bucket_log2,
+       COUNT(*) AS n_gaps,
+       MIN(gap) AS min_gap_s,
+       MAX(gap) AS max_gap_s
+FROM gaps
+WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+ROUND7B_QUERIES["session_gap_histogram"] = (
+    q_session_gap_histogram,
+    _GAP_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# token_length_percentiles_by_source — exact per-group order statistics
+# ---------------------------------------------------------------------------
+
+
+def q_token_length_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact p50/p90 document token counts PER SOURCE — the curation
+    dashboard's length profile, computed without any per-group sort of
+    documents: token counts live on a small bounded domain, so each
+    source's distinct-value histogram plus a cumulative window over it
+    yields the exact order statistics (k = ceil(q·n), the repo's
+    pinned convention).
+
+    Scale design: one map-side tokenize+count pass, a (source, n_tok)
+    histogram aggregate, and windows over the histogram frame —
+    |sources| × |distinct lengths| rows, never documents.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    hist = docs.groupBy("source", "n_tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "n_tok",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cc") >= F.expr("(50 * n + 99) div 100"), F.col("n_tok")
+            )
+        ).alias("p50_tok"),
+        F.min(
+            F.when(
+                F.col("cc") >= F.expr("(90 * n + 99) div 100"), F.col("n_tok")
+            )
+        ).alias("p90_tok"),
+    )
+
+
+_LENPCT_SQL = r"""
+WITH docs AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), hist AS (
+  SELECT source, n_tok, COUNT(*) AS c FROM docs GROUP BY source, n_tok
+), cum AS (
+  SELECT source, n_tok,
+         SUM(c) OVER (PARTITION BY source ORDER BY n_tok
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM hist
+)
+SELECT source,
+       MIN(CASE WHEN cc >= (50 * n + 99) // 100 THEN n_tok END) AS p50_tok,
+       MIN(CASE WHEN cc >= (90 * n + 99) // 100 THEN n_tok END) AS p90_tok
+FROM cum
+GROUP BY source
+"""
+
+ROUND7B_QUERIES["token_length_percentiles_by_source"] = (
+    q_token_length_percentiles_by_source,
+    _LENPCT_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# event_burstiness — variance-to-mean of daily counts, exact rationals
+# ---------------------------------------------------------------------------
+
+
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type: the variance-to-mean ratio of
+    its daily counts (VMR > 1 = bursty/clumped, < 1 = regular), the
+    load-forecasting and anomaly-baseline statistic — emitted as the
+    EXACT integer rational (num, den):
+    ``VMR = (n·Σc² − (Σc)²) / (n·Σc)``.  No float exists anywhere.
+
+    Scale design: facts collapse to the (type, day) count frame
+    map-side; moments are one combinable aggregate over that bounded
+    frame; magnitudes stay far inside int64 (Σc² ≤ days·max_daily²).
+    """
+    apply_runtime_confs(spark)
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq_c"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        "sum_c",
+        (
+            F.col("n_days") * F.col("sumsq_c") - F.col("sum_c") * F.col("sum_c")
+        ).alias("vmr_num"),
+        (F.col("n_days") * F.col("sum_c")).alias("vmr_den"),
+    )
+
+
+_BURST_SQL = oracle_bigint(
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       SUM(c) AS sum_c,
+       COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS vmr_num,
+       COUNT(*) * SUM(c) AS vmr_den
+FROM daily
+GROUP BY event_type
+""",
+    "sum_c",
+    "vmr_num",
+    "vmr_den",
+)
+
+ROUND7B_QUERIES["event_burstiness"] = (q_event_burstiness, _BURST_SQL)
