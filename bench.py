@@ -116,6 +116,12 @@ HEADLINE = (
     "winsorized_mean_price",
     "loo_target_encoding",
     "incremental_runner_ingest",
+    "ivf_cell_balance",
+    "tombstone_delete_audit",
+    "lag_feature_frame",
+    "session_gap_histogram",
+    "token_length_percentiles_by_source",
+    "event_burstiness",
 )
 
 
