@@ -1602,3 +1602,164 @@ GROUP BY event_type
 )
 
 ROUND7B_QUERIES["event_burstiness"] = (q_event_burstiness, _BURST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_rollup_prefix — fixed-depth BOM rollup via ancestor explode
+# ---------------------------------------------------------------------------
+
+
+def q_hierarchy_rollup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (bill-of-materials / org-chart) subtree rollup WITHOUT
+    iteration: parts form a synthetic tree by decimal prefix
+    (parent(k) = k div 10), and each node's subtree aggregate — member
+    count and total retail value of every descendant-or-self — comes
+    from EXPLODING each row into its ≤8-ancestor chain map-side and
+    aggregating by ancestor.  Path enumeration beats iterative
+    child→parent propagation whenever depth is bounded: one scan, one
+    shuffle, no per-level rounds or checkpoints, and at 100 TB the
+    8× row expansion is map-local and combinable.  Output is the
+    two-digit subtree roots (bounded frame).
+
+    Integer cents, integer keys; the oracle builds the same ancestor
+    chains with hardcoded integer divisions.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), cents("p_retailprice").alias("v_c")
+    )
+    ancestors = F.filter(
+        F.array(*[F.expr(f"k div {10**i}") for i in range(8)]),
+        lambda a: a > 0,
+    )
+    exploded = part.select(
+        F.explode(ancestors).alias("node"), "v_c"
+    )
+    return (
+        exploded.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("v_c").alias("subtree_value_c"),
+        )
+        .where(F.col("node") < 100)
+    )
+
+
+_HIER_SQL = oracle_bigint(
+    """
+WITH p AS (
+  SELECT p_partkey AS k,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS v_c
+  FROM part
+), exploded AS (
+  SELECT u.node, v_c
+  FROM p, LATERAL unnest([k, k // 10, k // 100, k // 1000, k // 10000,
+                          k // 100000, k // 1000000, k // 10000000]) AS u(node)
+  WHERE u.node > 0
+)
+SELECT node, COUNT(*) AS n_members, SUM(v_c) AS subtree_value_c
+FROM exploded
+GROUP BY node
+HAVING node < 100
+""",
+    "subtree_value_c",
+)
+
+ROUND7B_QUERIES["hierarchy_rollup_prefix"] = (
+    q_hierarchy_rollup_prefix,
+    _HIER_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# conformal_interval_calibration — distribution-free forecast intervals
+# ---------------------------------------------------------------------------
+
+
+def q_conformal_interval_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal calibration for the naive daily-revenue
+    forecaster (prediction = yesterday): the 90th-percentile absolute
+    residual q_hat over the calibration series is the
+    distribution-free interval half-width, and the reported coverage
+    (residuals ≤ q_hat, in exact permille) certifies it — the modern
+    uncertainty-quantification step appended to any forecaster.
+    q_hat is an exact order statistic (k = ceil(0.9·n), the pinned
+    convention) over integer-cents residuals; no float anywhere.
+
+    Scale design: facts collapse map-side to the calendar-bounded
+    daily frame; residuals, the cumulative-histogram order statistic,
+    and the coverage count all run on that ≤few-thousand-row frame.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    )
+    w = Window.orderBy("d")
+    res = daily.select(
+        F.abs(F.col("rev_c") - F.lag("rev_c", 1).over(w)).alias("r")
+    ).where(F.col("r").isNotNull())
+    hist = res.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "r",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qhat = cum.where(
+        F.col("cc") >= F.expr("(90 * n + 99) div 100")
+    ).agg(F.min("r").alias("qhat_c"), F.min("n").alias("__n"))
+    return (
+        res.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.min("qhat_c").alias("qhat_c"),
+            F.min("__n").alias("n_calib"),
+            F.expr(
+                "CAST(sum(CASE WHEN r <= qhat_c THEN 1 ELSE 0 END) * 1000 "
+                "div min(__n) AS BIGINT)"
+            ).alias("coverage_permille"),
+        )
+    )
+
+
+_CONFORMAL_SQL = oracle_bigint(
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+), res AS (
+  SELECT ABS(rev_c - LAG(rev_c, 1) OVER (ORDER BY d)) AS r FROM daily
+  QUALIFY r IS NOT NULL
+), cum AS (
+  SELECT r,
+         SUM(COUNT(*)) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(COUNT(*)) OVER () AS n
+  FROM res GROUP BY r
+), qhat AS (
+  SELECT MIN(r) AS qhat_c, MIN(n) AS n_calib
+  FROM cum WHERE cc >= (90 * n + 99) // 100
+)
+SELECT q.qhat_c,
+       CAST(q.n_calib AS BIGINT) AS n_calib,
+       (SUM(CASE WHEN res.r <= q.qhat_c THEN 1 ELSE 0 END) * 1000)
+         // q.n_calib AS coverage_permille
+FROM res, qhat q
+GROUP BY q.qhat_c, q.n_calib
+""",
+    "qhat_c",
+    "coverage_permille",
+)
+
+ROUND7B_QUERIES["conformal_interval_calibration"] = (
+    q_conformal_interval_calibration,
+    _CONFORMAL_SQL,
+)
