@@ -122,6 +122,8 @@ HEADLINE = (
     "session_gap_histogram",
     "token_length_percentiles_by_source",
     "event_burstiness",
+    "hierarchy_rollup_prefix",
+    "conformal_interval_calibration",
 )
 
 
