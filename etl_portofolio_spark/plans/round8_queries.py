@@ -462,3 +462,434 @@ ROUND8_QUERIES["pinball_loss_quantile_eval"] = (
     q_pinball_loss_quantile_eval,
     _PINBALL_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# item_cf_cosine_topk — item-item collaborative filtering neighbors
+# ---------------------------------------------------------------------------
+
+_CF_PANEL = 10  # most-popular items whose neighbor lists are emitted
+_CF_K = 3  # neighbors per item
+
+
+def q_item_cf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors at PART grain — the
+    co-occurrence/cosine recommender primitive ("customers who bought X
+    also bought Y").  For the %(panel)d most-popular parts, the top-%(k)d
+    neighbor parts by cosine similarity over order baskets, where
+    cos^2(a,b) = c_ab^2 / (n_a * n_b) is ranked in exact parts-per-
+    million (squaring is monotone for non-negative cosines, so the
+    ranking is the cosine ranking with no sqrt crossing an engine).
+
+    Scale design: the pair fan-out is a self-join on the order key
+    AFTER distinct (order, part) projection — bounded by basket size
+    squared (TPC-H <= 7 lines), linear in orders, never item-quadratic.
+    Item supports join back via the part-keyed frame (broadcastable at
+    dimension scale; a billion-item catalog shuffles on partkey — both
+    equi-joins).  The neighbor window partitions by item.  simsq fits
+    BIGINT while c < ~3e6 baskets per pair (beyond that, rank on
+    c^2 * 10^6 div (n_a * n_b) with the constant moved down).
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    n_i = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ia"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ib"))
+    pairs = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = pairs.select("ia", "ib", "c").union(
+        pairs.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), F.col("c")
+        )
+    )
+    panel = (
+        n_i.orderBy(F.col("n").desc(), F.col("l_partkey").asc())
+        .limit(_CF_PANEL)
+        .select(F.col("l_partkey").alias("ia"), F.col("n").alias("n_a"))
+    )
+    scored = (
+        sym.join(F.broadcast(panel), "ia")
+        .join(
+            n_i.select(F.col("l_partkey").alias("ib"), F.col("n").alias("n_b")),
+            "ib",
+        )
+        .withColumn(
+            "simsq_ppm",
+            F.expr("(1000000 * c * c) div (n_a * n_b)").cast("long"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(
+        F.col("simsq_ppm").desc(), F.col("c").desc(), F.col("ib").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CF_K)
+        .select(
+            F.col("ia").alias("item"),
+            F.col("rk").cast("long").alias("rk"),
+            F.col("ib").alias("neighbor"),
+            F.col("c").cast("long").alias("cooc"),
+            "simsq_ppm",
+        )
+        .orderBy("item", "rk")
+    )
+
+
+_CF_SQL = oracle_bigint(
+    f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_i AS (
+  SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS ia, b.l_partkey AS ib, COUNT(*) AS c
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT ia, ib, c FROM pairs
+  UNION ALL
+  SELECT ib AS ia, ia AS ib, c FROM pairs
+), panel AS (
+  SELECT l_partkey AS ia, n AS n_a FROM n_i
+  ORDER BY n DESC, l_partkey ASC LIMIT {_CF_PANEL}
+), scored AS (
+  SELECT s.ia, s.ib, s.c, p.n_a, nb.n AS n_b,
+         (1000000 * s.c * s.c) // (p.n_a * nb.n) AS simsq_ppm
+  FROM sym s JOIN panel p ON s.ia = p.ia
+  JOIN n_i nb ON s.ib = nb.l_partkey
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+    ORDER BY simsq_ppm DESC, c DESC, ib ASC) AS rk
+  FROM scored
+)
+SELECT ia AS item, rk, ib AS neighbor, c AS cooc, simsq_ppm
+FROM ranked WHERE rk <= {_CF_K}
+ORDER BY item, rk
+""",
+    "rk",
+    "cooc",
+    "simsq_ppm",
+)
+
+ROUND8_QUERIES["item_cf_cosine_topk"] = (q_item_cf_cosine_topk, _CF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity_partition — integer modularity of a labeled partition
+# ---------------------------------------------------------------------------
+
+
+def q_graph_modularity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the brand-family partition (community = the
+    digit block in ``Brand#XY`` -> X) over the weighted brand
+    co-purchase graph — the quality score every community-detection
+    run (label propagation, Louvain) is judged by, computed EXACTLY:
+    Q * 4m^2 = sum_c (4 * m * in_c - d_c^2) with integer edge weights,
+    m total weight, in_c intra-community weight, d_c community degree.
+    Emitted per community with ``q_permille = (1000 * sum_terms) div
+    (4 m^2)`` repeated as the panel verdict.
+
+    Scale design: edges come from the bounded basket self-join (same
+    shape as item CF); everything after the pair aggregation lives on
+    a <= 300-row edge frame and a 5-row community panel.  The windows
+    run on those bounded frames only.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("bb"))
+    edges = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("ba") < F.col("bb")))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    comm = lambda c: F.substring(c, 7, 1)  # noqa: E731 — Brand#XY -> X
+    deg = (
+        edges.select(F.col("ba").alias("brand"), "w")
+        .union(edges.select(F.col("bb").alias("brand"), "w"))
+        .groupBy(comm(F.col("brand")).alias("community"))
+        .agg(F.sum("w").cast("long").alias("deg_w"))
+    )
+    intra = (
+        edges.where(comm(F.col("ba")) == comm(F.col("bb")))
+        .groupBy(comm(F.col("ba")).alias("community"))
+        .agg(F.sum("w").cast("long").alias("in_w"))
+    )
+    m_w = Window.partitionBy(F.lit(1))
+    panel = (
+        deg.join(intra, "community", "left")
+        .withColumn("in_w", F.coalesce(F.col("in_w"), F.lit(0)).cast("long"))
+        .withColumn("m", F.expr("sum(deg_w) over () div 2").cast("long"))
+        .withColumn(
+            "q_term",
+            (4 * F.col("m") * F.col("in_w") - F.col("deg_w") * F.col("deg_w"))
+            .cast("long"),
+        )
+    )
+    return panel.select(
+        "community",
+        "in_w",
+        "deg_w",
+        "q_term",
+        F.expr(
+            "(1000 * sum(q_term) over ()) div (4 * m * m)"
+        ).cast("long").alias("q_permille"),
+    ).orderBy("community")
+
+
+_MODULARITY_SQL = oracle_bigint(
+    """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), edges AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, COUNT(*) AS w
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), deg AS (
+  SELECT substr(brand, 7, 1) AS community, SUM(w) AS deg_w FROM (
+    SELECT ba AS brand, w FROM edges
+    UNION ALL SELECT bb AS brand, w FROM edges
+  ) GROUP BY 1
+), intra AS (
+  SELECT substr(ba, 7, 1) AS community, SUM(w) AS in_w
+  FROM edges WHERE substr(ba, 7, 1) = substr(bb, 7, 1)
+  GROUP BY 1
+), panel AS (
+  SELECT d.community, COALESCE(i.in_w, 0) AS in_w, d.deg_w,
+         SUM(d.deg_w) OVER () // 2 AS m
+  FROM deg d LEFT JOIN intra i ON d.community = i.community
+), terms AS (
+  SELECT community, in_w, deg_w,
+         4 * m * in_w - deg_w * deg_w AS q_term, m
+  FROM panel
+)
+SELECT community, in_w, deg_w, q_term,
+       (1000 * SUM(q_term) OVER ()) // (4 * m * m) AS q_permille
+FROM terms ORDER BY community
+""",
+    "in_w",
+    "deg_w",
+    "q_term",
+    "q_permille",
+)
+
+ROUND8_QUERIES["graph_modularity_partition"] = (
+    q_graph_modularity_partition,
+    _MODULARITY_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# metadata_file_audit — the hidden _metadata column vs a layout contract
+# ---------------------------------------------------------------------------
+
+_META_BUCKETS = 8
+
+
+def q_metadata_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition file/row audit read through Spark's hidden
+    ``_metadata`` column — the file-level observability surface every
+    lakehouse health check uses (small-file detection, partition row
+    balance) without a separate filesystem listing pass.
+
+    A content-keyed fixture writes events into ``bucket = event_id % 8``
+    partitions, one file per partition by construction (each bucket is
+    hashed to exactly one task by ``repartition(bucket)``).  The query
+    reads it back and answers ONLY from ``_metadata.file_path`` plus
+    the partition column: rows per bucket and distinct files per
+    bucket.  The oracle recomputes rows-per-bucket from the source
+    table and pins the one-file-per-bucket layout contract the writer
+    guarantees — so a layout regression (e.g. a future writer change
+    splitting buckets across files) fails the gate, which is the audit
+    working.
+
+    Scale design: ``_metadata`` is populated by the scan (no extra
+    listing job); the aggregation keys on the partition value.  The
+    only shuffle is the 8-key groupBy.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.fixtures import ensure_fixture
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", (F.col("event_id") % _META_BUCKETS).alias("bucket")
+        )
+        ev.repartition(_META_BUCKETS, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(tmp)
+
+    def _ready(p: str) -> bool:
+        # no _SUCCESS under this session's committer config: complete
+        # means every bucket directory materialized (the build writes
+        # all of them or raises; the atomic publish keeps it all-or-none)
+        import os
+
+        try:
+            dirs = {d for d in os.listdir(p) if d.startswith("bucket=")}
+        except FileNotFoundError:
+            return False
+        return len(dirs) == _META_BUCKETS
+
+    path = ensure_fixture(sf_dir, "events_bucketdirs", _build, ready=_ready)
+    df = spark.read.parquet(path).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("fp").cast("long").alias("n_files"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_META_SQL = oracle_bigint(
+    f"""
+SELECT event_id % {_META_BUCKETS} AS bucket,
+       COUNT(*) AS n_rows,
+       1 AS n_files
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    "bucket",
+    "n_rows",
+    "n_files",
+)
+
+ROUND8_QUERIES["metadata_file_audit"] = (q_metadata_file_audit, _META_SQL)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_expiry_audit — retention window of the WAP snapshot store
+# ---------------------------------------------------------------------------
+
+#: snapshot k covers orders strictly before cutoff k (growing history)
+_SNAP_CUTOFFS = ("1998-01-01", "1999-01-01", "2000-01-01", "2001-01-01")
+_SNAP_KEEP = 2
+
+
+def q_snapshot_expiry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention audit of the WAP store: publish a growing
+    history of monthly order rollups (4 versions, ``keep_versions=2``)
+    and answer from what SURVIVES retention — the expire-snapshots
+    step every table format runs to bound time-travel storage.
+
+    Emits one row per retained version (oldest-first rank): months
+    covered, order count, and how many versions retention retired.
+    The oracle recomputes both retained snapshots straight from
+    ``orders`` with the same date cutoffs — a retention bug that
+    drops the wrong version (or serves a retired one) changes the
+    covered window and fails the hash.  A liveness audit additionally
+    compares the newest snapshot's total against a recompute and
+    raises rather than serve drift.
+
+    Scale design: snapshots are month-grain rollups (calendar-bounded);
+    publish/retire is O(#versions) pointer and directory work, never
+    data rewrites; the audit aggregate is one combinable pass.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.sinks.writer import (
+        publish_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    def _build(tmp: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        for cutoff in _SNAP_CUTOFFS:
+            snap = (
+                orders.where(
+                    F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+                )
+                .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            )
+            publish_snapshot(spark, snap, tmp, keep_versions=_SNAP_KEEP)
+
+    root = ensure_fixture(
+        sf_dir,
+        "wap_retention",
+        _build,
+        ready=lambda p: len(snapshot_versions(spark, p)) >= _SNAP_KEEP,
+    )
+    versions = snapshot_versions(spark, root)
+    if len(versions) != _SNAP_KEEP:
+        raise AssertionError(
+            f"retention kept {len(versions)} versions, expected {_SNAP_KEEP}"
+        )
+    n_expired = len(_SNAP_CUTOFFS) - len(versions)
+    # liveness audit: newest snapshot must equal a recompute
+    newest_cut = _SNAP_CUTOFFS[-1]
+    live_total = (
+        read_snapshot(spark, root).agg(F.sum("n_orders")).first()[0]
+    )
+    true_total = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(newest_cut).cast("timestamp"))
+        .count()
+    )
+    if live_total != true_total:
+        raise AssertionError(
+            f"wap_retention live snapshot is stale: {live_total} != "
+            f"{true_total} — delete the fixture cache instead of serving drift"
+        )
+    frames = []
+    for rank, v in enumerate(versions, start=1):
+        snap = read_snapshot(spark, root, version=v)
+        frames.append(
+            snap.agg(
+                F.count(F.lit(1)).cast("long").alias("n_months"),
+                F.sum("n_orders").cast("long").alias("n_orders"),
+            ).select(
+                F.lit(rank).cast("long").alias("rank"),
+                "n_months",
+                "n_orders",
+                F.lit(n_expired).cast("long").alias("n_expired"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out.orderBy("rank")
+
+
+_SNAP_SQL = oracle_bigint(
+    f"""
+SELECT rank, n_months, n_orders, {len(_SNAP_CUTOFFS) - _SNAP_KEEP} AS n_expired
+FROM (
+  SELECT 1 AS rank,
+         COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+         COUNT(*) AS n_orders
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_CUTOFFS[-2]}'
+  UNION ALL
+  SELECT 2 AS rank,
+         COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+         COUNT(*) AS n_orders
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_CUTOFFS[-1]}'
+) ORDER BY rank
+""",
+    "rank",
+    "n_months",
+    "n_orders",
+    "n_expired",
+)
+
+ROUND8_QUERIES["snapshot_expiry_audit"] = (
+    q_snapshot_expiry_audit,
+    _SNAP_SQL,
+)
