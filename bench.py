@@ -124,6 +124,14 @@ HEADLINE = (
     "event_burstiness",
     "hierarchy_rollup_prefix",
     "conformal_interval_calibration",
+    "roc_auc_exact",
+    "calibration_bins_report",
+    "multiple_testing_bh",
+    "pinball_loss_quantile_eval",
+    "item_cf_cosine_topk",
+    "graph_modularity_partition",
+    "metadata_file_audit",
+    "snapshot_expiry_audit",
 )
 
 

@@ -491,20 +491,26 @@ def q_item_cf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c^2 * 10^6 div (n_a * n_b) with the constant moved down).
     """
     apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
-    n_i = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    # n_i feeds the panel AND the neighbor-support join; pairs feeds
+    # both union branches — Spark does no cross-branch CSE, so without
+    # the scoped persists the basket self-join runs three times
+    n_i = scoped_persist(
+        op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    )
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ia"))
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ib"))
-    pairs = (
-        a.join(b, (a["ok"] == b["ok"]) & (F.col("ia") < F.col("ib")))
+    # both directions come from the self-join itself (!=, not <): the
+    # directed pair stream doubles map-side where the combiner absorbs
+    # it, instead of union-ing the aggregated frame (which would
+    # re-evaluate the whole self-join per branch)
+    sym = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("ia") != F.col("ib")))
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sym = pairs.select("ia", "ib", "c").union(
-        pairs.select(
-            F.col("ib").alias("ia"), F.col("ia").alias("ib"), F.col("c")
-        )
     )
     panel = (
         n_i.orderBy(F.col("n").desc(), F.col("l_partkey").asc())
@@ -615,21 +621,26 @@ def q_graph_modularity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     comm = lambda c: F.substring(c, 7, 1)  # noqa: E731 — Brand#XY -> X
-    deg = (
-        edges.select(F.col("ba").alias("brand"), "w")
-        .union(edges.select(F.col("bb").alias("brand"), "w"))
-        .groupBy(comm(F.col("brand")).alias("community"))
-        .agg(F.sum("w").cast("long").alias("deg_w"))
+    # single endpoint-explode pass instead of union(deg)+filter(intra):
+    # each edge fans into its two community endpoints map-side; an
+    # intra edge contributes w at BOTH endpoints, so the intra sum is
+    # recovered exactly as (sum of intra endpoint weight) div 2 — the
+    # edge frame (and the basket self-join above it) is scanned once
+    ep = edges.select(
+        F.explode(F.array(comm(F.col("ba")), comm(F.col("bb")))).alias(
+            "community"
+        ),
+        "w",
+        F.when(comm(F.col("ba")) == comm(F.col("bb")), F.col("w"))
+        .otherwise(F.lit(0))
+        .alias("w_intra_ep"),
     )
-    intra = (
-        edges.where(comm(F.col("ba")) == comm(F.col("bb")))
-        .groupBy(comm(F.col("ba")).alias("community"))
-        .agg(F.sum("w").cast("long").alias("in_w"))
-    )
-    m_w = Window.partitionBy(F.lit(1))
     panel = (
-        deg.join(intra, "community", "left")
-        .withColumn("in_w", F.coalesce(F.col("in_w"), F.lit(0)).cast("long"))
+        ep.groupBy("community")
+        .agg(
+            F.sum("w").cast("long").alias("deg_w"),
+            F.expr("sum(w_intra_ep) div 2").cast("long").alias("in_w"),
+        )
         .withColumn("m", F.expr("sum(deg_w) over () div 2").cast("long"))
         .withColumn(
             "q_term",
