@@ -904,3 +904,415 @@ ROUND8_QUERIES["snapshot_expiry_audit"] = (
     q_snapshot_expiry_audit,
     _SNAP_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# groupwise_cv_folds — leakage-safe group k-fold assignment + audit
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+
+def q_groupwise_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment over events: every USER (the leakage
+    group) hashes to one of 5 folds — the split discipline that keeps
+    a user's rows out of both train and validation at once.  Emits the
+    per-fold manifest (users, events, event share in permille) plus
+    the leakage audit column: the maximum number of distinct folds any
+    single user occupies, which a correct group split pins at 1 (a
+    row-hashed split would show >1 and fail the gate).
+
+    Scale design: fold is a map-side md5 expression; the manifest is a
+    5-key aggregation; the audit aggregates the per-user fold count
+    (one combinable pass keyed by user, then a 5-row max) — no window
+    over fact rows anywhere.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.functions.hashing import h32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (h32(F.concat(F.lit("fold:"), F.col("user_id").cast("string")))
+         % _CV_FOLDS).alias("fold"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("fold").alias("nf"),
+        F.first("fold").alias("fold"),
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        per_user.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.max("nf").cast("long").alias("max_folds_per_user"),
+        )
+        .withColumn(
+            "event_share_permille",
+            F.expr(
+                "(1000 * n_events) div (sum(n_events) over ())"
+            ).cast("long"),
+        )
+        .withColumn(
+            "max_folds_per_user", F.max("max_folds_per_user").over(w)
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "n_users",
+            "n_events",
+            "event_share_permille",
+            "max_folds_per_user",
+        )
+        .orderBy("fold")
+    )
+
+
+from etl_portofolio_spark.functions.hashing import h32_sql  # noqa: E402
+
+_CV_SQL = oracle_bigint(
+    f"""
+WITH ev AS (
+  SELECT user_id,
+         {h32_sql("'fold:' || CAST(user_id AS VARCHAR)")} % {_CV_FOLDS} AS fold
+  FROM events
+), per_user AS (
+  SELECT user_id, COUNT(DISTINCT fold) AS nf, MIN(fold) AS fold,
+         COUNT(*) AS n_ev
+  FROM ev GROUP BY user_id
+), manifest AS (
+  SELECT fold, COUNT(*) AS n_users, SUM(n_ev) AS n_events,
+         MAX(nf) AS mfold
+  FROM per_user GROUP BY fold
+)
+SELECT fold, n_users, n_events,
+       (1000 * n_events) // (SUM(n_events) OVER ()) AS event_share_permille,
+       MAX(mfold) OVER () AS max_folds_per_user
+FROM manifest ORDER BY fold
+""",
+    "fold",
+    "n_users",
+    "n_events",
+    "event_share_permille",
+    "max_folds_per_user",
+)
+
+ROUND8_QUERIES["groupwise_cv_folds"] = (q_groupwise_cv_folds, _CV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing_projection — the hashing-trick featurizer, per source
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 16
+
+
+def q_feature_hashing_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): every token
+    routes to ``h32('fh:'||tok) % 16`` with a sign bit from an
+    independent hash, and each source's documents fold into one
+    16-dimensional signed-count vector — the fixed-width, vocab-free
+    text featurizer used when a learned vocabulary is too expensive
+    (or too mutable) at corpus scale.
+
+    Emits the (source x dim) matrix: signed sum, total tokens routed,
+    distinct tokens routed.  The signed sum is what a linear model
+    consumes; the distinct count audits routing balance (a skewed
+    register means a poor hash, not a poor corpus).
+
+    Scale design: tokenize + route + sign are all map-side JVM
+    expressions over one scan (explode fans out tokens but carries two
+    small columns); the aggregation keys on (source, dim) <= 80 cells.
+    Nothing Python-side, nothing quadratic, no vocabulary state.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.functions.hashing import h32
+    from etl_portofolio_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    routed = tok.select(
+        "source",
+        (h32(F.concat(F.lit("fh:"), F.col("tok"))) % _FH_DIMS).alias("dim"),
+        F.when(
+            h32(F.concat(F.lit("fhs:"), F.col("tok"))) % 2 == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+        "tok",
+    )
+    return (
+        routed.groupBy("source", "dim")
+        .agg(
+            F.sum("sgn").cast("long").alias("signed_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("tok").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            F.col("dim").cast("long").alias("dim"),
+            "signed_sum",
+            "n_tokens",
+            "n_distinct",
+        )
+        .orderBy("source", "dim")
+    )
+
+
+_FH_SQL = oracle_bigint(
+    f"""
+WITH tok AS (
+  SELECT source, t.tok
+  FROM documents,
+       LATERAL unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), routed AS (
+  SELECT source,
+         {h32_sql("'fh:' || tok")} % {_FH_DIMS} AS dim,
+         CASE WHEN {h32_sql("'fhs:' || tok")} % 2 = 1 THEN 1 ELSE -1 END AS sgn,
+         tok
+  FROM tok
+)
+SELECT source, dim, SUM(sgn) AS signed_sum, COUNT(*) AS n_tokens,
+       COUNT(DISTINCT tok) AS n_distinct
+FROM routed GROUP BY source, dim ORDER BY source, dim
+""",
+    "dim",
+    "signed_sum",
+    "n_tokens",
+    "n_distinct",
+)
+
+ROUND8_QUERIES["feature_hashing_projection"] = (
+    q_feature_hashing_projection,
+    _FH_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# gains_capture_curve — cumulative gains (CAP) points over score groups
+# ---------------------------------------------------------------------------
+
+
+def q_gains_capture_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains (CAP) curve of the return scorer: walking the
+    population from highest to lowest predicted score, what share of
+    all positives has been captured at each distinct score — the
+    "target the top X%" question every campaign/triage model answers.
+    One point per distinct score value: population share and captured-
+    positive share, both in exact permille.
+
+    Scale design: fact rows collapse to the bounded score histogram
+    (the calibration scorer has < 100 distinct values) in one
+    combinable pass; the cumulative window walks that frame only.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            F.least(
+                F.lit(1000),
+                (
+                    F.round(F.col("l_discount") * 100, 0).cast("long")
+                    * F.round(F.col("l_tax") * 100, 0).cast("long")
+                    * 10
+                ),
+            ).alias("score"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("is_pos").cast("long").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy(F.lit(1))
+    return (
+        hist.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "score",
+            "n",
+            "n_pos",
+            F.expr("(1000 * cum_n) div (sum(n) over ())")
+            .cast("long")
+            .alias("pop_permille"),
+            F.expr(
+                "(1000 * cum_pos) div (sum(n_pos) over ())"
+            )
+            .cast("long")
+            .alias("captured_permille"),
+        )
+        .orderBy(F.col("score").desc())
+    )
+
+
+_GAINS_SQL = oracle_bigint(
+    """
+WITH hist AS (
+  SELECT LEAST(1000,
+           CAST(round(l_discount * 100, 0) AS BIGINT)
+           * CAST(round(l_tax * 100, 0) AS BIGINT) * 10) AS score,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_pos
+  FROM lineitem GROUP BY 1
+), walked AS (
+  SELECT score, n, n_pos,
+         SUM(n) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(n_pos) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         SUM(n) OVER () AS tot_n,
+         SUM(n_pos) OVER () AS tot_pos
+  FROM hist
+)
+SELECT score, n, n_pos,
+       (1000 * cum_n) // tot_n AS pop_permille,
+       (1000 * cum_pos) // tot_pos AS captured_permille
+FROM walked ORDER BY score DESC
+""",
+    "score",
+    "n",
+    "n_pos",
+    "pop_permille",
+    "captured_permille",
+)
+
+ROUND8_QUERIES["gains_capture_curve"] = (q_gains_capture_curve, _GAINS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# streaming_session_oracle — REAL streaming session windows under the gate
+# ---------------------------------------------------------------------------
+
+_SESS_GAP = "30 minutes"
+_SESS_SENTINEL = "2024-06-01 00:00:00"  # >> max event + gap + lateness
+
+
+def q_streaming_session_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SESSION WINDOWS executed for real inside
+    the correctness gate — the fourth genuine streaming run in the
+    registry, and the one that exercises merge-on-arrival session
+    state: events arrive as time-ordered file micro-batches, each
+    user's open session merges rows landing within the 30-minute gap,
+    and APPEND mode emits a session only after the watermark passes
+    its end (the finalize path, unlike the complete-mode tumbling
+    oracle which re-emits open state).
+
+    The last file carries a far-future sentinel row (user_id = -1):
+    its arrival advances the watermark past every real session's end,
+    so append mode finalizes ALL of them before availableNow drains —
+    the sentinel's own session never closes and is therefore never
+    emitted (and is filtered defensively).  Files are time-ranged,
+    time-sorted, and mtime-pinned so micro-batch order is the time
+    order — no record arrives behind the watermark.
+
+    The oracle is the batch islands sessionization (gap splits on
+    >= 30 minutes, end = last event + gap — Spark's convention), so
+    streaming state merge + watermark finalize must reproduce the
+    batch answer bit-for-bit.
+
+    100 TB: this IS the production shape for sessionization-on-arrival
+    — keyed session state bounded by the watermark horizon, file-source
+    catch-up via availableNow; the sentinel trick is how batch-drain
+    jobs flush trailing state deterministically.
+    """
+    apply_runtime_confs(spark)
+    import hashlib
+    import os
+
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.streaming.structured import (
+        read_file_stream,
+        session_counts,
+    )
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(_SESS_SENTINEL).cast("timestamp").alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        (
+            ev.unionByName(sentinel)
+            .repartitionByRange(2, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # pin micro-batch order: the file source orders by (mtime, path);
+        # same-job part files share an mtime, and the SENTINEL file must
+        # be read last or the watermark drops every real event as late
+        parts = sorted(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        base = 1_700_000_000
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(tmp, f), (base + 60 * i, base + 60 * i))
+
+    path = ensure_fixture(sf_dir, "events_stream_sessions", _build)
+    stream = read_file_stream(
+        spark,
+        path,
+        schema="user_id bigint, ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    agg = session_counts(stream, gap=_SESS_GAP, lateness="1 day")
+    sink = f"r8_sess_sink_{hashlib.md5(path.encode()).hexdigest()[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .where(F.col("user_id") >= 0)
+        .select(
+            F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format("s_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+_SESS_STREAM_SQL = oracle_bigint(
+    """
+WITH flagged AS (
+  SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(vc) AS BIGINT) AS value_cents
+FROM islands
+GROUP BY user_id, sid
+""",
+    "n_events",
+    "value_cents",
+)
+
+ROUND8_QUERIES["streaming_session_oracle"] = (
+    q_streaming_session_oracle,
+    _SESS_STREAM_SQL,
+)

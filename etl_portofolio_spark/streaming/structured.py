@@ -84,6 +84,40 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "1 day",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Gap-based session-window aggregation with a late-data watermark.
+
+    The streaming twin of ``F.session_window`` batch sessionization:
+    state holds one open session per key, merges events arriving
+    within ``gap`` of the session end, and finalizes (emits, in append
+    mode) once the watermark passes the session end.  Session end is
+    last-event + gap, split on gap >= gapDuration — identical to the
+    batch convention the oracles use.
+    """
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            *keys,
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def deduped_stream(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

@@ -229,3 +229,88 @@ def test_snapshot_expiry_keeps_newest_window(spark):
     root = fixture_dir(SF_DIR, "wap_retention")
     vdirs = [d for d in os.listdir(root) if d.startswith("v=")]
     assert len(vdirs) == _SNAP_KEEP
+
+
+def test_cv_folds_partition_and_no_leakage(spark):
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        _CV_FOLDS,
+        q_groupwise_cv_folds,
+    )
+
+    out = q_groupwise_cv_folds(spark, SF_DIR).collect()
+    assert len(out) <= _CV_FOLDS
+    assert all(r["max_folds_per_user"] == 1 for r in out)
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in out) == ev.count()
+    assert sum(r["n_users"] for r in out) == ev.select("user_id").distinct().count()
+    assert 900 <= sum(r["event_share_permille"] for r in out) <= 1000
+
+
+def test_feature_hashing_conserves_tokens(spark):
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators.text import tokens
+    from etl_portofolio_spark.plans.round8_queries import (
+        _FH_DIMS,
+        q_feature_hashing_projection,
+    )
+
+    out = q_feature_hashing_projection(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    total = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+        .count()
+    )
+    assert sum(r["n_tokens"] for r in out) == total
+    for r in out:
+        assert 0 <= r["dim"] < _FH_DIMS
+        assert abs(r["signed_sum"]) <= r["n_tokens"]
+        assert r["n_distinct"] <= r["n_tokens"]
+
+
+def test_gains_curve_monotone_and_complete(spark):
+    from etl_portofolio_spark.plans.round8_queries import q_gains_capture_curve
+
+    out = q_gains_capture_curve(spark, SF_DIR).collect()  # score desc
+    pops = [r["pop_permille"] for r in out]
+    caps = [r["captured_permille"] for r in out]
+    assert pops == sorted(pops) and caps == sorted(caps)
+    assert pops[-1] == 1000 and caps[-1] == 1000
+
+
+def test_streaming_sessions_match_batch_session_window(spark):
+    """The streaming session-window run must equal Spark's own BATCH
+    session_window over the same events at the same gap — engine
+    self-consistency on top of the cross-engine oracle."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        _SESS_GAP,
+        q_streaming_session_oracle,
+    )
+
+    got = {
+        (r["s_start"], r["s_end"], r["user_id"]): (r["n_events"], r["value_cents"])
+        for r in q_streaming_session_oracle(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", _SESS_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "user_id",
+            "n_events",
+            "vc",
+        )
+        .collect()
+    )
+    want = {
+        (r["s_start"], r["s_end"], r["user_id"]): (r["n_events"], r["vc"])
+        for r in batch
+    }
+    assert got == want
