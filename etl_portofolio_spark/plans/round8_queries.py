@@ -1316,3 +1316,337 @@ ROUND8_QUERIES["streaming_session_oracle"] = (
     q_streaming_session_oracle,
     _SESS_STREAM_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding_mutual_knn — mutual nearest neighbors inside LSH blocks
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs over the embedding corpus: vector
+    pairs that are each other's TOP-1 candidate — the high-precision
+    alignment/dedup primitive (bitext mining, entity matching) that
+    survives where one-directional kNN drags in hubs.
+
+    Candidates come from the same OR-amplified hyperplane LSH blocking
+    as the near-dup operator (equi-join on (table, bucket), never
+    all-pairs); each vector ranks its candidates by the sequential-fold
+    cosine (bit-identical in both engines) with the id breaking exact
+    ties, and the mutual join keeps pairs where both directions picked
+    each other.
+
+    Scale design: candidate generation is the proven banded equi-join;
+    the per-vector top-1 window partitions by vector id over candidate
+    rows (bounded by bucket occupancy); the mutual check is an
+    equi-join of two id-keyed single-row-per-id frames.  Nothing
+    quadratic in the corpus anywhere.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = scoped_persist(
+        similarity.embedding_near_dup_pairs(
+            emb, threshold=-1.0, dim=64, num_planes=2, num_tables=6
+        )
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    top1 = (
+        directed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("src", "dst", "cosine")
+    )
+    a, b = top1.alias("a"), top1.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.src"))
+            & (F.col("b.dst") == F.col("a.src"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .select(
+            F.col("a.src").alias("id_a"),
+            F.col("a.dst").alias("id_b"),
+            F.col("a.cosine").alias("cosine"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def _sql_mutual_knn() -> str:
+    from etl_portofolio_spark.operators import similarity
+    from etl_portofolio_spark.plans.pipeline_queries import (
+        _SQL_DOT,
+        _sql_cosine,
+    )
+
+    planes_all = similarity.hyperplane_matrix(12, 64)
+    values = ", ".join(
+        f"({r // 2}, {r % 2}, {[float(w) for w in planes_all[r]]})"
+        for r in range(12)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planes(t, plane_id, w) AS (
+  SELECT * FROM (VALUES {values})
+), bucketed AS (
+  SELECT v.vec_id, v.v, planes.t,
+         CAST(sum(CASE WHEN {_SQL_DOT.format(a='v.v', b='planes.w')} > 0
+                  THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS b
+  FROM v, planes GROUP BY v.vec_id, v.v, planes.t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_cosine('a.v', 'b.v')} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+), directed AS (
+  SELECT id_a AS src, id_b AS dst, cosine FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, cosine FROM cand
+), top1 AS (
+  SELECT src, dst, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+      ORDER BY cosine DESC, dst ASC) AS rk
+    FROM directed
+  ) WHERE rk = 1
+)
+SELECT a.src AS id_a, a.dst AS id_b, a.cosine AS cosine
+FROM top1 a JOIN top1 b
+  ON a.dst = b.src AND b.dst = a.src AND a.src < b.src
+ORDER BY id_a
+"""
+
+
+ROUND8_QUERIES["embedding_mutual_knn"] = (
+    q_embedding_mutual_knn,
+    _sql_mutual_knn(),
+)
+
+
+# ---------------------------------------------------------------------------
+# partition_evolution_union — reading across a partition-layout migration
+# ---------------------------------------------------------------------------
+
+_EVO_SPLIT = "2024-01-16 00:00:00"  # old layout before, new layout after
+
+
+def q_partition_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logical table across a partition-layout migration: the old
+    generation is a flat unpartitioned parquet dir (ds only derivable
+    from the timestamp), the new generation is ``ds=``-partitioned —
+    the exact mid-migration state every lakehouse table passes through
+    when retrofitting partitioning.  The query reads both generations,
+    normalizes the schema (deriving ds for old rows, reading it from
+    the directory key for new rows), unions by NAME, and answers a
+    daily rollup that spans the migration boundary.
+
+    Scale design: the new generation's daily reads prune on the ds
+    directory key; the old generation is scanned once (that is the
+    migration's cost, and why backfills rewrite it eventually).  The
+    union is a plan-level concat — no shuffle beyond the rollup's own.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.fixtures import ensure_fixture
+
+    def _build(tmp: str) -> None:
+        import os
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        cut = F.lit(_EVO_SPLIT).cast("timestamp")
+        ev.where(F.col("ts") < cut).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "gen1"))
+        (
+            ev.where(F.col("ts") >= cut)
+            .withColumn("ds", F.date_format("ts", "yyyyMMdd"))
+            .repartition(8, "ds")
+            .write.mode("overwrite")
+            .partitionBy("ds")
+            .parquet(os.path.join(tmp, "gen2"))
+        )
+
+    def _ready(p: str) -> bool:
+        import os
+
+        return os.path.isdir(os.path.join(p, "gen1")) and any(
+            d.startswith("ds=")
+            for d in (
+                os.listdir(os.path.join(p, "gen2"))
+                if os.path.isdir(os.path.join(p, "gen2"))
+                else []
+            )
+        )
+
+    path = ensure_fixture(sf_dir, "events_partition_evolution", _build, ready=_ready)
+    old = (
+        spark.read.parquet(f"{path}/gen1")
+        .withColumn("ds", F.date_format("ts", "yyyyMMdd"))
+    )
+    new = spark.read.parquet(f"{path}/gen2")  # ds from the directory key
+    both = old.unionByName(new.select(*old.columns))
+    return (
+        both.groupBy("ds")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("ds")
+    )
+
+
+_EVO_SQL = oracle_bigint(
+    """
+SELECT strftime(ts, '%Y%m%d') AS ds,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    "n_events",
+    "n_users",
+    "value_cents",
+)
+
+ROUND8_QUERIES["partition_evolution_union"] = (
+    q_partition_evolution_union,
+    _EVO_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# weighted_shortest_path — bounded-round Bellman-Ford, integer weights
+# ---------------------------------------------------------------------------
+
+_WSP_ROUNDS = 3
+_WSP_MIN_CO_FRAC = 0.004  # same sparsification as brand_bfs_hops
+
+
+def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances from the lexicographically
+    first brand over the strong co-purchase graph, edge weight =
+    ``1000000 div co`` (stronger ties are cheaper) — the relaxation
+    counterpart of `brand_bfs_hops`: BFS proves frontier expansion,
+    this proves VALUE iteration (a path of two strong edges can beat
+    one weak edge, so min-dist is not hop count).
+
+    Three unrolled Bellman-Ford rounds: dist_{k+1} = min(dist_k,
+    min over edges(dist_k[src] + w)) — each an equi-join on the brand
+    key plus a min-aggregation, localCheckpointed per round so the
+    plan does not double (the PCA lesson).  The oracle replays the
+    SAME three rounds as unrolled CTEs — not a recursive CTE, because
+    Bellman-Ford must re-relax already-seen nodes, which UNION-based
+    recursion cannot express directly.  Integer weights make min()
+    deterministic in both engines.
+
+    Scale design: each round shuffles frontier x degree rows keyed on
+    brand; state is domain-bounded (brands).  At a billion-node graph
+    the same loop runs with the distance frame disk-backed — the
+    structure is Pregel's, expressed in joins.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = scoped_persist(
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    min_co = int(n_baskets * _WSP_MIN_CO_FRAC) + 1
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("src"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("dst"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.expr(f"1000000 div count(1)").cast("long").alias("w"))
+        .where(F.col("w") <= 1_000_000 // min_co)
+    )
+    edges = scoped_persist(
+        und.select("src", "dst", "w").unionAll(
+            und.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    )
+    seed = baskets.agg(F.min("p_brand")).first()[0]
+    dist = spark.createDataFrame([(seed, 0)], "brand string, dist_w long")
+    for _ in range(_WSP_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist["brand"] == edges["src"])
+            .select(
+                F.col("dst").alias("brand"),
+                (F.col("dist_w") + F.col("w")).alias("dist_w"),
+            )
+            .unionAll(dist)
+            .groupBy("brand")
+            .agg(F.min("dist_w").alias("dist_w"))
+        )
+        dist = relaxed.localCheckpoint()
+    return dist.orderBy("brand")
+
+
+def _wsp_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for k in range(1, _WSP_ROUNDS + 1):
+        rounds.append(
+            f"""d{k} AS (
+  SELECT brand, MIN(dist_w) AS dist_w FROM (
+    SELECT e.dst AS brand, {prev}.dist_w + e.w AS dist_w
+    FROM {prev} JOIN edges e ON e.src = {prev}.brand
+    UNION ALL
+    SELECT brand, dist_w FROM {prev}
+  ) GROUP BY brand
+)"""
+        )
+        prev = f"d{k}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+), und AS (
+  SELECT a.p_brand AS src, b.p_brand AS dst,
+         1000000 // COUNT(*) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING 1000000 // COUNT(*)
+         <= 1000000 // (CAST((SELECT n FROM nb) * {_WSP_MIN_CO_FRAC} AS BIGINT) + 1)
+), edges AS (
+  SELECT src, dst, w FROM und UNION ALL SELECT dst, src, w FROM und
+), d0 AS (
+  SELECT (SELECT MIN(p_brand) FROM baskets) AS brand, CAST(0 AS BIGINT) AS dist_w
+),
+{rounds_sql}
+SELECT brand, CAST(dist_w AS BIGINT) AS dist_w FROM {prev} ORDER BY brand
+"""
+
+
+ROUND8_QUERIES["weighted_shortest_path"] = (
+    q_weighted_shortest_path,
+    _wsp_oracle(),
+)

@@ -314,3 +314,112 @@ def test_streaming_sessions_match_batch_session_window(spark):
         for r in batch
     }
     assert got == want
+
+
+def test_mutual_knn_is_mutual_and_unique(spark):
+    """Replay the directed top-1 + mutual join in Python from the same
+    candidate pairs the plan derives; also each vector belongs to at
+    most one mutual pair (a matching, by construction)."""
+    from collections import defaultdict
+
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators import similarity
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_embedding_mutual_knn,
+    )
+
+    out = [
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in q_embedding_mutual_knn(spark, SF_DIR).collect()
+    ]
+    ids = [i for a, b, _ in out for i in (a, b)]
+    assert len(ids) == len(set(ids))
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cands = similarity.embedding_near_dup_pairs(
+        emb, threshold=-1.0, dim=64, num_planes=2, num_tables=6
+    ).collect()
+    best = defaultdict(lambda: (float("-inf"), None))
+    for r in cands:
+        a, b, c = r["id_a"], r["id_b"], r["cosine"]
+        for s, d in ((a, b), (b, a)):
+            cur = best[s]
+            if (c, -d) > (cur[0], -(cur[1] if cur[1] is not None else 1 << 62)):
+                best[s] = (c, d)
+    expected = sorted(
+        (s, best[s][1], best[s][0])
+        for s in best
+        if best[s][1] is not None
+        and best.get(best[s][1], (None, None))[1] == s
+        and s < best[s][1]
+    )
+    assert sorted(out) == expected
+
+
+def test_partition_evolution_counts_cover_table(spark):
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_partition_evolution_union,
+    )
+
+    out = q_partition_evolution_union(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in out) == total
+    assert [r["ds"] for r in out] == sorted(r["ds"] for r in out)
+
+
+def test_weighted_shortest_path_matches_python_bellman_ford(spark):
+    """Independent Bellman-Ford replay over the same integer-weight
+    edges must agree round-for-round."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        _WSP_MIN_CO_FRAC,
+        _WSP_ROUNDS,
+        q_weighted_shortest_path,
+    )
+
+    got = {
+        r["brand"]: r["dist_w"]
+        for r in q_weighted_shortest_path(spark, SF_DIR).collect()
+    }
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    from pyspark.sql import functions as FF
+
+    baskets = {
+        (r["l_orderkey"], r["p_brand"])
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    }
+    from collections import Counter, defaultdict
+
+    per_basket = defaultdict(set)
+    for ok, br in baskets:
+        per_basket[ok].add(br)
+    co = Counter()
+    for brands in per_basket.values():
+        s = sorted(brands)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                co[(x, y)] += 1
+    min_co = int(len(per_basket) * _WSP_MIN_CO_FRAC) + 1
+    cap = 1_000_000 // min_co
+    edges = defaultdict(list)
+    for (x, y), c in co.items():
+        w = 1_000_000 // c
+        if w <= cap:
+            edges[x].append((y, w))
+            edges[y].append((x, w))
+    seed = min(br for _, br in baskets)
+    dist = {seed: 0}
+    for _ in range(_WSP_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in edges[u]:
+                if d + w < nxt.get(v, 1 << 62):
+                    nxt[v] = d + w
+        dist = nxt
+    assert got == dist
