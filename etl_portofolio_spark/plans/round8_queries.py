@@ -1650,3 +1650,256 @@ ROUND8_QUERIES["weighted_shortest_path"] = (
     q_weighted_shortest_path,
     _wsp_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# rake_keyword_extraction — degree/frequency keyword scores
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 20
+
+
+def q_rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword scoring over the corpus: phrases are maximal
+    stopword-free token runs, a word's degree is the summed length of
+    every phrase it appears in, and score = degree/frequency favors
+    words that live in long multi-word phrases — the classic
+    model-free keyword extractor, run corpus-wide.
+
+    Emits the top-20 words by the exact rational score (ranked via
+    ``(1000 * deg) div freq`` with the word breaking ties) plus the
+    integer deg/freq evidence.  Stopwords are the embedded ``en`` list
+    (lexicon quality is not the contract; the machinery is).
+
+    Scale design: tokenize + position explode map-side; the phrase-id
+    assignment is a running count of stopword boundaries — a window
+    PARTITIONED BY doc (parallel key), the same shape as the span-
+    dedup islands; phrase lengths and word stats are two combinable
+    aggregations.  The top-20 is a TakeOrderedAndProject.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.text import LANG_STOPWORDS, tokens
+
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+        .where(F.col("tok") != "")
+        .withColumn("is_stop", F.array_contains(stop, F.col("tok")))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    phrased = (
+        pos.withColumn(
+            "pid", F.sum(F.col("is_stop").cast("int")).over(wd)
+        )
+        .where(~F.col("is_stop"))
+        .select("doc_id", "pid", "tok")
+    )
+    plen = phrased.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    return (
+        phrased.join(plen, ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn(
+            "score_permille", F.expr("(1000 * deg) div freq").cast("long")
+        )
+        .orderBy(F.col("score_permille").desc(), F.col("tok").asc())
+        .limit(_RAKE_TOP)
+    )
+
+
+def _rake_oracle() -> str:
+    from etl_portofolio_spark.operators.text import LANG_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok,
+         toks[u.i] IN ({stoplist}) AS is_stop
+  FROM toked, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+  WHERE toks[u.i] <> ''
+), phrased AS (
+  SELECT doc_id, tok,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS pid,
+         is_stop
+  FROM pos
+), words AS (
+  SELECT doc_id, pid, tok FROM phrased WHERE NOT is_stop
+), plen AS (
+  SELECT doc_id, pid, COUNT(*) AS plen FROM words GROUP BY 1, 2
+)
+SELECT w.tok, COUNT(*) AS freq, SUM(p.plen) AS deg,
+       (1000 * SUM(p.plen)) // COUNT(*) AS score_permille
+FROM words w JOIN plen p ON w.doc_id = p.doc_id AND w.pid = p.pid
+GROUP BY w.tok
+ORDER BY score_permille DESC, tok ASC
+LIMIT {_RAKE_TOP}
+"""
+
+
+ROUND8_QUERIES["rake_keyword_extraction"] = (
+    q_rake_keyword_extraction,
+    oracle_bigint(_rake_oracle(), "freq", "deg", "score_permille"),
+)
+
+
+# ---------------------------------------------------------------------------
+# stratified_ate_estimate — stratified average treatment effect
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate: treatment =
+    urgent order priority, outcome = order value in cents, strata =
+    the customer's market segment — the discrete-covariate special
+    case where inverse-propensity weighting collapses to the exact
+    stratification identity ATE = sum_s (n_s / n) * (mean1_s -
+    mean0_s).  Per-stratum means and diffs by integer ``div``; the
+    pooled ATE cross-multiplies the stratum weights so no float
+    propensity ever exists.
+
+    Scale design: one broadcast dim join (customer -> segment), one
+    combinable aggregation to the 5-stratum panel; everything after is
+    5-row arithmetic.  This is the causal-analysis twin of the CUPED
+    and diff-in-diff entries.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    panel = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("stratum"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("t"),
+            cents("o_totalprice").alias("y_c"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum("t").cast("long").alias("n1"),
+            F.sum(1 - F.col("t")).cast("long").alias("n0"),
+            F.sum(F.col("t") * F.col("y_c")).cast("long").alias("sum1_c"),
+            F.sum((1 - F.col("t")) * F.col("y_c")).cast("long").alias("sum0_c"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        panel.withColumn(
+            "diff_c",
+            F.expr("sum1_c div n1 - sum0_c div n0").cast("long"),
+        )
+        .withColumn(
+            "ate_c",
+            F.expr(
+                "sum((n1 + n0) * (sum1_c div n1 - sum0_c div n0)) over ()"
+                " div sum(n1 + n0) over ()"
+            ).cast("long"),
+        )
+        .select("stratum", "n1", "n0", "diff_c", "ate_c")
+        .orderBy("stratum")
+    )
+
+
+_ATE_SQL = oracle_bigint(
+    """
+WITH panel AS (
+  SELECT c_mktsegment AS stratum,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS n0,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS sum1_c,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+                  ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  END) AS sum0_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT stratum, n1, n0,
+       sum1_c // n1 - sum0_c // n0 AS diff_c,
+       SUM((n1 + n0) * (sum1_c // n1 - sum0_c // n0)) OVER ()
+         // SUM(n1 + n0) OVER () AS ate_c
+FROM panel ORDER BY stratum
+""",
+    "n1",
+    "n0",
+    "diff_c",
+    "ate_c",
+)
+
+ROUND8_QUERIES["stratified_ate_estimate"] = (
+    q_stratified_ate_estimate,
+    _ATE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# lateral_topk_per_nation — correlated LATERAL subquery surface
+# ---------------------------------------------------------------------------
+
+
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers by account balance expressed as a
+    correlated LATERAL subquery (ORDER BY + LIMIT inside the lateral)
+    — the SQL surface users reach for before they learn window
+    functions, and one Spark must plan correctly: Catalyst rewrites
+    the correlated limit into a partitioned rank filter, so the
+    executed plan is the same shuffle a window top-k produces, not a
+    per-nation re-scan.
+
+    Scale design: after decorrelation this is one hash partition by
+    nation key + per-group limit; the lateral FORM adds no execution
+    cost over the window form (asserted in tests) — the point is API
+    parity.
+    """
+    apply_runtime_confs(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("r8_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("r8_customer")
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_name, t.bal_c
+FROM r8_nation n,
+LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM r8_customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_c DESC, c_name ASC
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.bal_c DESC, t.c_name
+"""
+    )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.bal_c
+FROM nation n,
+LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_c DESC, c_name ASC
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.bal_c DESC, t.c_name
+"""
+
+ROUND8_QUERIES["lateral_topk_per_nation"] = (
+    q_lateral_topk_per_nation,
+    _LATERAL_SQL,
+)

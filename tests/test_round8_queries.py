@@ -423,3 +423,98 @@ def test_weighted_shortest_path_matches_python_bellman_ford(spark):
                     nxt[v] = d + w
         dist = nxt
     assert got == dist
+
+
+def test_rake_matches_python_replay(spark):
+    from collections import Counter, defaultdict
+
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators.text import LANG_STOPWORDS, tokens
+    from etl_portofolio_spark.plans.round8_queries import (
+        _RAKE_TOP,
+        q_rake_keyword_extraction,
+    )
+
+    out = [
+        (r["tok"], r["freq"], r["deg"], r["score_permille"])
+        for r in q_rake_keyword_extraction(spark, SF_DIR).collect()
+    ]
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    ).collect()
+    stop = set(LANG_STOPWORDS["en"])
+    freq = Counter()
+    deg = Counter()
+    for r in docs:
+        phrase = []
+        phrases = []
+        for t in r["toks"]:
+            if t == "":
+                continue
+            if t in stop:
+                if phrase:
+                    phrases.append(phrase)
+                phrase = []
+            else:
+                phrase.append(t)
+        if phrase:
+            phrases.append(phrase)
+        for p in phrases:
+            for t in p:
+                freq[t] += 1
+                deg[t] += len(p)
+    scored = sorted(
+        ((-(1000 * deg[t]) // freq[t], t) for t in freq),
+    )[:_RAKE_TOP]
+    expected = [
+        (t, freq[t], deg[t], (1000 * deg[t]) // freq[t]) for _, t in scored
+    ]
+    assert out == expected
+
+
+def test_stratified_ate_identity(spark):
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_stratified_ate_estimate,
+    )
+
+    out = q_stratified_ate_estimate(spark, SF_DIR).collect()
+    n = sum(r["n1"] + r["n0"] for r in out)
+    num = sum((r["n1"] + r["n0"]) * r["diff_c"] for r in out)
+    expect = abs(num) // n * (-1 if num < 0 else 1)  # truncating div
+    assert all(r["ate_c"] == expect for r in out)
+    assert all(r["n1"] > 0 and r["n0"] > 0 for r in out)
+
+
+def test_lateral_topk_equals_window_form_and_decorrelates(spark):
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_lateral_topk_per_nation,
+    )
+    from pyspark.sql import Window as W
+
+    df = q_lateral_topk_per_nation(spark, SF_DIR)
+    got = [(r["n_name"], r["c_name"], r["bal_c"]) for r in df.collect()]
+
+    nation = load_table(spark, SF_DIR, "nation")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_nationkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("bal_c").desc(), F.col("c_name").asc()
+    )
+    want = [
+        (r["n_name"], r["c_name"], r["bal_c"])
+        for r in nation.join(cust, nation.n_nationkey == cust.c_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .orderBy("n_name", F.col("bal_c").desc(), "c_name")
+        .collect()
+    ]
+    assert got == want
+    # decorrelated: one scan of customer per plan rendering (the AQE
+    # string prints the tree twice: 2 tables x 2 copies), never a
+    # per-nation re-scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 4
