@@ -1903,3 +1903,336 @@ ROUND8_QUERIES["lateral_topk_per_nation"] = (
     q_lateral_topk_per_nation,
     _LATERAL_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# ranking_overlap_curve — overlap@d between two retrieval rankings
+# ---------------------------------------------------------------------------
+
+_RANK_QUERY = ("table", "spark", "sort")
+_RANK_K = 20
+
+
+def q_ranking_overlap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement curve between two retrieval scorers over the same
+    corpus and query — the eval that decides whether a cheaper ranker
+    can replace an expensive one: overlap@d (shared docs among both
+    top-d lists) for d = 1..20, in exact permille.
+
+    Scorer A is raw query-term frequency; scorer B is df-weighted
+    term frequency (tf * (1000000 div df)) — both pure integers, both
+    tie-broken by doc_id, so the two rankings are bit-deterministic in
+    either engine.  overlap@d comes from the rank-pair identity: a doc
+    in both top-20s contributes to every d >= max(rank_a, rank_b), so
+    the curve is a cumulative count over that max — no per-d list
+    intersection.
+
+    Scale design: term stats reduce map-side (query terms are a
+    3-literal array filter); both top-20s are TakeOrderedAndProject;
+    the curve math runs on a <= 20-row matched frame against a 20-row
+    depth spine.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = F.array(*[F.lit(t) for t in _RANK_QUERY])
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens("text")).alias("tok")
+        )
+        .where(F.array_contains(qterms, F.col("tok")))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    tf = scoped_persist(tf)
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    a_rank = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("score_a"))
+        .orderBy(F.col("score_a").desc(), F.col("doc_id").asc())
+        .limit(_RANK_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("score_a").desc(), F.col("doc_id").asc())
+            )
+            .alias("ra"),
+        )
+    )
+    b_rank = (
+        tf.join(F.broadcast(df_t), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("tf * (1000000 div df)")).cast("long").alias("score_b")
+        )
+        .orderBy(F.col("score_b").desc(), F.col("doc_id").asc())
+        .limit(_RANK_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("score_b").desc(), F.col("doc_id").asc())
+            )
+            .alias("rb"),
+        )
+    )
+    matched = a_rank.join(b_rank, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, _RANK_K + 1).select(F.col("id").alias("d"))
+    return (
+        depths.join(F.broadcast(matched), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("long").alias("overlap"))
+        .select(
+            "d",
+            "overlap",
+            F.expr("(1000 * overlap) div d").cast("long").alias(
+                "agreement_permille"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+def _rank_overlap_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _RANK_QUERY)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.tok, COUNT(*) AS tf
+  FROM documents,
+       LATERAL unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE t.tok IN ({terms})
+  GROUP BY 1, 2
+), df_t AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+), a_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_a DESC, doc_id ASC) AS ra
+  FROM (SELECT doc_id, SUM(tf) AS score_a FROM tf GROUP BY 1)
+  ORDER BY score_a DESC, doc_id ASC LIMIT {_RANK_K}
+), b_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_b DESC, doc_id ASC) AS rb
+  FROM (
+    SELECT tf.doc_id, SUM(tf.tf * (1000000 // d.df)) AS score_b
+    FROM tf JOIN df_t d ON tf.tok = d.tok GROUP BY 1
+  )
+  ORDER BY score_b DESC, doc_id ASC LIMIT {_RANK_K}
+), matched AS (
+  SELECT GREATEST(a.ra, b.rb) AS m
+  FROM a_rank a JOIN b_rank b ON a.doc_id = b.doc_id
+), depths AS (
+  SELECT UNNEST(generate_series(1, {_RANK_K})) AS d
+)
+SELECT d,
+       (SELECT COUNT(*) FROM matched WHERE m <= d) AS overlap,
+       (1000 * (SELECT COUNT(*) FROM matched WHERE m <= d)) // d
+         AS agreement_permille
+FROM depths ORDER BY d
+"""
+
+
+ROUND8_QUERIES["ranking_overlap_curve"] = (
+    q_ranking_overlap_curve,
+    oracle_bigint(_rank_overlap_oracle(), "d", "overlap", "agreement_permille"),
+)
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen_hazard — cumulative hazard, the KM curve's twin
+# ---------------------------------------------------------------------------
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time from order placement to
+    first returned shipment — the estimator survival pipelines use
+    when they need the HAZARD scale (additive, comparable across
+    cohorts) rather than KM's survival product.  Same right-censoring
+    setup as `km_time_to_return`: return-free orders censor at the
+    corpus' last ship date.
+
+    Per event time: risk set n, events d, and the cumulative hazard as
+    a running sum of integer permicro terms ``(1000000 * d) div n`` —
+    a DEFINED integer algorithm (identical in both engines, no float
+    summation order anywhere), which brackets the real Σ d/n within
+    1e-6 per term.
+
+    Scale design: identical to KM — everything after the first-return
+    collapse runs on the calendar-bounded duration frame.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ret = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("ret_date"))
+    )
+    gmax = li.agg(F.max(F.to_date("l_shipdate")).alias("gmax_date"))
+    per_order = (
+        orders.join(first_ret, orders.o_orderkey == first_ret.l_orderkey, "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.when(
+                F.col("ret_date").isNotNull(), F.datediff("ret_date", "odate")
+            )
+            .otherwise(F.datediff("gmax_date", "odate"))
+            .alias("dur"),
+            F.col("ret_date").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    at_dur = per_order.groupBy("dur").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_after = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(F.lit(1))
+    return (
+        at_dur.withColumn(
+            "n",
+            F.sum("leaving").over(tot)
+            - F.coalesce(F.sum("leaving").over(w_after), F.lit(0)),
+        )
+        .withColumn("h_term", F.expr("(1000000 * d) div n").cast("long"))
+        .withColumn(
+            "cum_hazard_permicro",
+            F.sum("h_term").over(w_cum).cast("long"),
+        )
+        .where(F.col("d") > 0)
+        .select("dur", "n", "d", "cum_hazard_permicro")
+        .orderBy("dur")
+    )
+
+
+_NA_SQL = oracle_bigint(
+    """
+WITH first_ret AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ret_date
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+), gmax AS (
+  SELECT MAX(CAST(l_shipdate AS DATE)) AS gmax_date FROM lineitem
+), per_order AS (
+  SELECT CASE WHEN r.ret_date IS NOT NULL
+              THEN datediff('day', CAST(o.o_orderdate AS DATE), r.ret_date)
+              ELSE datediff('day', CAST(o.o_orderdate AS DATE),
+                            (SELECT gmax_date FROM gmax)) END AS dur,
+         CASE WHEN r.ret_date IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM orders o LEFT JOIN first_ret r ON o.o_orderkey = r.l_orderkey
+), at_dur AS (
+  SELECT dur, SUM(observed) AS d, COUNT(*) AS leaving
+  FROM per_order GROUP BY dur
+), risk AS (
+  SELECT dur, d, leaving,
+         SUM(leaving) OVER () -
+         COALESCE(SUM(leaving) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM at_dur
+), terms AS (
+  SELECT dur, n, d, (1000000 * d) // n AS h_term
+  FROM risk
+)
+SELECT dur, n, d,
+       SUM(h_term) OVER (ORDER BY dur
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_hazard_permicro
+FROM terms
+QUALIFY d > 0
+ORDER BY dur
+""",
+    "dur",
+    "n",
+    "d",
+    "cum_hazard_permicro",
+)
+
+ROUND8_QUERIES["nelson_aalen_hazard"] = (q_nelson_aalen_hazard, _NA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# order_fill_rate_sla — first-shipment SLA attainment by month
+# ---------------------------------------------------------------------------
+
+_SLA_DAYS = 30
+
+
+def q_order_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly SLA attainment: the share of orders whose FIRST
+    shipment left within 30 days of placement — the fill-rate /
+    on-time KPI every operations rollup carries.  First-event-per-
+    group, threshold flag, share in exact permille; orders with no
+    shipments at all count against the SLA (the honest denominator).
+
+    Scale design: the first-shipment collapse is one combinable
+    aggregation on the order key; the month rollup keys on the
+    calendar.  A left join keeps shipmentless orders in the
+    denominator — an inner join would silently inflate attainment.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("odate"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    first_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("sdate"))
+    )
+    return (
+        orders.join(
+            first_ship, orders.o_orderkey == first_ship.l_orderkey, "left"
+        )
+        .select(
+            "month",
+            F.when(
+                F.col("sdate").isNotNull()
+                & (F.datediff("sdate", "odate") <= _SLA_DAYS),
+                1,
+            )
+            .otherwise(0)
+            .alias("met"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("met").cast("long").alias("n_met"),
+        )
+        .withColumn(
+            "sla_permille",
+            F.expr("(1000 * n_met) div n_orders").cast("long"),
+        )
+        .orderBy("month")
+    )
+
+
+_SLA_SQL = oracle_bigint(
+    f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS sdate
+  FROM lineitem GROUP BY 1
+), flagged AS (
+  SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+         CASE WHEN s.sdate IS NOT NULL
+                   AND datediff('day', CAST(o.o_orderdate AS DATE), s.sdate)
+                       <= {_SLA_DAYS}
+              THEN 1 ELSE 0 END AS met
+  FROM orders o LEFT JOIN first_ship s ON o.o_orderkey = s.l_orderkey
+)
+SELECT month, COUNT(*) AS n_orders, SUM(met) AS n_met,
+       (1000 * SUM(met)) // COUNT(*) AS sla_permille
+FROM flagged GROUP BY month ORDER BY month
+""",
+    "n_orders",
+    "n_met",
+    "sla_permille",
+)
+
+ROUND8_QUERIES["order_fill_rate_sla"] = (q_order_fill_rate_sla, _SLA_SQL)

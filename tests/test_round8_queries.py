@@ -518,3 +518,87 @@ def test_lateral_topk_equals_window_form_and_decorrelates(spark):
     # per-nation re-scan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") <= 4
+
+
+def test_ranking_overlap_monotone_and_bounded(spark):
+    from etl_portofolio_spark.plans.round8_queries import (
+        _RANK_K,
+        q_ranking_overlap_curve,
+    )
+
+    out = q_ranking_overlap_curve(spark, SF_DIR).collect()
+    assert [r["d"] for r in out] == list(range(1, _RANK_K + 1))
+    ov = [r["overlap"] for r in out]
+    assert ov == sorted(ov)
+    for r in out:
+        assert 0 <= r["overlap"] <= r["d"]
+        assert r["agreement_permille"] == (1000 * r["overlap"]) // r["d"]
+
+
+def test_nelson_aalen_matches_km_risk_sets(spark):
+    """NA and KM share the (n, d) ladder: replay risk sets in Python
+    from the same per-order durations and check the permicro running
+    sum term-for-term."""
+    from collections import Counter
+
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_nelson_aalen_hazard,
+    )
+
+    out = q_nelson_aalen_hazard(spark, SF_DIR).collect()
+
+    orders = {
+        r["o_orderkey"]: r["odate"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("odate"))
+        .collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    first_ret = {
+        r["l_orderkey"]: r["rd"]
+        for r in li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("rd"))
+        .collect()
+    }
+    gmax = li.agg(F.max(F.to_date("l_shipdate")).alias("g")).first()["g"]
+    durs = []
+    for ok, od in orders.items():
+        if ok in first_ret:
+            durs.append(((first_ret[ok] - od).days, 1))
+        else:
+            durs.append(((gmax - od).days, 0))
+    d_cnt = Counter(t for t, o in durs if o)
+    leave = Counter(t for t, _ in durs)
+    n_total = len(durs)
+    cum_before = 0
+    cum_h = 0
+    expected = []
+    for t in sorted(leave):
+        n = n_total - cum_before
+        if d_cnt.get(t, 0) > 0:
+            cum_h += (1_000_000 * d_cnt[t]) // n
+            expected.append((t, n, d_cnt[t], cum_h))
+        else:
+            pass
+        cum_before += leave[t]
+    got = [(r["dur"], r["n"], r["d"], r["cum_hazard_permicro"]) for r in out]
+    # the plan accumulates h_term over ALL durations (zero-d terms are
+    # zero), so the running sums agree exactly
+    assert got == expected
+
+
+def test_sla_left_join_keeps_shipmentless_orders(spark):
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_order_fill_rate_sla,
+    )
+
+    out = q_order_fill_rate_sla(spark, SF_DIR).collect()
+    assert sum(r["n_orders"] for r in out) == load_table(
+        spark, SF_DIR, "orders"
+    ).count()
+    for r in out:
+        assert 0 <= r["n_met"] <= r["n_orders"]
+        assert r["sla_permille"] == (1000 * r["n_met"]) // r["n_orders"]
