@@ -2236,3 +2236,230 @@ FROM flagged GROUP BY month ORDER BY month
 )
 
 ROUND8_QUERIES["order_fill_rate_sla"] = (q_order_fill_rate_sla, _SLA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# streaming_interval_join_oracle — FIFTH real streaming run: stream-stream
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_interval_join_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed for real inside the gate —
+    the fifth genuine streaming run, and the one that exercises
+    DOUBLE-SIDED join state: clicks and purchases arrive as two
+    independent file-source streams (each time-ordered, mtime-pinned),
+    and every purchase must find the same user's clicks from the
+    preceding 10 minutes even when the sides land in different
+    micro-batches.  The range bound in the condition is what lets
+    Spark expire click state (clicks older than purchase-watermark
+    minus the window drop out of the store) — the plan is built by the
+    SAME ``time_bounded_join`` function as the oracle-checked batch
+    twin ``time_bounded_attribution``.
+
+    Inner-join results emit as matches arrive (append mode needs no
+    watermark wait for inner joins), so no sentinel is needed; the
+    30-minute lateness ≥ the 10-minute window guarantees no state is
+    evicted before its cross-batch partner can arrive on these ordered
+    files.
+
+    100 TB: this is the production attribution shape — two keyed
+    streams, bounded state, availableNow catch-up.
+    """
+    apply_runtime_confs(spark)
+    import hashlib
+    import os
+
+    from etl_portofolio_spark.fixtures import ensure_fixture
+    from etl_portofolio_spark.streaming.structured import (
+        read_file_stream,
+        time_bounded_join,
+    )
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        (
+            ev.where(F.col("event_type") == "click")
+            .repartitionByRange(2, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "clicks"))
+        )
+        (
+            ev.where(F.col("event_type") == "purchase")
+            .coalesce(1)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "purchases"))
+        )
+        base = 1_700_000_000
+        for sub in ("clicks", "purchases"):
+            parts = sorted(
+                f
+                for f in os.listdir(os.path.join(tmp, sub))
+                if f.endswith(".parquet")
+            )
+            for i, f in enumerate(parts):
+                t = base + 60 * i
+                os.utime(os.path.join(tmp, sub, f), (t, t))
+
+    def _ready(p: str) -> bool:
+        import os as _os
+
+        return all(
+            _os.path.isdir(_os.path.join(p, s))
+            and any(
+                f.endswith(".parquet")
+                for f in _os.listdir(_os.path.join(p, s))
+            )
+            for s in ("clicks", "purchases")
+        )
+
+    path = ensure_fixture(sf_dir, "events_stream_cp", _build, ready=_ready)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    clicks = read_file_stream(
+        spark, f"{path}/clicks", schema=schema, max_files_per_trigger=1
+    )
+    purchases = read_file_stream(
+        spark, f"{path}/purchases", schema=schema, max_files_per_trigger=1
+    )
+    joined = time_bounded_join(
+        clicks, purchases, window_minutes=10, lateness="30 minutes"
+    )
+    sink = f"r8_ssj_sink_{hashlib.md5(path.encode()).hexdigest()[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+    )
+
+
+_SSJ_SQL = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+       c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '10 minutes'
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+ROUND8_QUERIES["streaming_interval_join_oracle"] = (
+    q_streaming_interval_join_oracle,
+    _SSJ_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# malformed_json_quarantine — dead-letter accounting on a dirty feed
+# ---------------------------------------------------------------------------
+
+_DIRTY_MOD = 7  # event_id % 7 == 0 rows are corrupted in the fixture
+
+
+def q_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue accounting over a deliberately dirty JSON
+    feed: a content-keyed fixture corrupts the ``props`` payload of
+    every 7th event (truncated JSON), and the reader must parse with
+    ``from_json``, quarantine unparseable rows instead of failing the
+    job, and report per-type good/bad counts plus the aggregate of the
+    parsed field over GOOD rows only — the permissive-ingest contract
+    every production feed needs (one malformed record must never kill
+    a 100 TB backfill).
+
+    The oracle recomputes from the CLEAN source by applying the same
+    corruption rule arithmetically — so a parser that silently
+    accepts the truncated payload (or quarantines a valid one) fails
+    the hash.
+
+    Scale design: parse + null-check are map-side; the rollup keys on
+    event types.  One scan, one small shuffle.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.fixtures import ensure_fixture
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_id") % _DIRTY_MOD == 0, F.lit('{"k": ')
+            )
+            .otherwise(F.col("props"))
+            .alias("props"),
+        )
+        ev.coalesce(4).write.mode("overwrite").parquet(tmp)
+
+    def _ready(p: str) -> bool:
+        import os
+
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    path = ensure_fixture(sf_dir, "events_dirty_json", _build, ready=_ready)
+    df = spark.read.parquet(path).withColumn(
+        "parsed", F.from_json("props", "k INT")
+    )
+    return (
+        df.select(
+            "event_type",
+            F.when(
+                F.col("parsed").isNull() | F.col("parsed.k").isNull(), 1
+            )
+            .otherwise(0)
+            .alias("bad"),
+            F.coalesce(F.col("parsed.k"), F.lit(0)).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bad").cast("long").alias("n_quarantined"),
+            F.sum(F.when(F.col("bad") == 0, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("sum_k_good"),
+        )
+        .withColumn(
+            "bad_permille",
+            F.expr("(1000 * n_quarantined) div n").cast("long"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DLQ_SQL = oracle_bigint(
+    f"""
+SELECT event_type, COUNT(*) AS n,
+       SUM(CASE WHEN event_id % {_DIRTY_MOD} = 0 THEN 1 ELSE 0 END)
+         AS n_quarantined,
+       SUM(CASE WHEN event_id % {_DIRTY_MOD} <> 0
+                THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                ELSE 0 END) AS sum_k_good,
+       (1000 * SUM(CASE WHEN event_id % {_DIRTY_MOD} = 0 THEN 1 ELSE 0 END))
+         // COUNT(*) AS bad_permille
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "n",
+    "n_quarantined",
+    "sum_k_good",
+    "bad_permille",
+)
+
+ROUND8_QUERIES["malformed_json_quarantine"] = (
+    q_malformed_json_quarantine,
+    _DLQ_SQL,
+)

@@ -602,3 +602,52 @@ def test_sla_left_join_keeps_shipmentless_orders(spark):
     for r in out:
         assert 0 <= r["n_met"] <= r["n_orders"]
         assert r["sla_permille"] == (1000 * r["n_met"]) // r["n_orders"]
+
+
+def test_streaming_interval_join_matches_batch_twin(spark):
+    """The stream-stream run must equal the SAME time_bounded_join
+    plan evaluated in batch mode over the same events."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_streaming_interval_join_oracle,
+    )
+    from etl_portofolio_spark.streaming.structured import time_bounded_join
+
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["p_ts"], r["c_ts"])
+        for r in q_streaming_interval_join_oracle(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    batch = time_bounded_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        window_minutes=10,
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts"),
+    )
+    want = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["p_ts"], r["c_ts"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_json_quarantine_counts_corruption_rule(spark):
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        _DIRTY_MOD,
+        q_malformed_json_quarantine,
+    )
+
+    out = q_malformed_json_quarantine(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n"] for r in out) == ev.count()
+    assert sum(r["n_quarantined"] for r in out) == ev.where(
+        F.col("event_id") % _DIRTY_MOD == 0
+    ).count()
+    for r in out:
+        assert 0 <= r["n_quarantined"] < r["n"]
