@@ -132,6 +132,19 @@ HEADLINE = (
     "graph_modularity_partition",
     "metadata_file_audit",
     "snapshot_expiry_audit",
+    "groupwise_cv_folds",
+    "feature_hashing_projection",
+    "gains_capture_curve",
+    "embedding_mutual_knn",
+    "partition_evolution_union",
+    "weighted_shortest_path",
+    "rake_keyword_extraction",
+    "stratified_ate_estimate",
+    "lateral_topk_per_nation",
+    "ranking_overlap_curve",
+    "nelson_aalen_hazard",
+    "order_fill_rate_sla",
+    "malformed_json_quarantine",
 )
 
 
