@@ -135,7 +135,10 @@ HEADLINE = (
     "groupwise_cv_folds",
     "feature_hashing_projection",
     "gains_capture_curve",
-    "embedding_mutual_knn",
+    # embedding_mutual_knn is registry-gated but not benched: like
+    # embedding_near_dup it is interpreted-HOF-bound at this tiny
+    # corpus (5k vectors), which measures lambda overhead, not the
+    # plan (its candidate generation is the same banded equi-join)
     "partition_evolution_union",
     "weighted_shortest_path",
     "rake_keyword_extraction",

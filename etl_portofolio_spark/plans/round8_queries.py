@@ -1347,9 +1347,13 @@ def q_embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_portofolio_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # 8-bit bucket keys (256 values), not the near-dup op's 2-bit ones:
+    # mutual-top-1 only needs the true neighbor to SHARE a bucket, and
+    # 2-bit keys at corpus scale make every bucket a quadratic hotspot
+    # (the round-2 LSH lesson: 202 s -> ~2 s at sf0.1 from this knob).
     pairs = scoped_persist(
         similarity.embedding_near_dup_pairs(
-            emb, threshold=-1.0, dim=64, num_planes=2, num_tables=6
+            emb, threshold=-1.0, dim=64, num_planes=8, num_tables=6
         )
     )
     directed = pairs.select(
@@ -1391,10 +1395,10 @@ def _sql_mutual_knn() -> str:
         _sql_cosine,
     )
 
-    planes_all = similarity.hyperplane_matrix(12, 64)
+    planes_all = similarity.hyperplane_matrix(48, 64)
     values = ", ".join(
-        f"({r // 2}, {r % 2}, {[float(w) for w in planes_all[r]]})"
-        for r in range(12)
+        f"({r // 8}, {r % 8}, {[float(w) for w in planes_all[r]]})"
+        for r in range(48)
     )
     return f"""
 WITH v AS (

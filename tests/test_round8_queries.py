@@ -337,7 +337,7 @@ def test_mutual_knn_is_mutual_and_unique(spark):
 
     emb = load_table(spark, SF_DIR, "embeddings")
     cands = similarity.embedding_near_dup_pairs(
-        emb, threshold=-1.0, dim=64, num_planes=2, num_tables=6
+        emb, threshold=-1.0, dim=64, num_planes=8, num_tables=6
     ).collect()
     best = defaultdict(lambda: (float("-inf"), None))
     for r in cands:
