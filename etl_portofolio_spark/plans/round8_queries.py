@@ -2467,3 +2467,241 @@ ROUND8_QUERIES["malformed_json_quarantine"] = (
     q_malformed_json_quarantine,
     _DLQ_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# dau_mau_stickiness — rolling 30-day distinct actives per day
+# ---------------------------------------------------------------------------
+
+_MAU_WINDOW = 30
+
+
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU / stickiness per observed day — the engagement
+    headline metric.  MAU(d) counts distinct users active in the
+    trailing 30 days; a naive per-day recount is 30 scans, a
+    count-distinct window is unsupported, so the scalable identity is
+    COVERAGE EXPLODE: each distinct (user, active_day) contributes
+    membership to the next 30 days map-side, a (user, covered_day)
+    dedup collapses multi-activity, and one groupBy counts — constant
+    30x blowup of the (already reduced) user-day frame, one shuffle.
+    DuckDB has no sequence-explode idiom for this, so the oracle
+    states the same set as a range join — two different algorithms,
+    one answer.
+
+    Emitted only for OBSERVED days (days with any event), stickiness
+    in exact permille.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    from etl_portofolio_spark.caching import scoped_persist
+
+    ud = scoped_persist(ud)
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), _MAU_WINDOW - 1),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    return (
+        dau.join(cover, "day")  # inner: only observed days emit
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("(1000 * dau) div mau").cast("long").alias(
+                "stickiness_permille"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_DAU_SQL = oracle_bigint(
+    f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1
+), mau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+  FROM (SELECT DISTINCT day FROM ud) d
+  JOIN ud u
+    ON u.day BETWEEN d.day - INTERVAL {_MAU_WINDOW - 1} DAY AND d.day
+  GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       (1000 * dau.dau) // mau.mau AS stickiness_permille
+FROM dau JOIN mau ON dau.day = mau.day
+ORDER BY day
+""",
+    "dau",
+    "mau",
+    "stickiness_permille",
+)
+
+ROUND8_QUERIES["dau_mau_stickiness"] = (q_dau_mau_stickiness, _DAU_SQL)
+
+
+# ---------------------------------------------------------------------------
+# session_funnel_ordered — strictly-ordered view->click->purchase funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_GAP = "30 minutes"
+
+
+def q_session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED funnel within behavioral sessions: a session
+    converts a step only if the event happens AFTER the previous
+    step's first occurrence (view, then click, then purchase) — the
+    semantics product funnels actually need, where a purchase before
+    any view must not count.  Unordered "session contains all three"
+    overcounts; this is the sequential-min composition.
+
+    Three session-keyed conditional-min aggregations (each joins the
+    previous step's timestamp back by session id — equi-joins on a
+    frame no larger than the session count), then one global rollup.
+    Sessionization is the same >= 30-minute-gap islands convention as
+    the streaming session oracle; ties on the boundary resolve by
+    (second, event_id) never by raw sub-second timestamps.
+
+    Scale design: islands window partitions by user (parallel key);
+    the step joins key on session id (uniform); the output is one row.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("tsec"),
+        "event_id",
+    )
+    wu = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    sess = (
+        ev.withColumn("prev", F.lag("tsec").over(wu))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("tsec") - F.col("prev") >= 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.concat_ws(
+                ":",
+                F.col("user_id"),
+                F.sum("new_s").over(
+                    wu.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            ),
+        )
+        .select("sid", "event_type", "tsec", "event_id")
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    sess = scoped_persist(sess)
+    t_view = sess.where(F.col("event_type") == "view").groupBy("sid").agg(
+        F.min(F.struct("tsec", "event_id")).alias("v")
+    )
+    t_click = (
+        sess.where(F.col("event_type") == "click")
+        .join(t_view, "sid")
+        .where(
+            F.struct("tsec", "event_id") > F.col("v")
+        )
+        .groupBy("sid")
+        .agg(F.min(F.struct("tsec", "event_id")).alias("c"))
+    )
+    t_purchase = (
+        sess.where(F.col("event_type") == "purchase")
+        .join(t_click, "sid")
+        .where(F.struct("tsec", "event_id") > F.col("c"))
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("_np"))
+    )
+    n_sessions = sess.select("sid").distinct().count()
+    n_view = t_view.count()
+    n_click = t_click.count()
+    n_purchase = t_purchase.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_sessions,
+                n_view,
+                n_click,
+                n_purchase,
+                (1000 * n_click) // n_view if n_view else 0,
+                (1000 * n_purchase) // n_click if n_click else 0,
+            )
+        ],
+        "n_sessions long, n_view long, n_click long, n_purchase long, "
+        "click_after_view_permille long, purchase_after_click_permille long",
+    )
+
+
+_FUNNEL_SQL = oracle_bigint(
+    """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(tsec) OVER w IS NULL
+                      OR tsec - lag(tsec) OVER w >= 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+), sess AS (
+  SELECT user_id || ':' || SUM(new_s) OVER (PARTITION BY user_id
+           ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid,
+         event_type, tsec, event_id
+  FROM flagged
+), t_view AS (
+  SELECT sid, MIN(ROW(tsec, event_id)) AS v
+  FROM sess WHERE event_type = 'view' GROUP BY sid
+), t_click AS (
+  SELECT s.sid, MIN(ROW(s.tsec, s.event_id)) AS c
+  FROM sess s JOIN t_view tv ON s.sid = tv.sid
+  WHERE s.event_type = 'click' AND ROW(s.tsec, s.event_id) > tv.v
+  GROUP BY s.sid
+), t_purchase AS (
+  SELECT s.sid
+  FROM sess s JOIN t_click tc ON s.sid = tc.sid
+  WHERE s.event_type = 'purchase' AND ROW(s.tsec, s.event_id) > tc.c
+  GROUP BY s.sid
+)
+SELECT (SELECT COUNT(DISTINCT sid) FROM sess) AS n_sessions,
+       (SELECT COUNT(*) FROM t_view) AS n_view,
+       (SELECT COUNT(*) FROM t_click) AS n_click,
+       (SELECT COUNT(*) FROM t_purchase) AS n_purchase,
+       (1000 * (SELECT COUNT(*) FROM t_click))
+         // NULLIF((SELECT COUNT(*) FROM t_view), 0)
+         AS click_after_view_permille,
+       (1000 * (SELECT COUNT(*) FROM t_purchase))
+         // NULLIF((SELECT COUNT(*) FROM t_click), 0)
+         AS purchase_after_click_permille
+""",
+    "n_sessions",
+    "n_view",
+    "n_click",
+    "n_purchase",
+    "click_after_view_permille",
+    "purchase_after_click_permille",
+)
+
+ROUND8_QUERIES["session_funnel_ordered"] = (
+    q_session_funnel_ordered,
+    _FUNNEL_SQL,
+)

@@ -651,3 +651,55 @@ def test_json_quarantine_counts_corruption_rule(spark):
     ).count()
     for r in out:
         assert 0 <= r["n_quarantined"] < r["n"]
+
+
+def test_dau_mau_window_identity(spark):
+    """Replay MAU from raw user-days in Python (set union over the
+    trailing window — a different algorithm from the coverage
+    explode) and compare day-for-day."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        _MAU_WINDOW,
+        q_dau_mau_stickiness,
+    )
+
+    out = {
+        r["day"]: (r["dau"], r["mau"], r["stickiness_permille"])
+        for r in q_dau_mau_stickiness(spark, SF_DIR).collect()
+    }
+    ud = defaultdict(set)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    ):
+        ud[r["day"]].add(r["user_id"])
+    for day, users in ud.items():
+        mau = set()
+        for back in range(_MAU_WINDOW):
+            mau |= ud.get(day - timedelta(days=back), set())
+        key = day.strftime("%Y-%m-%d")
+        assert out[key] == (
+            len(users),
+            len(mau),
+            (1000 * len(users)) // len(mau),
+        )
+    assert len(out) == len(ud)
+
+
+def test_session_funnel_is_monotone(spark):
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_session_funnel_ordered,
+    )
+
+    r = q_session_funnel_ordered(spark, SF_DIR).collect()[0]
+    assert r["n_sessions"] >= r["n_view"] >= r["n_click"] >= r["n_purchase"] >= 0
+    assert r["click_after_view_permille"] == (1000 * r["n_click"]) // r["n_view"]
+    assert (
+        r["purchase_after_click_permille"]
+        == (1000 * r["n_purchase"]) // r["n_click"]
+    )
