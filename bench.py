@@ -148,6 +148,10 @@ HEADLINE = (
     "nelson_aalen_hazard",
     "order_fill_rate_sla",
     "malformed_json_quarantine",
+    "dau_mau_stickiness",
+    "session_funnel_ordered",
+    "cohort_ltv_curve",
+    "t_closeness_report",
 )
 
 
