@@ -2915,3 +2915,201 @@ FROM walked GROUP BY grp ORDER BY grp
 )
 
 ROUND8_QUERIES["t_closeness_report"] = (q_t_closeness_report, _TCLOSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# shapley_channel_attribution — exact 2-channel Shapley values
+# ---------------------------------------------------------------------------
+
+
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution for the two-channel case,
+    computed EXACTLY from coalition conversion rates — the
+    game-theoretic answer to "how much credit do view and click
+    exposure each deserve for conversion", free of last-touch bias.
+    Units are user-days; a day's coalition is which of {view, click}
+    occurred, conversion is any purchase that day.  With two players
+    Shapley closes over 4 coalitions: phi_view = ((r_V - r_0) +
+    (r_VC - r_C)) / 2, each rate first emitted as a DEFINED permicro
+    integer ``(1e6 * conv) div n`` so the whole computation is engine-
+    exact integer arithmetic (no float probability anywhere).
+
+    Emits the 4 coalition rows (n, conversions, rate) with the two
+    Shapley values as panel columns.
+
+    Scale design: one combinable user-day aggregation (presence flags
+    + conversion flag via max), a 4-key rollup, 4-row arithmetic.
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("has_v"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("has_c"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "conv"
+            ),
+        )
+    )
+    co = ud.groupBy("has_v", "has_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("conversions"),
+    ).withColumn(
+        "rate_permicro",
+        F.expr("(1000000 * conversions) div n").cast("long"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    r_of = lambda v, c: F.max(  # noqa: E731
+        F.when((F.col("has_v") == v) & (F.col("has_c") == c), F.col("rate_permicro"))
+    ).over(w)
+    # numerators as columns first so the halving is integer `div` on
+    # both engines — a float /2 would TRUNCATE in Spark but ROUND in
+    # DuckDB's CAST whenever the numerator is odd
+    return (
+        co.withColumn(
+            "num_view",
+            (r_of(1, 0) - r_of(0, 0)) + (r_of(1, 1) - r_of(0, 1)),
+        )
+        .withColumn(
+            "num_click",
+            (r_of(0, 1) - r_of(0, 0)) + (r_of(1, 1) - r_of(1, 0)),
+        )
+        .withColumn(
+            "shap_view_permicro", F.expr("num_view div 2").cast("long")
+        )
+        .withColumn(
+            "shap_click_permicro", F.expr("num_click div 2").cast("long")
+        )
+        .select(
+            F.col("has_v").cast("long").alias("has_v"),
+            F.col("has_c").cast("long").alias("has_c"),
+            "n",
+            "conversions",
+            "rate_permicro",
+            "shap_view_permicro",
+            "shap_click_permicro",
+        )
+        .orderBy("has_v", "has_c")
+    )
+
+
+_SHAP_SQL = oracle_bigint(
+    """
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+), co AS (
+  SELECT has_v, has_c, COUNT(*) AS n, SUM(conv) AS conversions,
+         (1000000 * SUM(conv)) // COUNT(*) AS rate_permicro
+  FROM ud GROUP BY 1, 2
+), rates AS (
+  SELECT *,
+    MAX(CASE WHEN has_v = 1 AND has_c = 0 THEN rate_permicro END) OVER () AS r10,
+    MAX(CASE WHEN has_v = 0 AND has_c = 0 THEN rate_permicro END) OVER () AS r00,
+    MAX(CASE WHEN has_v = 1 AND has_c = 1 THEN rate_permicro END) OVER () AS r11,
+    MAX(CASE WHEN has_v = 0 AND has_c = 1 THEN rate_permicro END) OVER () AS r01
+  FROM co
+)
+SELECT has_v, has_c, n, conversions, rate_permicro,
+       ((r10 - r00) + (r11 - r01)) // 2 AS shap_view_permicro,
+       ((r01 - r00) + (r11 - r10)) // 2 AS shap_click_permicro
+FROM rates ORDER BY has_v, has_c
+""",
+    "has_v",
+    "has_c",
+    "n",
+    "conversions",
+    "rate_permicro",
+    "shap_view_permicro",
+    "shap_click_permicro",
+)
+
+ROUND8_QUERIES["shapley_channel_attribution"] = (
+    q_shapley_channel_attribution,
+    _SHAP_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# ucb_arm_ranking — UCB1 exploration scores at a fixed decision point
+# ---------------------------------------------------------------------------
+
+
+def q_ucb_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit scores over the order-priority arms at the current
+    observation count — the explore/exploit ranking a bandit scheduler
+    would act on next: score = mean_reward + sqrt(2 ln N / n), reward
+    = the order finished (status 'F').
+
+    Float discipline per the repo's transcendental rule: ln is NOT
+    correctly rounded across engines, so ln(N) rounds to 9 decimals
+    BEFORE entering the bonus; division and sqrt of identical doubles
+    ARE bit-deterministic (IEEE correctly-rounded), and the final
+    score rounds to 6 at magnitude ~1 before ranking, with the arm
+    breaking ties.
+
+    Scale design: one combinable 5-arm aggregation; everything after
+    is 5-row arithmetic.
+    """
+    apply_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    arms = orders.groupBy(F.col("o_orderpriority").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int"))
+        .cast("long")
+        .alias("wins"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    scored = (
+        arms.withColumn("big_n", F.sum("n").over(w))
+        .withColumn("ln_n", F.round(F.log(F.col("big_n")), 9))
+        .withColumn(
+            "ucb_score",
+            F.round(
+                F.col("wins") / F.col("n")
+                + F.sqrt(F.lit(2.0) * F.col("ln_n") / F.col("n")),
+                6,
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("ucb_score").desc(), F.col("arm").asc())
+    return scored.select(
+        "arm",
+        "n",
+        "wins",
+        F.expr("(1000 * wins) div n").cast("long").alias("mean_permille"),
+        "ucb_score",
+        F.row_number().over(wr).cast("long").alias("rk"),
+    ).orderBy("rk")
+
+
+_UCB_SQL = oracle_bigint(
+    """
+WITH arms AS (
+  SELECT o_orderpriority AS arm, COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS wins
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT *,
+         round(ln(SUM(n) OVER ()), 9) AS ln_n,
+         round(CAST(wins AS DOUBLE) / n
+               + sqrt(2.0 * round(ln(SUM(n) OVER ()), 9) / n), 6) AS ucb_score
+  FROM arms
+)
+SELECT arm, n, wins,
+       (1000 * wins) // n AS mean_permille,
+       ucb_score,
+       ROW_NUMBER() OVER (ORDER BY ucb_score DESC, arm ASC) AS rk
+FROM scored ORDER BY rk
+""",
+    "n",
+    "wins",
+    "mean_permille",
+    "rk",
+)
+
+ROUND8_QUERIES["ucb_arm_ranking"] = (q_ucb_arm_ranking, _UCB_SQL)

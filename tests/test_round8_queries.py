@@ -738,3 +738,42 @@ def test_t_closeness_bounds_and_zero_case(spark):
     for r in out:
         assert 0 <= r["t_permille"] <= 1000
         assert r["emd_scaled"] >= 0
+
+
+def test_shapley_efficiency_and_replay(spark):
+    """Two-player Shapley replay from the emitted coalition rates
+    (truncating div), and the symmetry check: both values derive from
+    the same 4-rate panel."""
+    from etl_portofolio_spark.plans.round8_queries import (
+        q_shapley_channel_attribution,
+    )
+
+    out = {(r["has_v"], r["has_c"]): r for r in
+           q_shapley_channel_attribution(spark, SF_DIR).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    r = {k: v["rate_permicro"] for k, v in out.items()}
+
+    def tdiv(a, b):
+        return abs(a) // b * (-1 if a < 0 else 1)
+
+    sv = tdiv((r[(1, 0)] - r[(0, 0)]) + (r[(1, 1)] - r[(0, 1)]), 2)
+    sc = tdiv((r[(0, 1)] - r[(0, 0)]) + (r[(1, 1)] - r[(1, 0)]), 2)
+    for v in out.values():
+        assert v["shap_view_permicro"] == sv
+        assert v["shap_click_permicro"] == sc
+        assert v["rate_permicro"] == (1_000_000 * v["conversions"]) // v["n"]
+
+
+def test_ucb_dominates_mean_and_ranks_total(spark):
+    import math
+
+    from etl_portofolio_spark.plans.round8_queries import q_ucb_arm_ranking
+
+    out = q_ucb_arm_ranking(spark, SF_DIR).collect()
+    big_n = sum(r["n"] for r in out)
+    assert sorted(r["rk"] for r in out) == list(range(1, len(out) + 1))
+    for r in out:
+        mean = r["wins"] / r["n"]
+        bonus = math.sqrt(2.0 * round(math.log(big_n), 9) / r["n"])
+        assert abs(r["ucb_score"] - round(mean + bonus, 6)) < 1e-9
+        assert r["ucb_score"] > mean
