@@ -152,6 +152,9 @@ HEADLINE = (
     "session_funnel_ordered",
     "cohort_ltv_curve",
     "t_closeness_report",
+    "shapley_channel_attribution",
+    "ucb_arm_ranking",
+    "rendezvous_shard_rebalance",
 )
 
 

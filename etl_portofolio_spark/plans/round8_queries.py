@@ -3113,3 +3113,142 @@ FROM scored ORDER BY rk
 )
 
 ROUND8_QUERIES["ucb_arm_ranking"] = (q_ucb_arm_ranking, _UCB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_shard_rebalance — HRW sharding vs mod-N under node addition
+# ---------------------------------------------------------------------------
+
+_HRW_NODES = 5
+
+
+def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit: each
+    customer key routes to the node with the greatest
+    ``h32(node:key)``, and the query measures what a cluster resize
+    actually costs — when node 5 joins, HRW moves ONLY the keys whose
+    new node wins (~1/(N+1) of them), while mod-N reassignment moves
+    ~N/(N+1).  The audit every partition-aware storage layer runs
+    before choosing its placement function.
+
+    Emits per-node: keys under 5 nodes, keys under 6, arrivals to the
+    new node, and the moved-share permille for both schemes as panel
+    columns.  All md5 integers; the argmax is a greatest-of-structs,
+    engine-exact.
+
+    Scale design: both assignments are map-side expressions over one
+    scan of the key set; the rollup keys on <= 6 nodes.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.functions.hashing import h32
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("c_custkey").alias("key"),
+    )
+
+    def hrw(n_nodes: int) -> F.Column:
+        entries = [
+            F.struct(
+                h32(F.concat(F.lit(f"node{i}:"), F.col("k"))).alias("h"),
+                F.lit(i).alias("node"),
+            )
+            for i in range(n_nodes)
+        ]
+        return F.greatest(*entries)["node"]
+
+    assigned = cust.select(
+        "key",
+        hrw(_HRW_NODES).alias("n5"),
+        hrw(_HRW_NODES + 1).alias("n6"),
+        (F.col("key") % _HRW_NODES).alias("m5"),
+        (F.col("key") % (_HRW_NODES + 1)).alias("m6"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        assigned.groupBy(F.col("n6").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("keys_after"),
+            F.sum((F.col("n5") == F.col("n6")).cast("int"))
+            .cast("long")
+            .alias("kept"),
+            F.sum((F.col("n5") != F.col("n6")).cast("int"))
+            .cast("long")
+            .alias("moved_hrw"),
+            F.sum((F.col("m5") != F.col("m6")).cast("int"))
+            .cast("long")
+            .alias("moved_mod"),
+        )
+        .withColumn(
+            "hrw_moved_permille",
+            F.expr(
+                "(1000 * sum(moved_hrw) over ()) div sum(keys_after) over ()"
+            ).cast("long"),
+        )
+        .withColumn(
+            "mod_moved_permille",
+            F.expr(
+                "(1000 * sum(moved_mod) over ()) div sum(keys_after) over ()"
+            ).cast("long"),
+        )
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "keys_after",
+            "kept",
+            "moved_hrw",
+            "hrw_moved_permille",
+            "mod_moved_permille",
+        )
+        .orderBy("node")
+    )
+
+
+def _hrw_oracle() -> str:
+    from etl_portofolio_spark.functions.hashing import h32_sql
+
+    def hrw_sql(n_nodes: int) -> str:
+        # DuckDB greatest() rejects structs; argmax via struct-list sort
+        parts = []
+        for i in range(n_nodes):
+            h = h32_sql(f"'node{i}:' || k")
+            parts.append(f"{{'h': {h}, 'n': {i}}}")
+        return "(list_sort([" + ", ".join(parts) + "], 'DESC'))[1].n"
+
+    return f"""
+WITH cust AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k, c_custkey AS key FROM customer
+), assigned AS (
+  SELECT key,
+         CAST({hrw_sql(_HRW_NODES)} AS BIGINT) AS n5,
+         CAST({hrw_sql(_HRW_NODES + 1)} AS BIGINT) AS n6,
+         key % {_HRW_NODES} AS m5,
+         key % {_HRW_NODES + 1} AS m6
+  FROM cust
+), rolled AS (
+  SELECT n6 AS node, COUNT(*) AS keys_after,
+         SUM(CASE WHEN n5 = n6 THEN 1 ELSE 0 END) AS kept,
+         SUM(CASE WHEN n5 <> n6 THEN 1 ELSE 0 END) AS moved_hrw,
+         SUM(CASE WHEN m5 <> m6 THEN 1 ELSE 0 END) AS moved_mod
+  FROM assigned GROUP BY 1
+)
+SELECT node, keys_after, kept, moved_hrw,
+       (1000 * SUM(moved_hrw) OVER ()) // SUM(keys_after) OVER ()
+         AS hrw_moved_permille,
+       (1000 * SUM(moved_mod) OVER ()) // SUM(keys_after) OVER ()
+         AS mod_moved_permille
+FROM rolled ORDER BY node
+"""
+
+
+ROUND8_QUERIES["rendezvous_shard_rebalance"] = (
+    q_rendezvous_shard_rebalance,
+    oracle_bigint(
+        _hrw_oracle(),
+        "node",
+        "keys_after",
+        "kept",
+        "moved_hrw",
+        "hrw_moved_permille",
+        "mod_moved_permille",
+    ),
+)

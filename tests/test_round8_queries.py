@@ -777,3 +777,42 @@ def test_ucb_dominates_mean_and_ranks_total(spark):
         bonus = math.sqrt(2.0 * round(math.log(big_n), 9) / r["n"])
         assert abs(r["ucb_score"] - round(mean + bonus, 6)) < 1e-9
         assert r["ucb_score"] > mean
+
+
+def test_rendezvous_moves_fraction_vs_mod(spark):
+    """HRW must move ~1/(N+1) of keys on node addition while mod-N
+    moves ~N/(N+1); replay the argmax in Python and compare
+    assignment-for-assignment."""
+    import hashlib
+
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round8_queries import (
+        _HRW_NODES,
+        q_rendezvous_shard_rebalance,
+    )
+
+    out = q_rendezvous_shard_rebalance(spark, SF_DIR).collect()
+    keys = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_DIR, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def hrw(key, n):
+        return max(range(n), key=lambda i: (h32(f"node{i}:{key}"), i))
+
+    moved_hrw = sum(
+        1 for k in keys if hrw(k, _HRW_NODES) != hrw(k, _HRW_NODES + 1)
+    )
+    assert sum(r["moved_hrw"] for r in out) == moved_hrw
+    assert sum(r["keys_after"] for r in out) == len(keys)
+    total = len(keys)
+    hrw_p = (1000 * moved_hrw) // total
+    for r in out:
+        assert r["hrw_moved_permille"] == hrw_p
+        # the economics the op exists to show
+        assert r["hrw_moved_permille"] < r["mod_moved_permille"]
