@@ -106,21 +106,11 @@ def _evidence_scores() -> dict[str, tuple[int, int]]:
 # Spliced in at the head of the zero-green group (ahead of
 # never-checked queries). Refresh (or empty) this tuple each round from
 # the latest VERDICT.md.
-# Round 7: the 8 CORRECTNESS_r06 hash reds — root-caused to uncast
-# HUGEINT oracle output columns (see plans/oracle_types.py), fixed and
-# re-verified locally; they must lead the rotation so the driver
-# re-samples them this round. The 49 never-checked queries fill the
-# remaining window slots via the (n_green, n_checked) sort.
-_JUDGE_RECHECK: tuple[str, ...] = (
-    "wap_time_travel_delta",
-    "pareto_frontier_customers",
-    "revenue_bridge_by_brand",
-    "abc_pareto_classification",
-    "prorated_revenue_by_shipmode",
-    "time_weighted_value",
-    "mv_rollup_rewrite",
-    "rolling_median_revenue",
-)
+# Round 8: EMPTY per the r7 verdict — the 8 round-6 reds re-greened
+# under the driver's hash in CORRECTNESS_r07 (50/50) and must no longer
+# outrank the 59 never-driver-checked round-7b/8 queries, which now fill
+# the whole 50-slot window via the (n_green, n_checked) sort.
+_JUDGE_RECHECK: tuple[str, ...] = ()
 
 
 def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

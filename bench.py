@@ -163,6 +163,27 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def render_contract_line(timings: dict[str, float], sf: float, passes: int) -> str:
+    """Render the FINAL stdout line the driver parses into BENCH_r{N}.json.
+
+    The driver keeps only a ~2,000-char tail of stdout, so this line must
+    always fit whole regardless of how many queries the headline set
+    grows to — it therefore carries ONLY fixed-size scalars (no per-query
+    map; that lives in the preceding headline_detail line). Unit-tested
+    to stay under 1,800 chars at 400 queries (tests/test_bench_contract.py).
+    """
+    return json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf,
+            "passes": passes,
+        }
+    )
+
+
 def _force(df) -> None:
     """Execute the full plan without collecting rows to the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -340,20 +361,13 @@ def main() -> None:
     )
     sys.stdout.flush()
     # the contract line stays LAST and compact: the driver keeps only
-    # a ~2000-char tail of stdout, so this line must fit in it whole
-    # (full 3-decimal medians live in the detail line's spread)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "sf": _sf_from_dir(SF_DIR),
-                "passes": n_passes,
-            }
-        )
-    )
+    # a ~2000-char tail of stdout, so this line must fit in it whole.
+    # Round 7 regression: embedding the per-query map here grew the line
+    # past the tail and BENCH_r07.json recorded parsed:null — the map
+    # now lives ONLY in the preceding headline_detail line (its spread
+    # medians), and render_contract_line() is unit-tested to stay under
+    # 1,800 chars even at 400 registered queries.
+    print(render_contract_line(timings, _sf_from_dir(SF_DIR), n_passes))
     sys.stdout.flush()
     spark.stop()
 

@@ -1,0 +1,43 @@
+"""Bench contract-line guard (VERDICT r7 item #1).
+
+The driver keeps only a ~2,000-char tail of stdout and parses the LAST
+line as the bench headline. Round 7 lost its headline (`BENCH_r07.json`
+parsed:null) because the contract line embedded the full per-query map.
+These tests pin the fixed-size-scalars-only shape so registry growth can
+never push the line past the tail again.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    # Names at the long end of the real registry's distribution
+    # (e.g. "dedup_incremental_novel", "shapley_channel_attribution").
+    return {f"very_long_query_name_number_{i:04d}_extra": 1.234 for i in range(n)}
+
+
+def test_contract_line_fits_driver_tail_at_400_queries():
+    line = bench.render_contract_line(_fake_timings(400), sf=0.1, passes=3)
+    assert len(line) < 1800, f"contract line {len(line)} chars — driver tail is ~2000"
+
+
+def test_contract_line_has_no_per_query_map():
+    rec = json.loads(bench.render_contract_line(_fake_timings(400), sf=0.1, passes=3))
+    assert "queries" not in rec
+    assert rec["metric"] == "headline_total"
+    assert rec["unit"] == "sec"
+    assert rec["sf"] == 0.1
+    assert rec["passes"] == 3
+    assert rec["n_queries"] == 400
+    assert isinstance(rec["value"], float)
+
+
+def test_contract_line_value_is_sum_of_medians():
+    timings = {"a": 1.0, "b": 2.5, "c": 0.25}
+    rec = json.loads(bench.render_contract_line(timings, sf=0.01, passes=1))
+    assert rec["value"] == 3.75
+    assert rec["n_queries"] == 3
