@@ -1540,7 +1540,12 @@ ROUND8_QUERIES["partition_evolution_union"] = (
 # ---------------------------------------------------------------------------
 
 _WSP_ROUNDS = 3
-_WSP_MIN_CO_FRAC = 0.004  # same sparsification as brand_bfs_hops
+# Sparsification threshold min_co = n_baskets*4 // 1000 + 1, kept in
+# INTEGER arithmetic on BOTH engines (r7 ADVICE): the previous float
+# form diverged — Python int(n*0.004) truncates while DuckDB
+# CAST(n*0.004 AS BIGINT) rounds to nearest, so any n with
+# frac(n*0.004) >= 0.5 filtered different edge sets.
+_WSP_MIN_CO_NUM, _WSP_MIN_CO_DEN = 4, 1000
 
 
 def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1565,11 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion cannot express directly.  Integer weights make min()
     deterministic in both engines.
 
+    The sparsification threshold and the seed brand are 1-row FRAMES
+    folded into the plan via broadcast cross-joins (r7 verdict item #4)
+    — zero scalar driver actions; the only driver-side jobs are the
+    three per-round localCheckpoints, which are the iteration hygiene.
+
     Scale design: each round shuffles frontier x degree rows keyed on
     brand; state is domain-bounded (brands).  At a billion-node graph
     the same loop runs with the distance frame disk-backed — the
@@ -1575,16 +1585,28 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    n_baskets = baskets.select("l_orderkey").distinct().count()
-    min_co = int(n_baskets * _WSP_MIN_CO_FRAC) + 1
+    # 1-row max-weight threshold frame: w_max = 1000000 div min_co,
+    # min_co = n*NUM div DEN + 1 in pure BIGINT arithmetic.
+    w_max = (
+        baskets.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr(
+                f"1000000 div (n * {_WSP_MIN_CO_NUM} div {_WSP_MIN_CO_DEN} + 1)"
+            ).alias("w_max")
+        )
+    )
     a = baskets.select("l_orderkey", F.col("p_brand").alias("src"))
     b = baskets.select("l_orderkey", F.col("p_brand").alias("dst"))
     und = (
         a.join(b, "l_orderkey")
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.expr(f"1000000 div count(1)").cast("long").alias("w"))
-        .where(F.col("w") <= 1_000_000 // min_co)
+        .agg(F.expr("1000000 div count(1)").cast("long").alias("w"))
+        .join(F.broadcast(w_max))
+        .where(F.col("w") <= F.col("w_max"))
+        .drop("w_max")
     )
     edges = scoped_persist(
         und.select("src", "dst", "w").unionAll(
@@ -1593,8 +1615,9 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    seed = baskets.agg(F.min("p_brand")).first()[0]
-    dist = spark.createDataFrame([(seed, 0)], "brand string, dist_w long")
+    dist = baskets.agg(F.min("p_brand").alias("brand")).select(
+        "brand", F.lit(0).cast("long").alias("dist_w")
+    )
     for _ in range(_WSP_ROUNDS):
         relaxed = (
             dist.join(edges, dist["brand"] == edges["src"])
@@ -1639,7 +1662,7 @@ WITH baskets AS (
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY 1, 2
   HAVING 1000000 // COUNT(*)
-         <= 1000000 // (CAST((SELECT n FROM nb) * {_WSP_MIN_CO_FRAC} AS BIGINT) + 1)
+         <= 1000000 // ((SELECT n FROM nb) * {_WSP_MIN_CO_NUM} // {_WSP_MIN_CO_DEN} + 1)
 ), edges AS (
   SELECT src, dst, w FROM und UNION ALL SELECT dst, src, w FROM und
 ), d0 AS (
@@ -2397,7 +2420,23 @@ def q_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_portofolio_spark.fixtures import ensure_fixture
 
     def _build(tmp: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
+        src = load_table(spark, sf_dir, "events")
+        # Fixture invariant the gate depends on (r7 ADVICE): every CLEAN
+        # props must parse to a non-null BIGINT k, or the plan's
+        # parse-keyed `bad` and the oracle's rule-keyed `bad` diverge.
+        # Asserted here at build time so a fixture change fails loudly
+        # instead of silently flipping the differential.
+        n_bad_clean = (
+            src.where(F.col("event_id") % _DIRTY_MOD != 0)
+            .where(F.from_json("props", "k BIGINT")["k"].isNull())
+            .count()
+        )
+        if n_bad_clean:
+            raise ValueError(
+                f"events fixture broke the quarantine invariant: "
+                f"{n_bad_clean} clean rows lack an integer props.k"
+            )
+        ev = src.select(
             "event_id",
             "event_type",
             F.when(
@@ -2416,8 +2455,10 @@ def q_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     path = ensure_fixture(sf_dir, "events_dirty_json", _build, ready=_ready)
+    # k BIGINT, matching the oracle's CAST(... AS BIGINT): an INT parse
+    # would quarantine a valid row whose k exceeds INT32 range.
     df = spark.read.parquet(path).withColumn(
-        "parsed", F.from_json("props", "k INT")
+        "parsed", F.from_json("props", "k BIGINT")
     )
     return (
         df.select(
@@ -2632,23 +2673,32 @@ def q_session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sid")
         .agg(F.count(F.lit(1)).alias("_np"))
     )
-    n_sessions = sess.select("sid").distinct().count()
-    n_view = t_view.count()
-    n_click = t_click.count()
-    n_purchase = t_purchase.count()
-    return spark.createDataFrame(
-        [
-            (
-                n_sessions,
-                n_view,
-                n_click,
-                n_purchase,
-                (1000 * n_click) // n_view if n_view else 0,
-                (1000 * n_purchase) // n_click if n_click else 0,
-            )
-        ],
-        "n_sessions long, n_view long, n_click long, n_purchase long, "
-        "click_after_view_permille long, purchase_after_click_permille long",
+    # ONE plan, zero driver actions (r7 verdict item #3): the four step
+    # counts become 1-row aggregate frames cross-joined together — the
+    # previous form ran 4 sequential .count() jobs plus a
+    # createDataFrame. The permille ratios use `div nullif` so an empty
+    # step yields NULL exactly as the oracle's `// NULLIF(...)` does.
+    counts = (
+        sess.select("sid")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .join(t_view.agg(F.count(F.lit(1)).cast("long").alias("n_view")))
+        .join(t_click.agg(F.count(F.lit(1)).cast("long").alias("n_click")))
+        .join(
+            t_purchase.agg(F.count(F.lit(1)).cast("long").alias("n_purchase"))
+        )
+    )
+    return counts.select(
+        "n_sessions",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.expr("1000 * n_click div nullif(n_view, 0)").alias(
+            "click_after_view_permille"
+        ),
+        F.expr("1000 * n_purchase div nullif(n_click, 0)").alias(
+            "purchase_after_click_permille"
+        ),
     )
 
 
@@ -2834,13 +2884,26 @@ def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    cells = (
+    observed = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("grp"),
             F.col("o_orderpriority").alias("v"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    observed = scoped_persist(observed)
+    # Densify on the full grp x v spine (r7 ADVICE): a group with zero
+    # rows for some sensitive value must still contribute that value's
+    # prefix term (with c=0) or its EMD is understated — the prefix
+    # walk below is only correct over the complete ordered domain.
+    spine = observed.select("grp").distinct().crossJoin(
+        observed.select("v").distinct()
+    )
+    cells = spine.join(observed, ["grp", "v"], "left").select(
+        "grp", "v", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c")
     )
     wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
@@ -2886,10 +2949,18 @@ def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TCLOSE_SQL = oracle_bigint(
     """
-WITH cells AS (
+WITH observed AS (
   SELECT c_mktsegment AS grp, o_orderpriority AS v, COUNT(*) AS c
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
+), cells AS (
+  -- densified grp x v spine: zero-count cells still contribute their
+  -- prefix term, so sparse groups' EMD is not understated
+  SELECT s.grp, s.v, COALESCE(o.c, 0) AS c
+  FROM (SELECT g.grp, d.v
+        FROM (SELECT DISTINCT grp FROM observed) g
+        CROSS JOIN (SELECT DISTINCT v FROM observed) d) s
+  LEFT JOIN observed o ON s.grp = o.grp AND s.v = o.v
 ), prefixed AS (
   SELECT grp, v, c,
          SUM(c) OVER (PARTITION BY grp ORDER BY v
@@ -3048,9 +3119,12 @@ def q_ucb_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline per the repo's transcendental rule: ln is NOT
     correctly rounded across engines, so ln(N) rounds to 9 decimals
     BEFORE entering the bonus; division and sqrt of identical doubles
-    ARE bit-deterministic (IEEE correctly-rounded), and the final
-    score rounds to 6 at magnitude ~1 before ranking, with the arm
-    breaking ties.
+    ARE bit-deterministic (IEEE correctly-rounded), and the score is
+    emitted as an INTEGER permicro (round(score * 1e6) cast BIGINT,
+    r7 ADVICE) so neither the ranking tie-break nor the differential
+    hash ever touches a repr-sensitive double — Spark round(x, 6)
+    HALF_UPs the exact decimal expansion while DuckDB rounds in
+    floating point, and at a 5e-7 boundary they can disagree.
 
     Scale design: one combinable 5-arm aggregation; everything after
     is 5-row arithmetic.
@@ -3068,21 +3142,24 @@ def q_ucb_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         arms.withColumn("big_n", F.sum("n").over(w))
         .withColumn("ln_n", F.round(F.log(F.col("big_n")), 9))
         .withColumn(
-            "ucb_score",
+            "ucb_permicro",
             F.round(
-                F.col("wins") / F.col("n")
-                + F.sqrt(F.lit(2.0) * F.col("ln_n") / F.col("n")),
-                6,
-            ),
+                (
+                    F.col("wins") / F.col("n")
+                    + F.sqrt(F.lit(2.0) * F.col("ln_n") / F.col("n"))
+                )
+                * F.lit(1_000_000.0),
+                0,
+            ).cast("long"),
         )
     )
-    wr = Window.orderBy(F.col("ucb_score").desc(), F.col("arm").asc())
+    wr = Window.orderBy(F.col("ucb_permicro").desc(), F.col("arm").asc())
     return scored.select(
         "arm",
         "n",
         "wins",
         F.expr("(1000 * wins) div n").cast("long").alias("mean_permille"),
-        "ucb_score",
+        "ucb_permicro",
         F.row_number().over(wr).cast("long").alias("rk"),
     ).orderBy("rk")
 
@@ -3095,20 +3172,21 @@ WITH arms AS (
   FROM orders GROUP BY 1
 ), scored AS (
   SELECT *,
-         round(ln(SUM(n) OVER ()), 9) AS ln_n,
-         round(CAST(wins AS DOUBLE) / n
-               + sqrt(2.0 * round(ln(SUM(n) OVER ()), 9) / n), 6) AS ucb_score
+         CAST(round((CAST(wins AS DOUBLE) / n
+               + sqrt(2.0 * round(ln(SUM(n) OVER ()), 9) / n))
+               * 1000000) AS BIGINT) AS ucb_permicro
   FROM arms
 )
 SELECT arm, n, wins,
        (1000 * wins) // n AS mean_permille,
-       ucb_score,
-       ROW_NUMBER() OVER (ORDER BY ucb_score DESC, arm ASC) AS rk
+       ucb_permicro,
+       ROW_NUMBER() OVER (ORDER BY ucb_permicro DESC, arm ASC) AS rk
 FROM scored ORDER BY rk
 """,
     "n",
     "wins",
     "mean_permille",
+    "ucb_permicro",
     "rk",
 )
 
