@@ -48,6 +48,69 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_fold_pd(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`cosine`, bit-identical by
+    construction: the accumulation runs PER DIMENSION IN ORDER
+    (``acc = acc + a_j*b_j`` for j = 0..d-1, each step vectorized
+    across the row batch), so every row replays the exact left-fold
+    IEEE order of the expression form — and of the DuckDB
+    ``list_reduce`` oracle — while numpy does the per-step arithmetic
+    on whole Arrow batches instead of Catalyst interpreting ~4·d
+    expression nodes per row (the interpreted-HOF cost class flagged
+    in the r7 verdict for the retrieval-eval queries).
+
+    NOT np.dot/BLAS: pairwise/SIMD summation reorders the adds and
+    drifts ulps from the oracle's sequential fold. Ragged or null
+    vectors fall back to an explicit per-row loop with the same order.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos_fn(va, vb):
+        import numpy as np
+
+        n = len(va)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        rows_a = va.to_numpy()
+        rows_b = vb.to_numpy()
+        lens_ok = all(
+            ra is not None and rb is not None and len(ra) == len(rows_a[0])
+            and len(rb) == len(rows_a[0])
+            for ra, rb in zip(rows_a, rows_b)
+        )
+        if lens_ok and len(rows_a[0]) > 0:
+            A = np.stack([np.asarray(r, dtype=np.float64) for r in rows_a])
+            B = np.stack([np.asarray(r, dtype=np.float64) for r in rows_b])
+            acc = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            nb = np.zeros(n, dtype=np.float64)
+            for j in range(A.shape[1]):  # sequential over dims = fold order
+                acc = acc + A[:, j] * B[:, j]
+                na = na + A[:, j] * A[:, j]
+                nb = nb + B[:, j] * B[:, j]
+            return pd.Series(acc / (np.sqrt(na) * np.sqrt(nb)))
+        out = []
+        for ra, rb in zip(rows_a, rows_b):
+            if ra is None or rb is None:
+                out.append(None)
+                continue
+            acc = 0.0
+            na_s = 0.0
+            nb_s = 0.0
+            for x, y in zip(ra, rb):
+                acc = acc + float(x) * float(y)
+                na_s = na_s + float(x) * float(x)
+                nb_s = nb_s + float(y) * float(y)
+            import math
+
+            out.append(acc / (math.sqrt(na_s) * math.sqrt(nb_s)))
+        return pd.Series(out, dtype="float64")
+
+    _cos_fn.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos_fn, "double")(a, b)
+
+
 def hyperplane_matrix(num_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign from md5(f"{plane}:{dim}").
 
@@ -410,8 +473,15 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     num_planes: int = 2,
     num_tables: int = 6,
+    cosine_fn=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH blocking.
+
+    ``cosine_fn`` selects the candidate-scoring kernel: the default
+    expression fold (:func:`cosine`, interpretable by plan tests) or
+    the bit-identical Arrow-vectorized :func:`cosine_fold_pd` for
+    callers whose candidate volume makes interpreted HOFs the
+    bottleneck (e.g. ``embedding_mutual_knn``'s 8-bit x 6-table keys).
 
     OR-amplified hyperplane LSH: each vector gets ``num_tables``
     independent sign-bit bucket keys (``num_planes`` bits each);
@@ -429,6 +499,8 @@ def embedding_near_dup_pairs(
     (e.g. 8×4) give the same recall with far smaller buckets — the
     knobs exist for exactly that trade.
     """
+    if cosine_fn is None:
+        cosine_fn = cosine
     planes_all = hyperplane_matrix(num_tables * num_planes, dim)
     docs = emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
     entries = []
@@ -459,7 +531,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            cosine_fn(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()

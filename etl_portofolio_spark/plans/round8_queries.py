@@ -1353,7 +1353,16 @@ def q_embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the round-2 LSH lesson: 202 s -> ~2 s at sf0.1 from this knob).
     pairs = scoped_persist(
         similarity.embedding_near_dup_pairs(
-            emb, threshold=-1.0, dim=64, num_planes=8, num_tables=6
+            emb,
+            threshold=-1.0,
+            dim=64,
+            num_planes=8,
+            num_tables=6,
+            # Arrow-vectorized sequential-fold cosine (bit-identical to
+            # the expression form and the oracle's list_reduce): the
+            # candidate volume here made interpreted HOFs the bottleneck
+            # (r7 verdict item #5).
+            cosine_fn=similarity.cosine_fold_pd,
         )
     )
     directed = pairs.select(

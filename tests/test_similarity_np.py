@@ -168,3 +168,32 @@ def test_pq_search_facade_matches_expression_search(spark):
     assert fast == slow and len(fast) > 0
     # informational: the facade should not be slower by more than noise
     assert t_fast < t_slow * 2
+
+
+def test_cosine_fold_pd_bit_identical_to_expression_fold(spark):
+    """The Arrow-vectorized sequential fold must equal the expression
+    fold BIT-FOR-BIT (==, not approx): it accumulates per dimension in
+    the same left-to-right IEEE order, so any drift means the kernel
+    stopped replaying the fold the DuckDB oracles replay."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = emb.select(
+        F.col("vec_id").alias("id"), similarity._dvec("embedding").alias("v")
+    )
+    probes = docs.where(F.col("id") < 3).select(
+        F.col("id").alias("pid"), F.col("v").alias("qv")
+    )
+    both = (
+        docs.join(F.broadcast(probes), F.col("id") != F.col("pid"))
+        .select(
+            "pid",
+            "id",
+            similarity.cosine(F.col("qv"), F.col("v")).alias("c_expr"),
+            similarity.cosine_fold_pd(F.col("qv"), F.col("v")).alias("c_pd"),
+        )
+        .collect()
+    )
+    assert len(both) > 0
+    for r in both:
+        assert r["c_expr"] == r["c_pd"], (r["pid"], r["id"], r["c_expr"], r["c_pd"])
