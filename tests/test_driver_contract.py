@@ -92,3 +92,69 @@ def test_broken_plan_module_fails_loudly(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "LOUD_OK" in r.stdout
+
+# VERDICT r7 #7: the never-checked backlog must not silently regrow
+# past the driver's 50-slot window. Every query must appear in at least
+# one committed CORRECTNESS_r*.json within 2 driver rounds of its
+# registration. The registration round of each plans module is pinned
+# here (update when adding a wave — a missing entry fails loudly).
+_MODULE_REGISTRATION_ROUND = {
+    "reference_queries": 1,
+    "analytics_queries": 1,
+    "pipeline_queries": 1,
+    "advanced_queries": 3,
+    "extension_queries": 3,
+    "round4_queries": 4,
+    "round5_queries": 5,
+    "round5b_queries": 5,
+    "round5c_queries": 5,
+    "round5d_queries": 5,
+    "round5e_queries": 5,
+    "round5f_queries": 5,
+    "round5g_queries": 6,
+    "round5h_queries": 6,
+    "round6_queries": 6,
+    "round7_queries": 7,
+    "round7b_queries": 7,
+    "round8_queries": 7,
+    "round9_queries": 8,
+}
+
+
+def test_every_query_driver_checked_within_two_rounds_of_registration():
+    import glob
+    import importlib
+
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as m
+
+    mod_queries = {"reference_queries": set(m.REFERENCE_QUERIES)}
+    for mod_name, attr in m._PLAN_MODULES:
+        short = mod_name.rsplit(".", 1)[1]
+        mod_queries[short] = set(getattr(importlib.import_module(mod_name), attr))
+
+    missing_reg = sorted(set(mod_queries) - set(_MODULE_REGISTRATION_ROUND))
+    assert not missing_reg, (
+        f"plans module(s) {missing_reg} lack a registration round — add "
+        "them to _MODULE_REGISTRATION_ROUND so the backlog guard covers them"
+    )
+
+    checked: set[str] = set()
+    latest = 0
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        latest = max(latest, rnd)
+        with open(path) as fh:
+            checked.update(json.load(fh))
+
+    overdue = []
+    for short, names in mod_queries.items():
+        reg = _MODULE_REGISTRATION_ROUND[short]
+        if reg + 2 > latest:
+            continue  # still within its 2-round grace window
+        overdue.extend(sorted(n for n in names if n not in checked))
+    assert not overdue, (
+        f"{len(overdue)} queries past their 2-round evidence deadline "
+        f"(latest driver round {latest}): {overdue[:10]} — the rotation "
+        "must clear never-checked queries before new waves push them out"
+    )

@@ -1,15 +1,25 @@
-"""Compare two bench JSON records with load/spread awareness.
+"""Compare two bench JSON records on min-of-passes under a loadavg gate.
 
 The round-4 lesson (VERDICT r4): a bench recorded under machine load
-showed 2-10x "regressions" in code nobody touched. This tool is the
-triage step that distinguishes a real regression from a noisy record:
+showed 2-10x "regressions" in code nobody touched. And the r6->r7
+lesson (VERDICT r7 item #6): even MEDIANS drift +15% round-over-round
+from ambient load alone. This tool is the triage step, and its primary
+signal is the MIN of the recorded passes — the least-contended pass —
+under an explicit loadavg annotation, so the next reader doesn't have
+to re-derive "that +15% was load":
 
-- per-query delta of the MEDIANS, flagged only beyond a threshold;
-- each flag annotated with both runs' (min, median, max) spread and
-  loadavg, because a max >> median spread or a high loadavg_before
-  marks the RECORD as untrustworthy, not the code;
-- exits 1 only if a flagged query is NOT explainable by spread/load
-  (its min — the least-contended pass — also regressed).
+- per-query r-over-r ratios computed from `spread` MINIMA for every
+  common query (medians reported alongside for context);
+- both records' loadavg carried into the output, plus a `load_gate`
+  verdict when either record was captured on a busy box (1-min
+  loadavg > 25% of the bench's 32 CPUs) — ratios from a gated record
+  are annotated as untrustworthy rather than silently compared;
+- exits 1 only on a hard regression: the min-of-passes ratio exceeds
+  the threshold AND neither record is load-gated.
+
+Accepts three record shapes: the bench's `headline_detail` line (has
+`spread`), the legacy contract line (has `queries` medians), and the
+driver's BENCH_r*.json wrapper (`parsed`).
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 1.5]
 """
@@ -19,44 +29,117 @@ from __future__ import annotations
 import argparse
 import json
 
+#: 1-min loadavg above this marks a record as load-gated (25% of the
+#: 32-thread bench box — beyond it, pass minima still co-ran with
+#: other work and even they can't be trusted).
+LOAD_GATE = 8.0
 
-def compare(old: dict, new: dict, threshold: float) -> tuple[list[dict], bool]:
+
+def _per_query(rec: dict) -> tuple[dict[str, float], dict[str, float]]:
+    """(minima, medians) per query from a bench record.
+
+    Prefers `spread` ([min, median, max] per query, the detail line);
+    falls back to `queries` (medians only, the legacy contract line),
+    where min == median is the best available estimate.
+    """
+    spread = rec.get("spread")
+    if spread:
+        return (
+            {q: s[0] for q, s in spread.items()},
+            {q: s[1] for q, s in spread.items()},
+        )
+    qs = rec.get("queries", {})
+    return dict(qs), dict(qs)
+
+
+def _load_gated(rec: dict) -> bool:
+    la = rec.get("loadavg_before")
+    return bool(la) and la[0] > LOAD_GATE
+
+
+def compare(old: dict, new: dict, threshold: float) -> dict:
+    old_min, old_med = _per_query(old)
+    new_min, new_med = _per_query(new)
+    gated = _load_gated(old) or _load_gated(new)
+    common = sorted(set(old_min) & set(new_min))
+    ratios: dict[str, float] = {}
     flags: list[dict] = []
     hard = False
-    common = sorted(set(old["queries"]) & set(new["queries"]))
     for q in common:
-        o, n = old["queries"][q], new["queries"][q]
-        if o <= 0:
+        if old_min[q] <= 0:
             continue
-        ratio = n / o
-        if ratio < threshold and ratio > 1 / threshold:
+        min_ratio = new_min[q] / old_min[q]
+        ratios[q] = round(min_ratio, 3)
+        if 1 / threshold < min_ratio < threshold:
             continue
-        o_spread = old.get("spread", {}).get(q, [o, o, o])
-        n_spread = new.get("spread", {}).get(q, [n, n, n])
-        # the least-contended pass is the load-robust signal: if NEW's
-        # min also regressed past threshold vs OLD's min, load can't
-        # explain it away
-        min_ratio = n_spread[0] / o_spread[0] if o_spread[0] > 0 else ratio
-        explainable = ratio > 1 and min_ratio < threshold
+        regressed = min_ratio >= threshold
         flags.append(
             {
                 "query": q,
-                "old_median": o,
-                "new_median": n,
-                "ratio": round(ratio, 3),
-                "old_spread": o_spread,
-                "new_spread": n_spread,
                 "min_ratio": round(min_ratio, 3),
+                "old_min": old_min[q],
+                "new_min": new_min[q],
+                "old_median": old_med.get(q),
+                "new_median": new_med.get(q),
                 "verdict": (
-                    "noise (min pass unregressed)"
-                    if explainable
-                    else ("improvement" if ratio < 1 else "REGRESSION")
+                    "REGRESSION (min-of-passes)"
+                    if regressed and not gated
+                    else (
+                        "regression? (record load-gated, re-bench idle)"
+                        if regressed
+                        else "improvement"
+                    )
                 ),
             }
         )
-        if not explainable and ratio > 1:
+        if regressed and not gated:
             hard = True
-    return flags, hard
+    return {
+        "old_loadavg": old.get("loadavg_before"),
+        "new_loadavg": new.get("loadavg_before"),
+        "load_gate": LOAD_GATE,
+        "load_gated": gated,
+        # a record without `spread` degrades to median==min — its
+        # ratios lose the load robustness the min signal provides
+        "old_has_spread": bool(old.get("spread")),
+        "new_has_spread": bool(new.get("spread")),
+        "n_common": len(common),
+        "min_of_passes_ratios": ratios,
+        "flags": flags,
+        "hard_regression": hard,
+    }
+
+
+def _load(path: str) -> dict:
+    """Load a bench record from any of its shapes.
+
+    Handles a single JSON object (idle artifact or driver BENCH_r*.json
+    wrapper with `parsed`) and raw captured stdout (Spark log noise +
+    the headline_detail and contract JSON lines) — all JSON lines found
+    are merged, so `spread` and `queries` both survive when present.
+    """
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        rec = json.loads(text)
+    except ValueError:
+        rec = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict):
+                rec.update(obj)
+        if not rec:
+            raise SystemExit(f"{path}: no JSON object or JSON lines found")
+    # driver BENCH_r*.json wraps the bench line under "parsed"
+    if "parsed" in rec and "queries" not in rec and "spread" not in rec:
+        return rec["parsed"] or {}
+    return rec
 
 
 def main() -> int:
@@ -65,28 +148,9 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
     args = ap.parse_args()
-    def load(path: str) -> dict:
-        with open(path) as fh:
-            rec = json.load(fh)
-        # driver BENCH_r*.json wraps the bench line under "parsed"
-        return rec["parsed"] if "parsed" in rec and "queries" not in rec else rec
-
-    old = load(args.old)
-    new = load(args.new)
-    flags, hard = compare(old, new, args.threshold)
-    print(
-        json.dumps(
-            {
-                "old_loadavg": old.get("loadavg_before"),
-                "new_loadavg": new.get("loadavg_before"),
-                "n_common": len(set(old["queries"]) & set(new["queries"])),
-                "flags": flags,
-                "hard_regression": hard,
-            },
-            indent=2,
-        )
-    )
-    return 1 if hard else 0
+    report = compare(_load(args.old), _load(args.new), args.threshold)
+    print(json.dumps(report, indent=2))
+    return 1 if report["hard_regression"] else 0
 
 
 if __name__ == "__main__":
