@@ -44,6 +44,7 @@ _PLAN_MODULES: tuple[tuple[str, str], ...] = (
     ("etl_portofolio_spark.plans.round7_queries", "ROUND7_QUERIES"),
     ("etl_portofolio_spark.plans.round7b_queries", "ROUND7B_QUERIES"),
     ("etl_portofolio_spark.plans.round8_queries", "ROUND8_QUERIES"),
+    ("etl_portofolio_spark.plans.round9_queries", "ROUND9_QUERIES"),
 )
 
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
