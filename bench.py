@@ -155,6 +155,19 @@ HEADLINE = (
     "shapley_channel_attribution",
     "ucb_arm_ranking",
     "rendezvous_shard_rebalance",
+    # round-9 additions: sequence packing, systematic sampling, the
+    # partial-state merge contract, skew/backfill audits, SemDeDup
+    # prune (now on the Arrow-vectorized fold — benchable), merkle
+    # reconciliation, and the double-histogram MAD census
+    "token_packing_chunks",
+    "systematic_weighted_sample",
+    "partial_agg_state_merge",
+    "table_profile_report",
+    "shuffle_key_skew_audit",
+    "late_arrival_backfill_audit",
+    "semdedup_lsh_prune",
+    "merkle_replica_diff",
+    "mad_outlier_flags",
 )
 
 

@@ -45,20 +45,33 @@ METADATA_SCHEMA = T.StructType(
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real COMPRESSED-codec hook (JPEG entropy / video / lossy audio).
+    """Real COMPRESSED-codec decode.
 
-    Uncompressed formats ARE decoded for real in this repo —
-    `codecs.decode_bmp_pixels` (stride-aware pixel rows),
-    `codecs.decode_wav_samples` (16-bit PCM), `codecs.resize_bmp`
-    (nearest-neighbor resample), and header parsing for
-    PNG/GIF/BMP/WAV/JPEG. This seam covers only what genuinely needs
-    external codec libraries (PIL/av/soundfile): compressed bitstream
-    decode. It fails loudly if invoked in this environment.
+    Baseline-sequential JPEG (SOF0, 8-bit Huffman) is decoded FOR REAL
+    by the repo's own pure-Python codec
+    (:mod:`operators.jpeg_baseline` — segment parse, entropy decode,
+    dequantize, IDCT, chroma upsample, YCbCr->RGB), round-trip-tested
+    against its paired encoder.  Uncompressed formats were already
+    real (`codecs.decode_bmp_pixels`, `codecs.decode_wav_samples`,
+    `codecs.resize_bmp`).  Anything else that genuinely needs external
+    codec libraries (video, lossy audio, progressive JPEG) still fails
+    loudly — per the seam policy, never a silent fake.
     """
+    if payload[:2] == b"\xff\xd8":
+        from etl_portofolio_spark.operators.jpeg_baseline import decode_jpeg
+
+        h, w, n, px = decode_jpeg(payload)
+        return {
+            "width": w,
+            "height": h,
+            "channels": n,
+            "pixels": px,
+        }
     raise NotImplementedError(
-        "compressed-codec libraries (PIL/av) are not installed here; "
-        "uncompressed decode is real — see operators/codecs.py "
-        "(decode_bmp_pixels / decode_wav_samples / resize_bmp)"
+        "codec libraries (av/soundfile) are not installed here; real "
+        "decode covers baseline JPEG (operators/jpeg_baseline.py) and "
+        "the uncompressed formats (operators/codecs.py) — video and "
+        "lossy audio bitstreams still fail loudly"
     )
 
 

@@ -1218,3 +1218,65 @@ def test_source_overlap_join_keyed_on_shingle(spark):
     plan = _plan(q_source_shingle_overlap(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "sh" in plan
+
+
+def test_packing_window_partitions_by_source(spark):
+    """Sequence packing must window PER SHARD (source), never a global
+    single-partition prefix sum, and read only the 3 needed columns."""
+    from etl_portofolio_spark.plans.round9_queries import (
+        q_token_packing_chunks,
+    )
+
+    plan = _plan(q_token_packing_chunks(spark, SF_DIR))
+    assert "hashpartitioning(source" in plan, plan[:2000]
+    assert "SinglePartition" not in plan.split("Window")[0]
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_merkle_diff_never_ships_rows(spark):
+    """Replica reconciliation aggregates each replica to 64 bucket
+    digests before any join — no cartesian, no fact-row join, scans
+    pruned to (key, price)."""
+    from etl_portofolio_spark.plans.round9_queries import (
+        q_merkle_replica_diff,
+    )
+
+    plan = _plan(q_merkle_replica_diff(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_comment" not in read_schema and "o_orderdate" not in read_schema
+    # both replicas combine map-side (partial bit_xor) and only the
+    # 64-row digest frames reach the full-outer diff join
+    assert plan.count("partial_bit_xor") >= 2
+    assert "FullOuter" in plan
+
+
+def test_semdedup_prune_stays_banded(spark):
+    """SemDeDup pruning must inherit the banded LSH equi-join — never
+    an all-pairs cross join over the corpus."""
+    from etl_portofolio_spark.plans.round9_queries import (
+        q_semdedup_lsh_prune,
+    )
+
+    plan = _plan(q_semdedup_lsh_prune(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_audit_histogram_not_fact_sort(spark):
+    """The percentile walk must run on the count-of-counts histogram —
+    no global Sort over the fact scan (sorts appear only above the
+    key-count aggregate)."""
+    from etl_portofolio_spark.plans.round9_queries import (
+        q_shuffle_key_skew_audit,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_shuffle_key_skew_audit(spark, SF_DIR))
+    # the only ReadSchema is the single pruned key column
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert read_schema.strip().endswith("struct<l_partkey:bigint>")
+    from etl_portofolio_spark.caching import release_cached
+
+    release_cached()

@@ -373,7 +373,8 @@ def test_weighted_shortest_path_matches_python_bellman_ford(spark):
     edges must agree round-for-round."""
     from etl_portofolio_spark.catalog import load_table
     from etl_portofolio_spark.plans.round8_queries import (
-        _WSP_MIN_CO_FRAC,
+        _WSP_MIN_CO_DEN,
+        _WSP_MIN_CO_NUM,
         _WSP_ROUNDS,
         q_weighted_shortest_path,
     )
@@ -405,7 +406,8 @@ def test_weighted_shortest_path_matches_python_bellman_ford(spark):
         for i, x in enumerate(s):
             for y in s[i + 1 :]:
                 co[(x, y)] += 1
-    min_co = int(len(per_basket) * _WSP_MIN_CO_FRAC) + 1
+    # positive ints: Python // matches both engines' truncating div here
+    min_co = len(per_basket) * _WSP_MIN_CO_NUM // _WSP_MIN_CO_DEN + 1
     cap = 1_000_000 // min_co
     edges = defaultdict(list)
     for (x, y), c in co.items():
