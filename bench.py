@@ -156,16 +156,21 @@ HEADLINE = (
     "ucb_arm_ranking",
     "rendezvous_shard_rebalance",
     # round-9 additions: sequence packing, systematic sampling, the
-    # partial-state merge contract, skew/backfill audits, SemDeDup
-    # prune (now on the Arrow-vectorized fold — benchable), merkle
-    # reconciliation, and the double-histogram MAD census
+    # partial-state merge contract, skew/backfill audits, merkle
+    # reconciliation, and the double-histogram MAD census.
+    # semdedup_lsh_prune is registry-gated but NOT benched, same
+    # rationale as embedding_near_dup: the fixture's dup band sits at
+    # cos 0.35-0.7, and hyperplane LSH at that low a threshold admits
+    # ~80% of all pairs as candidates BY DESIGN (2-bit keys are the
+    # recall requirement, not a bug) — benching it measures fixture
+    # candidate volume (15 s at sf0.1), not plan quality; real corpora
+    # semantically dedup at cos >= 0.9 where the same code is cheap.
     "token_packing_chunks",
     "systematic_weighted_sample",
     "partial_agg_state_merge",
     "table_profile_report",
     "shuffle_key_skew_audit",
     "late_arrival_backfill_audit",
-    "semdedup_lsh_prune",
     "merkle_replica_diff",
     "mad_outlier_flags",
 )

@@ -1589,28 +1589,33 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = scoped_persist(
+    # Per-order SORTED distinct-brand sets: ONE fact-scale shuffle (on
+    # the order key) replaces the former distinct + self-join pair of
+    # fact-scale shuffles — co-purchase pairs then expand MAP-SIDE from
+    # each tiny set (<= 7 lineitems/order => <= 7 brands). The sorted
+    # array is materialized as a column BEFORE the pair lambda reads it
+    # (the interpreted-HOF rule: never re-evaluate an expression tree
+    # per element position).
+    sets = scoped_persist(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("sb"))
     )
     # 1-row max-weight threshold frame: w_max = 1000000 div min_co,
     # min_co = n*NUM div DEN + 1 in pure BIGINT arithmetic.
-    w_max = (
-        baskets.select("l_orderkey")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.expr(
-                f"1000000 div (n * {_WSP_MIN_CO_NUM} div {_WSP_MIN_CO_DEN} + 1)"
-            ).alias("w_max")
-        )
+    w_max = sets.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(
+            f"1000000 div (n * {_WSP_MIN_CO_NUM} div {_WSP_MIN_CO_DEN} + 1)"
+        ).alias("w_max")
     )
-    a = baskets.select("l_orderkey", F.col("p_brand").alias("src"))
-    b = baskets.select("l_orderkey", F.col("p_brand").alias("dst"))
+    pair_expr = (
+        "flatten(transform(sb, (x, i) -> "
+        "transform(slice(sb, i + 2, size(sb)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
     und = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") < F.col("dst"))
+        sets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.expr("1000000 div count(1)").cast("long").alias("w"))
         .join(F.broadcast(w_max))
@@ -1624,9 +1629,9 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    dist = baskets.agg(F.min("p_brand").alias("brand")).select(
-        "brand", F.lit(0).cast("long").alias("dist_w")
-    )
+    dist = sets.agg(
+        F.min(F.element_at("sb", 1)).alias("brand")
+    ).select("brand", F.lit(0).cast("long").alias("dist_w"))
     for _ in range(_WSP_ROUNDS):
         relaxed = (
             dist.join(edges, dist["brand"] == edges["src"])
