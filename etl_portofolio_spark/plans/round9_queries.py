@@ -822,8 +822,12 @@ def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians are LOWER medians (first value whose cumulative count
     reaches half), deterministic in both engines.
 
-    Scale design: both medians come from count-histogram walks —
-    group to (brand, value) cells first (bounded by the price domain),
+    Relation to ``robust_outlier_mad`` (extension_queries.py:359): that
+    earlier query computes per-event-type MAD via ``F.percentile``,
+    which SORTS every group's fact rows — fine at its cardinality,
+    wrong at 100 TB.  This one exists to pin the scale-correct
+    formulation: both medians come from count-histogram walks — group
+    to (brand, value) cells first (bounded by the price domain),
     cumulative-sum inside the brand, pick by integer comparison —
     never a per-row rank over fact cardinality.  The final census is
     one broadcast join of the 25-row (median, MAD) panel back to the
