@@ -777,8 +777,9 @@ def test_ucb_dominates_mean_and_ranks_total(spark):
     for r in out:
         mean = r["wins"] / r["n"]
         bonus = math.sqrt(2.0 * round(math.log(big_n), 9) / r["n"])
-        assert abs(r["ucb_score"] - round(mean + bonus, 6)) < 1e-9
-        assert r["ucb_score"] > mean
+        # integer permicro emission (r7 ADVICE): round((mean+bonus)*1e6)
+        assert abs(r["ucb_permicro"] - round((mean + bonus) * 1e6)) <= 1
+        assert r["ucb_permicro"] > mean * 1e6
 
 
 def test_rendezvous_moves_fraction_vs_mod(spark):
