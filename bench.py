@@ -173,6 +173,23 @@ HEADLINE = (
     "late_arrival_backfill_audit",
     "merkle_replica_diff",
     "mad_outlier_flags",
+    # round-9b additions: link analysis, CBO audit, Apriori triples,
+    # Cramer OLS, graded ranking eval, Brier decomposition, KN
+    # continuation counts, shard mixing, format roundtrips, balanced
+    # sampling, lead-lag correlogram, HLL set algebra.
+    "hits_two_step_scores",
+    "join_cardinality_estimate",
+    "frequent_triple_itemsets",
+    "ols_cramer_two_feature",
+    "ndcg_at_k_eval",
+    "brier_decomposition",
+    "kneser_ney_continuation",
+    "shard_mixing_entropy",
+    "orc_sink_roundtrip",
+    "jsonl_sink_roundtrip",
+    "class_balance_downsample",
+    "lead_lag_xcorr",
+    "hll_intersection_estimate",
 )
 
 

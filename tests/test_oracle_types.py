@@ -122,6 +122,9 @@ _HIGH_K_ROUND_ALLOWLIST = {
     ("round7_queries.py", "round(e.x * p.p, 12)"),
     ("round7_queries.py", "round(w * w, 12)"),
     ("round7_queries.py", "round(w / nrm, 9)"),
+    # shard_mixing_entropy: |ln(count)| <= ~40 at any scale factor
+    ("round9b_queries.py", "round(ln c, 9)"),
+    ("round9b_queries.py", "round(ln,9)"),
 }
 
 
