@@ -46,6 +46,7 @@ _PLAN_MODULES: tuple[tuple[str, str], ...] = (
     ("etl_portofolio_spark.plans.round8_queries", "ROUND8_QUERIES"),
     ("etl_portofolio_spark.plans.round9_queries", "ROUND9_QUERIES"),
     ("etl_portofolio_spark.plans.round9b_queries", "ROUND9B_QUERIES"),
+    ("etl_portofolio_spark.plans.round9c_queries", "ROUND9C_QUERIES"),
 )
 
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

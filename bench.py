@@ -190,6 +190,17 @@ HEADLINE = (
     "class_balance_downsample",
     "lead_lag_xcorr",
     "hll_intersection_estimate",
+    # round-9c additions: ops analytics + training mechanics.
+    "error_budget_burn",
+    "session_entry_exit_report",
+    "order_aging_buckets",
+    "woe_information_value",
+    "mann_kendall_trend",
+    "decision_stump_split",
+    "edge_triangle_support",
+    "churn_label_frame",
+    "embedding_centroid_drift",
+    "transition_by_step",
 )
 
 

@@ -1192,7 +1192,11 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_extendedprice").alias("rev_c"),
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    brandday = (
+    from etl_portofolio_spark.caching import scoped_persist
+
+    # (brand, day) panel persisted: the top-2 election and BOTH series
+    # extractions read it — unpersisted, the fact join replayed 3×
+    brandday = scoped_persist(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "d")
         .agg(F.sum("rev_c").cast("long").alias("rev"))
