@@ -1280,3 +1280,71 @@ def test_skew_audit_histogram_not_fact_sort(spark):
     from etl_portofolio_spark.caching import release_cached
 
     release_cached()
+
+
+# ---------------------------------------------------------------------------
+# round-9b/9c wave plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_triples_expand_mapside_no_fact_self_join(spark):
+    """The Apriori triple census must expand triples from basket arrays
+    (one explode), never via a 3-way fact self-join or a cartesian."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9b_queries import (
+        q_frequent_triple_itemsets,
+    )
+
+    plan = _plan(q_frequent_triple_itemsets(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count(") Generate") >= 1  # the explode
+
+
+def test_hits_dim_broadcast_and_bounded_shuffles(spark):
+    """HITS: the part dim broadcasts; no cartesian; the brand-key
+    aggregates carry partial (map-side) combines."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9b_queries import q_hits_two_step_scores
+
+    plan = _plan(q_hits_two_step_scores(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_mann_kendall_pair_join_is_broadcast(spark):
+    """The day-pair census must be a broadcast nested-loop over the
+    calendar-bounded panel — never a fact-scale SortMergeJoin."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9c_queries import q_mann_kendall_trend
+
+    plan = _plan(q_mann_kendall_trend(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stump_histogram_filters_stay_pushed(spark):
+    """The stump search reads only the 4 needed lineitem columns."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9c_queries import q_decision_stump_split
+
+    plan = _plan(q_decision_stump_split(spark, SF_DIR))
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read and "l_shipmode" not in read
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_drift_single_fact_pass(spark):
+    """Centroid drift: one Generate (posexplode), partial-aggregated
+    before its shuffle, no join at all."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9c_queries import (
+        q_embedding_centroid_drift,
+    )
+
+    plan = _plan(q_embedding_centroid_drift(spark, SF_DIR))
+    # detail headers count nodes once: exactly one Generate (posexplode)
+    assert plan.count(") Generate") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
