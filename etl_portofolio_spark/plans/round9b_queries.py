@@ -1335,13 +1335,24 @@ def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; everything after is a 64-row panel cross-joined into one row.
     """
     apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
     from etl_portofolio_spark.functions.hashing import h32
 
     orders = load_table(spark, sf_dir, "orders")
-    keys = orders.groupBy("o_custkey").agg(
-        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("in_a"),
-        F.max((F.col("o_orderpriority") == "2-HIGH").cast("int")).alias("in_b"),
-    ).where((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    # membership flags persisted: the register build and the exact
+    # census both read them — one pass over orders instead of two
+    keys = scoped_persist(
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("o_orderpriority") == "2-HIGH").cast("int")).alias(
+                "in_b"
+            ),
+        )
+        .where((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    )
     ck = F.col("o_custkey").cast("string")
     hashed = keys.select(
         "in_a",
@@ -1356,9 +1367,11 @@ def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("in_b") == 1, F.col("t"))).alias("tb"),
         F.max("t").alias("tu"),
     )
+    # 64-register spine from spark.range — constant-size, no lineage
+    # back to orders (a keys.agg spine replayed the fact scan)
     spine = (
-        keys.agg(F.lit(1).alias("one"))
-        .select(F.explode(F.sequence(F.lit(0), F.lit(_HLLI_M - 1))).alias("register"))
+        spark.range(_HLLI_M)
+        .select(F.col("id").cast("long").alias("register"))
         .join(regs, "register", "left")
     )
     term = lambda c: F.when(  # noqa: E731

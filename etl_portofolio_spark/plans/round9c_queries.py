@@ -452,11 +452,17 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count on the revenue value.
     """
     apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.to_date("l_shipdate").alias("day"),
         cents("l_extendedprice").alias("rev_c"),
     )
-    daily = li.groupBy("day").agg(F.sum("rev_c").cast("long").alias("v"))
+    # daily panel persisted: the pair census, n, and the tie census all
+    # read it — unpersisted, the fact rollup would replay 4×
+    daily = scoped_persist(
+        li.groupBy("day").agg(F.sum("rev_c").cast("long").alias("v"))
+    )
     a = daily.select(F.col("day").alias("d1"), F.col("v").alias("v1"))
     b = daily.select(F.col("day").alias("d2"), F.col("v").alias("v2"))
     s_frame = (
