@@ -41,3 +41,24 @@ def test_contract_line_value_is_sum_of_medians():
     rec = json.loads(bench.render_contract_line(timings, sf=0.01, passes=1))
     assert rec["value"] == 3.75
     assert rec["n_queries"] == 3
+
+
+def test_bench_compare_noise_floor_and_threshold():
+    """A sub-second fixture query swinging 2x but under the absolute
+    floor must NOT flag; a real multi-second regression must."""
+    import tools.bench_compare as bc
+
+    def rec(spread):
+        return {
+            "metric": "headline_detail",
+            "loadavg_before": [0.5, 0.5, 0.5],
+            "spread": spread,
+        }
+
+    old = rec({"tiny": [0.10, 0.11, 0.12], "big": [2.0, 2.1, 2.2]})
+    new = rec({"tiny": [0.19, 0.20, 0.21], "big": [3.5, 3.6, 3.7]})
+    out = bc.compare(old, new, threshold=1.5)
+    flagged = {f["query"]: f["verdict"] for f in out["flags"]}
+    assert "tiny" not in flagged  # 1.9x ratio but 0.09 s absolute: noise
+    assert flagged["big"].startswith("REGRESSION")
+    assert out["hard_regression"] is True

@@ -21,7 +21,7 @@ Accepts three record shapes: the bench's `headline_detail` line (has
 `spread`), the legacy contract line (has `queries` medians), and the
 driver's BENCH_r*.json wrapper (`parsed`).
 
-Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 1.5]
+Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 1.5]\n(flags additionally require >= 0.25 s absolute min-of-passes movement)
 """
 
 from __future__ import annotations
@@ -57,6 +57,12 @@ def _load_gated(rec: dict) -> bool:
     return bool(la) and la[0] > LOAD_GATE
 
 
+#: sub-second floor: a ratio flag needs at least this much ABSOLUTE
+#: movement in the min-of-passes — 0.2 s swings on 0.3 s fixture-cache
+#: queries are scheduler noise, not plan changes (r9b triage lesson)
+MIN_ABS_DELTA_S = 0.25
+
+
 def compare(old: dict, new: dict, threshold: float) -> dict:
     old_min, old_med = _per_query(old)
     new_min, new_med = _per_query(new)
@@ -72,6 +78,8 @@ def compare(old: dict, new: dict, threshold: float) -> dict:
         ratios[q] = round(min_ratio, 3)
         if 1 / threshold < min_ratio < threshold:
             continue
+        if abs(new_min[q] - old_min[q]) < MIN_ABS_DELTA_S:
+            continue  # ratio trips but the absolute delta is noise-scale
         regressed = min_ratio >= threshold
         flags.append(
             {
