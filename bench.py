@@ -201,6 +201,7 @@ HEADLINE = (
     "churn_label_frame",
     "embedding_centroid_drift",
     "transition_by_step",
+    "kmv_distinct_sketch",
 )
 
 

@@ -1146,3 +1146,116 @@ ORDER BY step, from_type, to_type
 )
 
 ROUND9C_QUERIES["transition_by_step"] = (q_transition_by_step, _TRANS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_sketch — k-minimum-values cardinality, fully integer
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_SCALE = 1 << 60  # h60 values are uniform in [1, 2^60)
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER practical cardinality sketch (DataSketches' theta/KMV
+    family, complementing the registry's HLL): keep the k smallest
+    distinct hash values; the k-th minimum estimates cardinality as
+    ``(k−1)·2^60 div h_k`` — uniform minima concentrate near k/n of
+    the hash range.  Unlike HLL, the KMV estimator is PURE INTEGER
+    arithmetic (one div), so the whole row — sketch state, estimate,
+    exact count, permille error — is hash-exact with no rounding rule
+    anywhere.  KMV synopses also intersect directly (the theta-sketch
+    trick), which registers cannot.
+
+    Sketched per order priority over distinct customers, next to the
+    exact count so each row is its own error report.
+
+    Scale design: one combinable distinct over (priority, custkey);
+    ranking windows partition per priority (parallel across the
+    5-value domain); at 100 TB a real implementation keeps the k
+    minima via a bounded heap per partition then merges — the same
+    min-merge algebra this SELECT expresses declaratively.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.functions.hashing import h60
+
+    keys = scoped_persist(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            h60(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))).alias(
+                "h"
+            ),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.asc("h"))
+    kth = (
+        keys.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == _KMV_K)
+        .select("o_orderpriority", F.col("h").alias("h_k"))
+    )
+    exact = keys.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(kth, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            "h_k",
+            F.expr(
+                f"cast((cast({_KMV_K - 1} as decimal(38,0)) * {_KMV_SCALE})"
+                " div h_k as long)"
+            ).alias("kmv_est"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            "h_k",
+            "kmv_est",
+            F.expr("(1000 * abs(kmv_est - n_exact)) div n_exact")
+            .cast("long")
+            .alias("err_permille"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_KMV_SQL = oracle_bigint(
+    f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM orders
+), kth AS (
+  SELECT o_orderpriority, h AS h_k
+  FROM (
+    SELECT o_orderpriority, h,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h ASC)
+             AS rk
+    FROM keys
+  ) WHERE rk = {_KMV_K}
+), exact AS (
+  SELECT o_orderpriority, COUNT(*) AS n_exact FROM keys
+  GROUP BY o_orderpriority
+), est AS (
+  SELECT e.o_orderpriority, e.n_exact, k.h_k,
+         CAST((CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_SCALE}) // k.h_k
+              AS BIGINT) AS kmv_est
+  FROM exact e JOIN kth k ON e.o_orderpriority = k.o_orderpriority
+)
+SELECT o_orderpriority, n_exact, h_k, kmv_est,
+       (1000 * abs(kmv_est - n_exact)) // n_exact AS err_permille
+FROM est
+ORDER BY o_orderpriority
+""",
+    "n_exact",
+    "kmv_est",
+    "err_permille",
+)
+
+ROUND9C_QUERIES["kmv_distinct_sketch"] = (q_kmv_distinct_sketch, _KMV_SQL)

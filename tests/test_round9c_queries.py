@@ -228,3 +228,43 @@ def test_transition_steps_shares_sum_to_permille(spark):
         per_step[r["step"]] += r["share_permille"]
     for s, tot in per_step.items():
         assert 900 <= tot <= 1000, (s, tot)
+
+
+def test_kmv_estimator_replay(spark):
+    """Replay the k-th-minimum estimator from the raw hashes: h_k must
+    be the 32nd smallest distinct md5-60 value and the estimate the
+    exact integer division."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.plans.round9c_queries import (
+        _KMV_K,
+        _KMV_SCALE,
+        q_kmv_distinct_sketch,
+    )
+    import hashlib
+
+    rows = {
+        r["o_orderpriority"]: r
+        for r in q_kmv_distinct_sketch(spark, SF_DIR).collect()
+    }
+    pairs = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    hs = defaultdict(list)
+    for r in pairs:
+        h = int(
+            hashlib.md5(f"kmv:{r['o_custkey']}".encode()).hexdigest()[:15], 16
+        )
+        hs[r["o_orderpriority"]].append(h)
+    for prio, lst in hs.items():
+        lst.sort()
+        row = rows[prio]
+        assert row["n_exact"] == len(lst)
+        assert row["h_k"] == lst[_KMV_K - 1]
+        est = ((_KMV_K - 1) * _KMV_SCALE) // lst[_KMV_K - 1]
+        assert row["kmv_est"] == est
+        assert row["err_permille"] == (1000 * abs(est - len(lst))) // len(lst)
