@@ -202,6 +202,14 @@ HEADLINE = (
     "embedding_centroid_drift",
     "transition_by_step",
     "kmv_distinct_sketch",
+    "countmin_point_estimates",
+    "dedup_sorted_neighborhood",
+    "phrase_match_positions",
+    "ohlc_downsample",
+    "checkpoint_resume_equivalence",
+    "encoding_size_estimate",
+    "walk_forward_cv_folds",
+    "grace_hash_join_plan",
 )
 
 

@@ -1348,3 +1348,86 @@ def test_centroid_drift_single_fact_pass(spark):
     assert plan.count(") Generate") == 1
     assert "Join" not in plan
     assert "partial_sum" in plan
+
+
+def test_countmin_sketch_partial_aggregates_and_broadcasts(spark):
+    """The CMS counter build must partial-aggregate below its shuffle
+    (bounded d*w state crosses the wire, not the exploded stream), and
+    the probe side must meet the sketch via broadcast, never a
+    fact-scale sort-merge."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9d_queries import (
+        q_countmin_point_estimates,
+    )
+
+    plan = _plan(q_countmin_point_estimates(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_no_cartesian_no_fact_join(spark):
+    """Sorted-neighborhood pairing is windows + a bounded boundary
+    exchange — the corpus must never self-join."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9d_queries import (
+        q_dedup_sorted_neighborhood,
+    )
+
+    plan = _plan(q_dedup_sorted_neighborhood(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # pairs come from lead(), not joins
+
+
+def test_phrase_match_filters_postings_before_join(spark):
+    """The positional join's inputs must be pre-filtered to the phrase
+    words (broadcast of the 1-row phrase frame under each posting
+    scan), so the self-join is posting-list-sized, not corpus-sized."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9d_queries import (
+        q_phrase_match_positions,
+    )
+
+    plan = _plan(q_phrase_match_positions(spark, SF_DIR))
+    # both posting sides meet the phrase frame via broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_combinable_aggregate(spark):
+    """OHLC bars: one partial-aggregated pass, no window, no join."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9d_queries import q_ohlc_downsample
+
+    plan = _plan(q_ohlc_downsample(spark, SF_DIR))
+    assert "partial_min_by" in plan or "partial_min" in plan
+    assert "Window" not in plan
+    assert ") Join" not in plan and "Join " not in plan.split("\n")[1]
+
+
+def test_grace_plan_fanout_stays_in_plan(spark):
+    """The fanout scalar folds in as a broadcast — no scalar driver
+    action — and the census is partial-aggregated below its shuffle."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9d_queries import (
+        q_grace_hash_join_plan,
+    )
+
+    plan = _plan(q_grace_hash_join_plan(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_walk_forward_spine_broadcasts(spark):
+    """The 4-row fold spine crosses the fact scan map-side."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round9d_queries import (
+        q_walk_forward_cv_folds,
+    )
+
+    plan = _plan(q_walk_forward_cv_folds(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_comment" not in read and "o_totalprice" not in read
