@@ -210,6 +210,14 @@ HEADLINE = (
     "encoding_size_estimate",
     "walk_forward_cv_folds",
     "grace_hash_join_plan",
+    "anova_oneway_quantity",
+    "brown_forsythe_quantity",
+    "logrank_return_priority",
+    "yule_walker_ar2",
+    "gram_matrix_block",
+    "mutual_information_discount_return",
+    "good_turing_smoothing",
+    "cohens_kappa_heuristics",
 )
 
 

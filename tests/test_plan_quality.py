@@ -1431,3 +1431,60 @@ def test_walk_forward_spine_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     read = plan.split("ReadSchema")[1].split("\n")[0]
     assert "o_comment" not in read and "o_totalprice" not in read
+
+
+def test_anova_moments_partial_aggregated(spark):
+    """ANOVA: the 5-group moment pass partial-aggregates below its
+    shuffle (the shuffle carries group moments, never fact rows), and
+    the scalar F arithmetic adds no further fact-side work."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round10_queries import (
+        q_anova_oneway_quantity,
+    )
+
+    plan = _plan(q_anova_oneway_quantity(spark, SF_DIR))
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brown_forsythe_median_frame_broadcasts(spark):
+    """The 5-row per-group median frame must broadcast back onto the
+    fact rows — never a shuffled join against the corpus."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round10_queries import (
+        q_brown_forsythe_quantity,
+    )
+
+    plan = _plan(q_brown_forsythe_quantity(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gram_matrix_expansion_is_mapside(spark):
+    """The d(d+1)/2 pair expansion happens map-side inside one
+    combinable aggregation: no join anywhere in the plan, and the
+    only shuffle carries the 136 (i, j) cells."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round10_queries import q_gram_matrix_block
+
+    plan = _plan(q_gram_matrix_block(spark, SF_DIR))
+    assert ") Join" not in plan and "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_logrank_collapses_before_duration_window(spark):
+    """Log-rank: lineitem collapses to per-order first-return rows
+    under a partial aggregate, and the at-risk suffix sums window over
+    the duration domain, not fact rows (single final-row output)."""
+    spark.catalog.clearCache()
+    from etl_portofolio_spark.plans.round10_queries import (
+        q_logrank_return_priority,
+    )
+
+    plan = _plan(q_logrank_return_priority(spark, SF_DIR))
+    assert "partial_min" in plan  # per-order first-return collapse
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
