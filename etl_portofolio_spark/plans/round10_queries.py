@@ -190,7 +190,13 @@ def q_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderpriority").alias("grp")
     )
-    rows = li.join(orders, li.l_orderkey == orders.o_orderkey).select("grp", "q")
+    from etl_portofolio_spark.caching import scoped_persist
+
+    # the joined fact frame feeds BOTH the median pass and the z-moment
+    # pass; Spark does no cross-branch CSE, so persist it once
+    rows = scoped_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey).select("grp", "q")
+    )
     med = rows.groupBy("grp").agg(
         F.expr("CAST(2 * percentile(q, 0.5) AS BIGINT)").alias("med2")
     )
@@ -336,6 +342,10 @@ def q_logrank_return_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g1",
         )
     )
+    from etl_portofolio_spark.caching import scoped_persist
+
+    # per_order feeds the duration rollup AND the group-count frame
+    per_order = scoped_persist(per_order)
     by_dur = per_order.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("c_all"),
         F.sum("g1").cast("long").alias("c_g1"),
@@ -923,9 +933,15 @@ def q_cohens_kappa_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     from etl_portofolio_spark.operators import text
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("n_chars").cast("long").alias("nc"),
-        F.size(text.tokens("text")).cast("long").alias("wc"),
+    from etl_portofolio_spark.caching import scoped_persist
+
+    # the rated frame feeds BOTH the threshold pass and the 2x2 table
+    # pass; persist so the corpus (and its tokenization) scans once
+    docs = scoped_persist(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("n_chars").cast("long").alias("nc"),
+            F.size(text.tokens("text")).cast("long").alias("wc"),
+        )
     )
     thr = docs.agg(
         F.expr("CAST(2 * percentile(nc, 0.5) AS BIGINT)").alias("thr_nc2"),
