@@ -65,10 +65,12 @@ def q_anova_oneway_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     within/between sums of squares derive from exact per-group moments
     (n_g, Σx, Σx²) with NO floats: SSW_g·1000 = (n_g·Σx² − (Σx)²)·1000
     div n_g, SSB·1000 = Σ_g ((Σx)²·1000 div n_g) − S²·1000 div N, and
-    F·1e6 = (SSB_milli·1e6 div SSW_milli)·(N−k) div (k−1) — every
-    product < 2^63 up to sf0.1 ((Σx_g)²·1000 ≈ 9.4e15); at sf≥1 the
-    squared group sums need DECIMAL(38,0)/HUGEINT widening, which
-    DuckDB enforces loudly.
+    F·1e6 = (SSB_milli·1e6 div SSW_milli)·(N−k) div (k−1).  The
+    squared group sums run in DECIMAL(38,0) on the Spark side (DuckDB's
+    SUM already widens to HUGEINT), so the pipeline is exact at ANY
+    scale factor — verified by the 100x scale-stress run, where the
+    original int64 form overflowed LOUDLY under ANSI mode and this
+    form does not.  Every div quotient stays far below 2^63.
 
     Scale design: one shuffle join lineitem⋈orders on the order key
     (both sides shuffle-partitioned on the key; at cluster scale this
@@ -97,8 +99,13 @@ def q_anova_oneway_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "s",
         "ss",
-        F.expr("(n * ss - s * s) * 1000 div n").alias("ssw_g_milli"),
-        F.expr("s * s * 1000 div n").alias("t_g_milli"),
+        F.expr(
+            "CAST((n * CAST(ss AS DECIMAL(38,0))"
+            " - CAST(s AS DECIMAL(38,0)) * s) * 1000 div n AS BIGINT)"
+        ).alias("ssw_g_milli"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * s * 1000 div n AS BIGINT)"
+        ).alias("t_g_milli"),
     )
     tot = per.agg(
         F.sum("n").cast("long").alias("n_total"),
@@ -111,11 +118,13 @@ def q_anova_oneway_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "k_groups",
         "ssw_milli",
-        F.expr("sum_t_milli - (s_all * s_all * 1000 div n_total)")
-        .cast("long")
-        .alias("ssb_milli"),
         F.expr(
-            "((sum_t_milli - (s_all * s_all * 1000 div n_total)) * 1000000"
+            "CAST(sum_t_milli - (CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
+            " div n_total) AS BIGINT)"
+        ).alias("ssb_milli"),
+        F.expr(
+            "((sum_t_milli - CAST(CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
+            " div n_total AS BIGINT)) * 1000000"
             " div ssw_milli) * (n_total - k_groups) div (k_groups - 1)"
         )
         .cast("long")
@@ -175,7 +184,8 @@ def q_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers is dyadic-exact in doubles in both engines), so
     z2 = |2x − 2·median_g| is an exact BIGINT and the whole
     ``anova_oneway_quantity`` integer pipeline applies to z2 verbatim
-    (same milli/permicro staging, same int64 bounds — z2 ≤ 98).
+    (same milli/permicro staging, same DECIMAL(38,0) widening of the
+    squared sums — z2 ≤ 98).
 
     Scale design: two bounded shuffles — the 5-group exact-median
     aggregation (percentile over a 50-value integer domain; at 100 TB
@@ -212,8 +222,13 @@ def q_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "s",
         "ss",
-        F.expr("(n * ss - s * s) * 1000 div n").alias("ssw_g_milli"),
-        F.expr("s * s * 1000 div n").alias("t_g_milli"),
+        F.expr(
+            "CAST((n * CAST(ss AS DECIMAL(38,0))"
+            " - CAST(s AS DECIMAL(38,0)) * s) * 1000 div n AS BIGINT)"
+        ).alias("ssw_g_milli"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * s * 1000 div n AS BIGINT)"
+        ).alias("t_g_milli"),
     )
     tot = per.agg(
         F.sum("n").cast("long").alias("n_total"),
@@ -226,11 +241,13 @@ def q_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "k_groups",
         "ssw_milli",
-        F.expr("sum_t_milli - (s_all * s_all * 1000 div n_total)")
-        .cast("long")
-        .alias("ssb_milli"),
         F.expr(
-            "((sum_t_milli - (s_all * s_all * 1000 div n_total)) * 1000000"
+            "CAST(sum_t_milli - (CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
+            " div n_total) AS BIGINT)"
+        ).alias("ssb_milli"),
+        F.expr(
+            "((sum_t_milli - CAST(CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
+            " div n_total AS BIGINT)) * 1000000"
             " div ssw_milli) * (n_total - k_groups) div (k_groups - 1)"
         )
         .cast("long")
