@@ -51,51 +51,27 @@ ROUND10_QUERIES: dict[
 
 
 # ---------------------------------------------------------------------------
-# anova_oneway_quantity — one-way ANOVA F across order-priority groups
+# shared staged-integer one-way-ANOVA tail (ANOVA + Brown-Forsythe)
 # ---------------------------------------------------------------------------
 
 
-def q_anova_oneway_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-way ANOVA on line-item quantity across the five
-    order-priority groups — the k-sample generalization of the
-    registry's Welch two-sample test (the parametric twin of
-    Kruskal-Wallis, which ranks the same contrast).
+def _k_sample_f_tail(grouped: DataFrame, f_alias: str) -> DataFrame:
+    """Staged-integer one-way-ANOVA tail shared by the k-sample tests:
+    per-group exact moments ``(grp, n, s, ss)`` -> the single-row
+    ``(n_total, k_groups, ssw_milli, ssb_milli, <f_alias>)`` frame.
 
-    All-integer pipeline: quantities are exact small integers, so the
-    within/between sums of squares derive from exact per-group moments
-    (n_g, Σx, Σx²) with NO floats: SSW_g·1000 = (n_g·Σx² − (Σx)²)·1000
-    div n_g, SSB·1000 = Σ_g ((Σx)²·1000 div n_g) − S²·1000 div N, and
-    F·1e6 = (SSB_milli·1e6 div SSW_milli)·(N−k) div (k−1).  The
-    squared group sums run in DECIMAL(38,0) on the Spark side (DuckDB's
-    SUM already widens to HUGEINT), so the pipeline is exact at ANY
-    scale factor — verified by the 100x scale-stress run, where the
-    original int64 form overflowed LOUDLY under ANSI mode and this
-    form does not.  Every div quotient stays far below 2^63.
-
-    Scale design: one shuffle join lineitem⋈orders on the order key
-    (both sides shuffle-partitioned on the key; at cluster scale this
-    is the bucketed co-location case), then ONE combinable 5-group
-    moment aggregation — the shuffle after the join carries 5 rows of
-    moments, never fact rows.  The F statistic is scalar arithmetic on
-    the 5-row frame.
+    SSW_g·1000 = (n_g·Σx² − (Σx)²)·1000 div n_g, SSB·1000 =
+    Σ_g ((Σx)²·1000 div n_g) − S²·1000 div N, F·1e6 =
+    (SSB_milli·1e6 div SSW_milli)·(N−k) div (k−1).  The squared sums
+    run in DECIMAL(38,0) on the Spark side (DuckDB's SUM already
+    widens to HUGEINT), so the pipeline is exact at ANY scale factor —
+    verified by the 100x scale-stress run, where the original int64
+    form overflowed LOUDLY under ANSI mode and this form does not.
+    The F division nullif-guards the degenerate all-constant input
+    (SSW = 0): both engines emit NULL instead of one raising
+    DIVIDE_BY_ZERO under ANSI while the other returns NULL.
     """
-    apply_runtime_confs(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_orderpriority").alias("grp")
-    )
-    g = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("q").cast("long").alias("s"),
-            F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
-        )
-    )
-    per = g.select(
+    per = grouped.select(
         "n",
         "s",
         "ss",
@@ -125,19 +101,32 @@ def q_anova_oneway_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "((sum_t_milli - CAST(CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
             " div n_total AS BIGINT)) * 1000000"
-            " div ssw_milli) * (n_total - k_groups) div (k_groups - 1)"
+            " div nullif(ssw_milli, 0)) * (n_total - k_groups)"
+            " div (k_groups - 1)"
         )
         .cast("long")
-        .alias("f_permicro"),
+        .alias(f_alias),
     )
 
 
-_ANOVA_SQL = oracle_bigint(
+def _moments_by_group(values: DataFrame) -> DataFrame:
+    """One combinable pass: ``(grp, q)`` -> exact ``(grp, n, s, ss)``."""
+    return values.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+
+
+def _k_sample_f_sql(with_prefix: str, f_alias: str) -> str:
+    """DuckDB twin of :func:`_k_sample_f_tail`.  ``with_prefix`` must
+    be a WITH clause whose final CTE is named ``j`` and exposes
+    ``(grp, q)``.  HUGEINT widening is automatic (SUM); the F division
+    carries the same nullif guard as the Spark side.
     """
-WITH j AS (
-  SELECT o.o_orderpriority AS grp, CAST(l.l_quantity AS BIGINT) AS q
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), g AS (
+    return oracle_bigint(
+        f"""
+{with_prefix}, g AS (
   SELECT grp, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS ss
   FROM j GROUP BY 1
 ), per AS (
@@ -153,14 +142,57 @@ WITH j AS (
 SELECT n_total, k_groups, ssw_milli,
        sum_t_milli - (s_all * s_all * 1000 // n_total) AS ssb_milli,
        ((sum_t_milli - (s_all * s_all * 1000 // n_total)) * 1000000
-        // ssw_milli) * (n_total - k_groups) // (k_groups - 1)
-         AS f_permicro
+        // nullif(ssw_milli, 0)) * (n_total - k_groups) // (k_groups - 1)
+         AS {f_alias}
 FROM tot
 """,
-    "n_total",
-    "k_groups",
-    "ssw_milli",
-    "ssb_milli",
+        "n_total",
+        "k_groups",
+        "ssw_milli",
+        "ssb_milli",
+        f_alias,
+    )
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway_quantity — one-way ANOVA F across order-priority groups
+# ---------------------------------------------------------------------------
+
+
+def q_anova_oneway_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA on line-item quantity across the five
+    order-priority groups — the k-sample generalization of the
+    registry's Welch two-sample test (the parametric twin of
+    Kruskal-Wallis, which ranks the same contrast).  Quantities are
+    exact small integers, so the whole statistic is the shared
+    all-integer pipeline of :func:`_k_sample_f_tail`.
+
+    Scale design: one shuffle join lineitem⋈orders on the order key
+    (both sides shuffle-partitioned on the key; at cluster scale this
+    is the bucketed co-location case), then ONE combinable 5-group
+    moment aggregation — the shuffle after the join carries 5 rows of
+    moments, never fact rows.  The F statistic is scalar arithmetic on
+    the 5-row frame.
+    """
+    apply_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("grp")
+    )
+    values = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "grp", "q"
+    )
+    return _k_sample_f_tail(_moments_by_group(values), "f_permicro")
+
+
+_ANOVA_SQL = _k_sample_f_sql(
+    """
+WITH j AS (
+  SELECT o.o_orderpriority AS grp, CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
     "f_permicro",
 )
 
@@ -182,10 +214,8 @@ def q_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer by working in DOUBLED units: the median of integers is
     either an integer or an exact .5 (the interpolated midpoint of two
     integers is dyadic-exact in doubles in both engines), so
-    z2 = |2x − 2·median_g| is an exact BIGINT and the whole
-    ``anova_oneway_quantity`` integer pipeline applies to z2 verbatim
-    (same milli/permicro staging, same DECIMAL(38,0) widening of the
-    squared sums — z2 ≤ 98).
+    z2 = |2x − 2·median_g| is an exact BIGINT and the shared
+    :func:`_k_sample_f_tail` pipeline applies to z2 directly (z2 ≤ 98).
 
     Scale design: two bounded shuffles — the 5-group exact-median
     aggregation (percentile over a 50-value integer domain; at 100 TB
@@ -194,14 +224,14 @@ def q_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     single combinable 5-group moment pass as the ANOVA.
     """
     apply_runtime_confs(spark)
+    from etl_portofolio_spark.caching import scoped_persist
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_quantity").cast("long").alias("q")
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderpriority").alias("grp")
     )
-    from etl_portofolio_spark.caching import scoped_persist
-
     # the joined fact frame feeds BOTH the median pass and the z-moment
     # pass; Spark does no cross-branch CSE, so persist it once
     rows = scoped_persist(
@@ -211,84 +241,22 @@ def q_brown_forsythe_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(2 * percentile(q, 0.5) AS BIGINT)").alias("med2")
     )
     z = rows.join(F.broadcast(med), "grp").select(
-        "grp", F.abs(F.expr("2 * q - med2")).alias("z2")
+        "grp", F.abs(F.expr("2 * q - med2")).alias("q")
     )
-    g = z.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("z2").cast("long").alias("s"),
-        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("ss"),
-    )
-    per = g.select(
-        "n",
-        "s",
-        "ss",
-        F.expr(
-            "CAST((n * CAST(ss AS DECIMAL(38,0))"
-            " - CAST(s AS DECIMAL(38,0)) * s) * 1000 div n AS BIGINT)"
-        ).alias("ssw_g_milli"),
-        F.expr(
-            "CAST(CAST(s AS DECIMAL(38,0)) * s * 1000 div n AS BIGINT)"
-        ).alias("t_g_milli"),
-    )
-    tot = per.agg(
-        F.sum("n").cast("long").alias("n_total"),
-        F.count(F.lit(1)).cast("long").alias("k_groups"),
-        F.sum("s").cast("long").alias("s_all"),
-        F.sum("ssw_g_milli").cast("long").alias("ssw_milli"),
-        F.sum("t_g_milli").cast("long").alias("sum_t_milli"),
-    )
-    return tot.select(
-        "n_total",
-        "k_groups",
-        "ssw_milli",
-        F.expr(
-            "CAST(sum_t_milli - (CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
-            " div n_total) AS BIGINT)"
-        ).alias("ssb_milli"),
-        F.expr(
-            "((sum_t_milli - CAST(CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
-            " div n_total AS BIGINT)) * 1000000"
-            " div ssw_milli) * (n_total - k_groups) div (k_groups - 1)"
-        )
-        .cast("long")
-        .alias("bf_f_permicro"),
-    )
+    return _k_sample_f_tail(_moments_by_group(z), "bf_f_permicro")
 
 
-_BF_SQL = oracle_bigint(
+_BF_SQL = _k_sample_f_sql(
     """
-WITH j AS (
-  SELECT o.o_orderpriority AS grp, CAST(l.l_quantity AS BIGINT) AS q
+WITH base AS (
+  SELECT o.o_orderpriority AS grp, CAST(l.l_quantity AS BIGINT) AS q0
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), med AS (
-  SELECT grp, CAST(2 * median(q) AS BIGINT) AS med2 FROM j GROUP BY 1
-), z AS (
-  SELECT j.grp, abs(2 * j.q - med.med2) AS z2
-  FROM j JOIN med ON j.grp = med.grp
-), g AS (
-  SELECT grp, COUNT(*) AS n, SUM(z2) AS s, SUM(z2 * z2) AS ss
-  FROM z GROUP BY 1
-), per AS (
-  SELECT n, s, ss,
-         (n * ss - s * s) * 1000 // n AS ssw_g_milli,
-         s * s * 1000 // n AS t_g_milli
-  FROM g
-), tot AS (
-  SELECT SUM(n) AS n_total, COUNT(*) AS k_groups, SUM(s) AS s_all,
-         SUM(ssw_g_milli) AS ssw_milli, SUM(t_g_milli) AS sum_t_milli
-  FROM per
-)
-SELECT n_total, k_groups, ssw_milli,
-       sum_t_milli - (s_all * s_all * 1000 // n_total) AS ssb_milli,
-       ((sum_t_milli - (s_all * s_all * 1000 // n_total)) * 1000000
-        // ssw_milli) * (n_total - k_groups) // (k_groups - 1)
-         AS bf_f_permicro
-FROM tot
-""",
-    "n_total",
-    "k_groups",
-    "ssw_milli",
-    "ssb_milli",
+  SELECT grp, CAST(2 * median(q0) AS BIGINT) AS med2 FROM base GROUP BY 1
+), j AS (
+  SELECT base.grp, abs(2 * base.q0 - med.med2) AS q
+  FROM base JOIN med ON base.grp = med.grp
+)""",
     "bf_f_permicro",
 )
 
@@ -542,8 +510,8 @@ def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c0",
         "c1",
         "c2",
-        F.expr("c1 div (c0 div 1000000)").alias("r1_permicro"),
-        F.expr("c2 div (c0 div 1000000)").alias("r2_permicro"),
+        F.expr("c1 div nullif(c0 div 1000000, 0)").alias("r1_permicro"),
+        F.expr("c2 div nullif(c0 div 1000000, 0)").alias("r2_permicro"),
     )
     return r.select(
         "n_days",
@@ -593,8 +561,8 @@ WITH daily AS (
   FROM y
 ), r AS (
   SELECT *,
-         c1 // (c0 // 1000000) AS r1_permicro,
-         c2 // (c0 // 1000000) AS r2_permicro
+         c1 // nullif(c0 // 1000000, 0) AS r1_permicro,
+         c2 // nullif(c0 // 1000000, 0) AS r2_permicro
   FROM mom
 )
 SELECT n_days, mean_dollars, c0, c1, c2, r1_permicro, r2_permicro,
@@ -957,7 +925,7 @@ def q_cohens_kappa_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scoped_persist(
         load_table(spark, sf_dir, "documents").select(
             F.col("n_chars").cast("long").alias("nc"),
-            F.size(text.tokens("text")).cast("long").alias("wc"),
+            text.token_count_ws("text").cast("long").alias("wc"),
         )
     )
     thr = docs.agg(

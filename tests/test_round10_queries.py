@@ -288,7 +288,6 @@ def test_good_turing_replayed_from_python_bigrams(spark):
     fof: dict[int, int] = {}
     for r in counts.values():
         fof[r] = fof.get(r, 0) + 1
-        total += 0  # total derives from fof below
     total = sum(r * n for r, n in fof.items())
     n1 = fof.get(1, 0)
 

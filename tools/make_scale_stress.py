@@ -53,6 +53,15 @@ def main() -> int:
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
     for t, cols in _OFFSET_COLS.items():
+        for c in cols:
+            mx = con.execute(
+                f"SELECT MAX({c}) FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchone()[0]
+            if mx >= OFFSET:
+                raise SystemExit(
+                    f"{t}.{c} max {mx} >= OFFSET {OFFSET}: replicas would "
+                    "collide (don't chain the tool on its own output)"
+                )
         repl = ", ".join(
             f"{c} + r.i * {OFFSET} AS {c}" for c in cols
         )

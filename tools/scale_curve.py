@@ -6,7 +6,7 @@ factor ~10 per decade, often less while fixed costs dominate); a
 quadratic or collect-bound plan shows >>10. This turns SCALE.md's
 design claims into measured numbers.
 
-Usage: python tools/scale_curve.py DIR [DIR ...] [--queries a,b,c]
+Usage: python tools/scale_curve.py DIR [DIR ...] [--queries=a,b,c]
 Prints one JSON line per query: {"query", "dirs", "secs", "ratios"}.
 """
 
@@ -35,6 +35,11 @@ DEFAULT_QUERIES = (
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for d in args:
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"not a fixture dir: {d!r} (flags use --queries=a,b,c)"
+            )
     names = list(DEFAULT_QUERIES)
     for a in sys.argv[1:]:
         if a.startswith("--queries="):
