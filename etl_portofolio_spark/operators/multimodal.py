@@ -483,3 +483,103 @@ def audio_window_energy(
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(energy, AUDIO_ENERGY_SCHEMA)
+
+
+# --- baseline-JPEG content decode ---------------------------------------------
+
+#: Deterministic constant-color JPEG synthesis parameters: the palette
+#: formula and quality ladder are restated by the DuckDB oracle (via the
+#: committed decoded-RGB lookup in plans/round11_queries.py), so the
+#: decoded pixel statistics are arithmetically checkable from md5(text).
+JPEG_QUALITIES = (35, 50, 75, 90)
+
+
+def jpeg_palette(idx: int) -> tuple[int, int, int]:
+    """64-color integer palette: idx -> (r, g, b), all three channels
+    distinct so the chroma planes carry nonzero DC coefficients and the
+    decode exercises dequantization + YCbCr->RGB for real (a constant
+    GRAY fill round-trips exactly at q>=35 and would prove much less)."""
+    return ((idx * 37 + 11) % 256, (idx * 101 + 73) % 256, (idx * 197 + 151) % 256)
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_level", T.LongType()),
+    ]
+)
+
+
+def synthesize_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Baseline-JPEG payloads (SOF0, 4:4:4, Huffman) whose content is a
+    CONSTANT color tile derived from md5(text): palette index, quality,
+    and dimensions all come from hash nibbles, encoded by the repo's own
+    pure-Python encoder (operators/jpeg_baseline.py). Constant fill is
+    the one content class whose DECODED pixels are exactly predictable
+    (all DCT blocks identical, AC coefficients quantize to zero), so a
+    SQL oracle can verify the decoder's output bit-for-bit without
+    replaying the IDCT. Dimensions are deliberately NOT multiples of 8
+    so the decode also exercises MCU padding + crop."""
+    import pandas as pd
+
+    from etl_portofolio_spark.operators.jpeg_baseline import encode_jpeg
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("content", T.BinaryType())]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                h = hashlib.md5(txt.encode("utf-8")).hexdigest()
+                r, g, b = jpeg_palette(int(h[0:2], 16) % 64)
+                quality = JPEG_QUALITIES[int(h[2:4], 16) % 4]
+                w = 5 + int(h[4:6], 16) % 44
+                ht = 5 + int(h[6:8], 16) % 28
+                img = np.empty((ht, w, 3), dtype=np.uint8)
+                img[..., 0], img[..., 1], img[..., 2] = r, g, b
+                payloads.append(encode_jpeg(img, quality=quality))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "content": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
+) -> DataFrame:
+    """REAL baseline-JPEG content decode over an opaque binary column:
+    segment parse, Huffman entropy decode, dequantize, IDCT, YCbCr->RGB
+    (operators/jpeg_baseline.decode_jpeg via multimodal.decode_real),
+    reduced to exact integer pixel statistics — dimensions from the SOF0
+    header, n_pixels from the cropped plane, sum_level as the int64 sum
+    of every decoded RGB byte. Arrow-batched mapInPandas, map-only: at
+    100 TB this is a scan-shaped stage with zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [], "sum_level": []
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                dec = decode_real(bytes(payload))
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(dec["width"]))
+                out["height"].append(int(dec["height"]))
+                out["n_pixels"].append(int(arr.size))
+                out["sum_level"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(stats, JPEG_STATS_SCHEMA)

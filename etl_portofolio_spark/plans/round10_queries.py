@@ -102,7 +102,7 @@ def _k_sample_f_tail(grouped: DataFrame, f_alias: str) -> DataFrame:
             "((sum_t_milli - CAST(CAST(s_all AS DECIMAL(38,0)) * s_all * 1000"
             " div n_total AS BIGINT)) * 1000000"
             " div nullif(ssw_milli, 0)) * (n_total - k_groups)"
-            " div (k_groups - 1)"
+            " div nullif(k_groups - 1, 0)"
         )
         .cast("long")
         .alias(f_alias),
@@ -142,7 +142,7 @@ def _k_sample_f_sql(with_prefix: str, f_alias: str) -> str:
 SELECT n_total, k_groups, ssw_milli,
        sum_t_milli - (s_all * s_all * 1000 // n_total) AS ssb_milli,
        ((sum_t_milli - (s_all * s_all * 1000 // n_total)) * 1000000
-        // nullif(ssw_milli, 0)) * (n_total - k_groups) // (k_groups - 1)
+        // nullif(ssw_milli, 0)) * (n_total - k_groups) // nullif(k_groups - 1, 0)
          AS {f_alias}
 FROM tot
 """,
@@ -691,8 +691,11 @@ def q_mutual_information_discount_return(
     Per-cell pointwise MI routes ln through the repo's transcendental
     rule: the probability ratio is formed as ONE double expression
     over exact integer counts ((n_xy·N)/(n_x·n_y) — identical IEEE
-    steps in both engines), its ln rounds to integer NANOS immediately
-    (round(ln·1e9) cast BIGINT), and everything after is int64: the
+    steps in both engines), its ln quantizes to integer NANOS
+    immediately via floor(ln·1e9 + 0.5) — floor-plus-half, not
+    round(), because Spark rounds HALF_UP while DuckDB rounds to
+    nearest-even, and the halfway tie would flip the nano by 1
+    between engines — and everything after is int64: the
     cell term is n_xy·pmi_nano and MI·1e9 = Σ terms div N (products
     ≤ 6e5·3.5e9 ≈ 2e15 at sf0.1).
 
@@ -719,13 +722,13 @@ def q_mutual_information_discount_return(
         .withColumn("n_all", F.sum("n_xy").over(wall))
         .withColumn(
             "pmi_nano",
-            F.round(
+            F.floor(
                 F.log(
                     (F.col("n_xy").cast("double") * F.col("n_all").cast("double"))
                     / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
                 )
-                * F.lit(1_000_000_000.0),
-                0,
+                * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
             ).cast("long"),
         )
     )
@@ -753,9 +756,9 @@ WITH cells AS (
   FROM cells
 ), scored AS (
   SELECT discount_pct, returnflag, n_xy, n_all,
-         CAST(round(ln((CAST(n_xy AS DOUBLE) * CAST(n_all AS DOUBLE))
+         CAST(floor(ln((CAST(n_xy AS DOUBLE) * CAST(n_all AS DOUBLE))
                        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
-                    * 1000000000) AS BIGINT) AS pmi_nano
+                    * 1000000000 + 0.5) AS BIGINT) AS pmi_nano
   FROM m
 )
 SELECT discount_pct, returnflag, n_xy, pmi_nano,

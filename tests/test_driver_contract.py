@@ -56,7 +56,7 @@ def test_registry_runs_under_plain_driver_session():
 # shrink the registry. Pin the exact size (update per wave) and assert
 # the import-error ledger is empty; a deliberately broken module is
 # exercised below to prove the failure is loud.
-EXPECTED_QUERIES = 377
+EXPECTED_QUERIES = 382
 
 
 def test_registry_size_pinned_and_imports_clean():
@@ -122,6 +122,7 @@ _MODULE_REGISTRATION_ROUND = {
     "round9c_queries": 8,
     "round9d_queries": 8,
     "round10_queries": 8,
+    "round11_queries": 9,
 }
 
 
