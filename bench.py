@@ -218,6 +218,11 @@ HEADLINE = (
     "mutual_information_discount_return",
     "good_turing_smoothing",
     "cohens_kappa_heuristics",
+    "jpeg_pixel_stats",
+    "mcnemar_paired_flags",
+    "cochran_q_heuristics",
+    "rouge_ngram_overlap",
+    "bleu_ngram_precision",
 )
 
 
@@ -231,10 +236,19 @@ def render_contract_line(timings: dict[str, float], sf: float, passes: int) -> s
 
     The driver keeps only a ~2,000-char tail of stdout, so this line must
     always fit whole regardless of how many queries the headline set
-    grows to — it therefore carries ONLY fixed-size scalars (no per-query
-    map; that lives in the preceding headline_detail line). Unit-tested
-    to stay under 1,800 chars at 400 queries (tests/test_bench_contract.py).
+    grows to — it therefore carries ONLY fixed-size content: scalars plus
+    the NAMES of the 10 most expensive queries (a fixed count with
+    per-name truncation, so a driver-side artifact alone identifies the
+    cost tier even when the per-query detail line truncates; times live
+    in the preceding headline_detail line). Unit-tested to stay under
+    1,800 chars at 400 queries (tests/test_bench_contract.py).
     """
+    top10 = [
+        name[:40]
+        for name, _ in sorted(
+            timings.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]
+    ]
     return json.dumps(
         {
             "metric": "headline_total",
@@ -243,6 +257,7 @@ def render_contract_line(timings: dict[str, float], sf: float, passes: int) -> s
             "n_queries": len(timings),
             "sf": sf,
             "passes": passes,
+            "top10": top10,
         }
     )
 

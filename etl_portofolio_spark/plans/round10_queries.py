@@ -715,6 +715,7 @@ def q_mutual_information_discount_return(
     )
     wx = Window.partitionBy("discount_pct")
     wy = Window.partitionBy("returnflag")
+    # bounded: 11x3 discount-x-returnflag cell grid (33 rows)
     wall = Window.partitionBy(F.lit(1))
     scored = (
         cells.withColumn("n_x", F.sum("n_xy").over(wx))
@@ -735,6 +736,7 @@ def q_mutual_information_discount_return(
     return (
         scored.withColumn(
             "mi_nano",
+            # bounded: the OVER () runs on the 33-cell grid, never fact rows
             F.expr("sum(n_xy * pmi_nano) OVER () div n_all").cast("long"),
         )
         .select("discount_pct", "returnflag", "n_xy", "pmi_nano", "mi_nano")
@@ -833,6 +835,7 @@ def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = fof.select(
         (F.col("r") - 1).alias("r_prev"), F.col("n_r").alias("n_r_next")
     )
+    # bounded: frequency-of-frequencies frame (r <= ~1e3 distinct counts)
     wall = Window.partitionBy(F.lit(1))
     joined = (
         fof.join(nxt, fof.r == nxt.r_prev, "left")

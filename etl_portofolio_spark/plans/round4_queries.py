@@ -146,6 +146,7 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", cents("o_totalprice").alias("price_c")
     )
+    # global-window: exact-ntile reporting form; the stats-collection scale path is approx_percentile (quantile_sketch_gate)
     w = Window.orderBy(F.col("price_c").asc(), F.col("o_orderkey").asc())
     return (
         orders.withColumn("bucket", F.ntile(_N_DEPTH_BUCKETS).over(w))

@@ -829,6 +829,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_TOPN)
+    # bounded: top-_ZIPF_TOPN head only
     w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
     pts = head.select(
         F.row_number().over(w).alias("rank"), "cnt"

@@ -1023,6 +1023,7 @@ def q_kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("nn_v"),
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("nr_v"),
     )
+    # bounded: quantity value-domain marginals (~50 rows)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cnt = F.col("na_v") + F.col("nn_v") + F.col("nr_v")
     ranked = per_v.select(
@@ -2035,6 +2036,7 @@ def q_spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = li.groupBy("q", "d_bp").agg(F.count(F.lit(1)).alias("cnt"))
     # tie-averaged doubled rank per domain value, from marginal counts
+    # bounded: quantity value-domain marginals (~50 rows)
     wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
     qr = (
         cells.groupBy("q")
@@ -2049,6 +2051,7 @@ def q_spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qrank2"),
         )
     )
+    # bounded: discount-bp value-domain marginals (11 rows)
     wd = Window.orderBy("d_bp").rowsBetween(Window.unboundedPreceding, -1)
     dr = (
         cells.groupBy("d_bp")
@@ -3277,6 +3280,7 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s").desc(), F.col("id").asc())
         .limit(_RRF_DEPTH)
     )
+    # bounded: top-_RRF_DEPTH lexical panel
     wl = Window.orderBy(F.col("s").desc(), F.col("id").asc())
     lex_ranked = lex_top.select("id", F.row_number().over(wl).alias("r_lex"))
 
@@ -3309,6 +3313,7 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_top = scored.orderBy(F.col("s").desc(), F.col("id").asc()).limit(
         _RRF_DEPTH
     )
+    # bounded: top-_RRF_DEPTH vector panel
     wv = Window.orderBy(F.col("s").desc(), F.col("id").asc())
     vec_ranked = vec_top.select("id", F.row_number().over(wv).alias("r_vec"))
 

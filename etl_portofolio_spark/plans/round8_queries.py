@@ -940,6 +940,7 @@ def q_groupwise_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("fold").alias("fold"),
         F.count(F.lit(1)).cast("long").alias("n_ev"),
     )
+    # bounded: 5-row fold manifest
     w = Window.partitionBy(F.lit(1))
     return (
         per_user.groupBy("fold")
@@ -1838,6 +1839,7 @@ def q_stratified_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((1 - F.col("t")) * F.col("y_c")).cast("long").alias("sum0_c"),
         )
     )
+    # bounded: stratum panel (bounded value domain)
     w = Window.partitionBy(F.lit(1))
     return (
         panel.withColumn(
@@ -1999,6 +2001,7 @@ def q_ranking_overlap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.row_number()
             .over(
+                # bounded: top-_RANK_K panel
                 Window.orderBy(F.col("score_a").desc(), F.col("doc_id").asc())
             )
             .alias("ra"),
@@ -2016,6 +2019,7 @@ def q_ranking_overlap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.row_number()
             .over(
+                # bounded: top-_RANK_K panel
                 Window.orderBy(F.col("score_b").desc(), F.col("doc_id").asc())
             )
             .alias("rb"),
@@ -3047,6 +3051,7 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "rate_permicro",
         F.expr("(1000000 * conversions) div n").cast("long"),
     )
+    # bounded: channel panel
     w = Window.partitionBy(F.lit(1))
     r_of = lambda v, c: F.max(  # noqa: E731
         F.when((F.col("has_v") == v) & (F.col("has_c") == c), F.col("rate_permicro"))
@@ -3154,6 +3159,7 @@ def q_ucb_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wins"),
     )
+    # bounded: arm panel
     w = Window.partitionBy(F.lit(1))
     scored = (
         arms.withColumn("big_n", F.sum("n").over(w))
@@ -3170,6 +3176,7 @@ def q_ucb_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # bounded: arm panel
     wr = Window.orderBy(F.col("ucb_permicro").desc(), F.col("arm").asc())
     return scored.select(
         "arm",
@@ -3259,6 +3266,7 @@ def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("key") % _HRW_NODES).alias("m5"),
         (F.col("key") % (_HRW_NODES + 1)).alias("m6"),
     )
+    # bounded: <= 7 node rollup rows
     w = Window.partitionBy(F.lit(1))
     return (
         assigned.groupBy(F.col("n6").alias("node"))

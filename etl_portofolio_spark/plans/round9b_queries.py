@@ -92,6 +92,7 @@ def q_hits_two_step_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # bounded: brand panel (bounded brand domain)
     w = Window.orderBy(F.desc("auth2"), F.asc("p_brand"))
     return (
         auth1.join(auth2, "p_brand")

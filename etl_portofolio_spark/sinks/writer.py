@@ -768,9 +768,11 @@ def write_zorder_clustered(
 
     scale = (1 << bits) - 1
     ra = (
+        # global-window: write-time clustering IS the global sort (same cost class as repartitionByRange; see docstring)
         F.percent_rank().over(Window.orderBy(col_a)) * scale
     ).cast("long")
     rb = (
+        # global-window: second clustering dimension, same dispensation
         F.percent_rank().over(Window.orderBy(col_b)) * scale
     ).cast("long")
     keyed = df.withColumn("__z", _morton_interleave(ra, rb, bits))

@@ -62,3 +62,15 @@ def test_bench_compare_noise_floor_and_threshold():
     assert "tiny" not in flagged  # 1.9x ratio but 0.09 s absolute: noise
     assert flagged["big"].startswith("REGRESSION")
     assert out["hard_regression"] is True
+
+
+def test_contract_line_top10_names_only_fixed_count():
+    """The cost-tier hint is NAMES ONLY (no times), capped at 10 with
+    per-name truncation — fixed-size by construction."""
+    timings = {f"q{i}": float(i) for i in range(20)}
+    timings["x" * 100] = 99.0
+    rec = json.loads(bench.render_contract_line(timings, sf=0.1, passes=3))
+    assert len(rec["top10"]) == 10
+    assert rec["top10"][0] == "x" * 40  # most expensive, truncated
+    assert rec["top10"][1:4] == ["q19", "q18", "q17"]
+    assert all(isinstance(n, str) for n in rec["top10"])

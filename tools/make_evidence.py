@@ -29,7 +29,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(name: str, cmd: list[str], env: dict | None = None) -> dict:
+def _run(name: str, cmd: list[str], env: dict | None = None) -> tuple[dict, str]:
     t0 = time.time()
     e = dict(os.environ)
     if env:
@@ -53,7 +53,40 @@ def _run(name: str, cmd: list[str], env: dict | None = None) -> dict:
         rec["bench"] = json.loads(line[-1]) if line else None
         rec["ok"] = bool(line)
     print(f"  {name}: {'OK' if rec['ok'] else 'FAIL'} ({rec['seconds']}s)")
-    return rec
+    return rec, out
+
+
+def _bench_compare_block(tag: str, bench_out: str) -> dict:
+    """Persist the fresh bench's JSON lines as this round's idle
+    artifact and compare it (min-of-passes, load-gated) against the
+    newest PREVIOUSLY committed idle artifact — the round-over-round
+    zero-regression claim as data inside the evidence file, not prose
+    in SCALE.md (r8 verdict item #4)."""
+    import glob
+
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare, _load
+
+    prior = sorted(
+        (p for p in glob.glob(os.path.join(REPO, "bench_builder_*.json"))),
+        key=os.path.getmtime,
+    )
+    artifact = os.path.join(REPO, f"bench_builder_{tag}_idle.json")
+    lines = [
+        l for l in bench_out.splitlines() if l.strip().startswith("{")
+    ]
+    with open(artifact, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    prior = [p for p in prior if os.path.abspath(p) != os.path.abspath(artifact)]
+    if not prior:
+        return {"against": None, "note": "no prior idle artifact found"}
+    against = prior[-1]
+    report = compare(_load(against), _load(artifact), threshold=1.5)
+    return {
+        "against": os.path.basename(against),
+        "artifact": os.path.basename(artifact),
+        **report,
+    }
 
 
 def main() -> int:
@@ -62,22 +95,22 @@ def main() -> int:
     results: dict = {"loadavg_start": list(os.getloadavg())}
     py = sys.executable
 
-    results["oracle_sf001"] = _run(
+    results["oracle_sf001"], _ = _run(
         "oracle_sf001", [py, "tools/check_oracle.py", "/root/testdata/sf0.01"]
     )
-    results["oracle_sf01"] = _run(
+    results["oracle_sf01"], _ = _run(
         "oracle_sf01", [py, "tools/check_oracle.py", "/root/testdata/sf0.1"]
     )
-    results["robustness"] = _run(
+    results["robustness"], _ = _run(
         "robustness", [py, "tools/robustness_check.py", "/root/testdata/sf0.01"]
     )
-    results["robustness_aqe_off"] = _run(
+    results["robustness_aqe_off"], _ = _run(
         "robustness_aqe_off",
         [py, "tools/robustness_check.py", "/root/testdata/sf0.01"],
         env={"SPARK_GRAFT_ROBUST_AQE": "off"},
     )
     if "--pytest" in args:
-        results["pytest"] = _run(
+        results["pytest"], _ = _run(
             "pytest", [py, "-m", "pytest", "tests/", "-q"]
         )
     if "--bench" in args:
@@ -85,7 +118,21 @@ def main() -> int:
             print("  bench: SKIPPED (loadavg too high for a trustworthy run)")
             results["bench"] = {"ok": False, "skipped": "loadavg"}
         else:
-            results["bench"] = _run("bench", [py, "bench.py"])
+            results["bench"], bench_out = _run("bench", [py, "bench.py"])
+            if results["bench"]["ok"]:
+                results["bench_compare"] = _bench_compare_block(tag, bench_out)
+                # an untrusted (load-gated) comparison isn't a failure,
+                # but a hard min-of-passes regression on an idle box is
+                results["bench_compare"]["ok"] = not results[
+                    "bench_compare"
+                ].get("hard_regression", False)
+                n_flags = len(results["bench_compare"].get("flags", []))
+                print(
+                    f"  bench_compare: "
+                    f"{'OK' if results['bench_compare']['ok'] else 'REGRESSION'}"
+                    f" vs {results['bench_compare'].get('against')}"
+                    f" ({n_flags} flags)"
+                )
     results["all_ok"] = all(
         v.get("ok") for k, v in results.items() if isinstance(v, dict)
     )
