@@ -112,11 +112,13 @@ def _evidence_scores() -> dict[str, tuple[int, int]]:
 # Spliced in at the head of the zero-green group (ahead of
 # never-checked queries). Refresh (or empty) this tuple each round from
 # the latest VERDICT.md.
-# Round 8: EMPTY per the r7 verdict — the 8 round-6 reds re-greened
-# under the driver's hash in CORRECTNESS_r07 (50/50) and must no longer
-# outrank the 59 never-driver-checked round-7b/8 queries, which now fill
-# the whole 50-slot window via the (n_green, n_checked) sort.
-_JUDGE_RECHECK: tuple[str, ...] = ()
+# Round 9: the r8 verdict's item #2 requires a green CORRECTNESS row
+# for jpeg_pixel_stats THIS round (the baseline-JPEG codec's first
+# driver-hash evidence); as the newest registrant it would otherwise
+# sort behind the 58-query backlog and miss the 50-slot window. The
+# splice displaces exactly one backlog query (49 of 58 + jpeg fill the
+# window; the rest clear in round 10, union 382/382).
+_JUDGE_RECHECK: tuple[str, ...] = ("jpeg_pixel_stats",)
 
 
 def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
