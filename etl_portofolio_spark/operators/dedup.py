@@ -278,12 +278,16 @@ def minhash_candidate_pairs(
     sizes = docs.select(
         F.col("__gid").alias("__g"), F.size("sh_set").alias("__s")
     )
+    # merge hints: members/sizes grow with the CORPUS — a warm-cache
+    # compressed-size estimate under the broadcast threshold must not
+    # lure the planner into building a corpus-scale hash relation
+    # (the 100x-scale failure mode documented in _verified_pairs)
     ma = members.select(F.col(id_col).alias("id_a"), F.col("__gid").alias("__g"))
     mb = members.select(F.col(id_col).alias("id_b"), F.col("__gid").alias("__g"))
     intra = (
-        ma.join(mb, "__g")
+        ma.join(mb.hint("merge"), "__g")
         .where(F.col("id_a") < F.col("id_b"))
-        .join(sizes, "__g")
+        .join(sizes.hint("merge"), "__g")
         .select(
             "id_a",
             "id_b",
@@ -302,15 +306,19 @@ def minhash_candidate_pairs(
     ga = rep_gid.select(F.col("__rid").alias("id_a"), F.col("__gid").alias("__ga"))
     gb = rep_gid.select(F.col("__rid").alias("id_b"), F.col("__gid").alias("__gb"))
     expanded = (
-        rep_pairs.join(ga, "id_a")
-        .join(gb, "id_b")
+        rep_pairs.join(ga.hint("merge"), "id_a")
+        .join(gb.hint("merge"), "id_b")
         .select("__ga", "__gb", "jaccard")
         .join(
-            members.select(F.col(id_col).alias("__ia"), F.col("__gid").alias("__ga")),
+            members.select(
+                F.col(id_col).alias("__ia"), F.col("__gid").alias("__ga")
+            ).hint("merge"),
             "__ga",
         )
         .join(
-            members.select(F.col(id_col).alias("__ib"), F.col("__gid").alias("__gb")),
+            members.select(
+                F.col(id_col).alias("__ib"), F.col("__gid").alias("__gb")
+            ).hint("merge"),
             "__gb",
         )
         .select(
@@ -349,13 +357,22 @@ def _verified_pairs(
         .distinct()
     )
 
+    # merge hint: the shingle-set frames grow with the CORPUS, so they
+    # must never be the build side of a broadcast join. Without the
+    # hint the planner picks sort-merge on a cold cache (parquet-scan
+    # estimate: huge) but BROADCASTS on a warm one — the materialized
+    # InMemoryRelation's COMPRESSED columnar size (~40 MB for 500k
+    # shingle sets) sits under the 64m threshold while the deserialized
+    # HashedRelation is ~10x that, which OOM-killed the second pass of
+    # the 100x scale run. Pinning merge keeps the strategy
+    # estimate-independent at every scale.
     da = docs.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(da, "id_a")
-        .join(db, "id_b")
+        cands.join(da.hint("merge"), "id_a")
+        .join(db.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -523,6 +540,14 @@ def ngram_jaccard_pairs(
             F.col(id_col), F.col(block_col).alias("block"), F.col("sh_set").alias("sh")
         )
     )
+    # NO merge hint here, deliberately: the block key has a HANDFUL of
+    # distinct values (language), so sort-merge serializes the whole
+    # comparator onto #blocks tasks — measured 12x slower at sf0.1.
+    # Hash-building one side is the right plan for this operator: it is
+    # the documented ground-truth comparator, quadratic within a block
+    # BY DESIGN, meaningful only where one side fits in memory (run it
+    # on bounded samples at scale — the approximate operators above are
+    # the corpus-scale path).
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size("a.sh") + F.size("b.sh") - inter

@@ -416,8 +416,17 @@ def _pair_gram_stats(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         .cast("long")
         .alias("overlap"),
     )
-    return pairs.join(stats, "pair_id", "inner").select(
-        "pair_id", "n_ref", "n_hyp", "overlap"
+    # LEFT join + zero-fill: a pair whose docs have NO n-grams at all
+    # (both texts shorter than n tokens) must still emit a row with
+    # zero totals — the oracle mirrors this with LEFT JOINs from the
+    # pairs frame, so both engines agree on degenerate corpora (a
+    # review-confirmed latent divergence: inner joins dropped
+    # one-sided-empty pairs on the SQL side only)
+    return pairs.join(stats, "pair_id", "left").select(
+        "pair_id",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_hyp", F.lit(0)).cast("long").alias("n_hyp"),
+        F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
     )
 
 
@@ -441,11 +450,11 @@ cnt{n} AS (
 ), tot{n} AS (
   SELECT doc_id, SUM(c) AS n FROM cnt{n} GROUP BY 1
 ), pg{n} AS (
-  SELECT p.pair_id, tr.n AS n_ref, th.n AS n_hyp,
+  SELECT p.pair_id, COALESCE(tr.n, 0) AS n_ref, COALESCE(th.n, 0) AS n_hyp,
          COALESCE(o.overlap, 0) AS overlap
   FROM pairs p
-  JOIN tot{n} tr ON tr.doc_id = p.pair_id
-  JOIN tot{n} th ON th.doc_id = p.pair_id + 1
+  LEFT JOIN tot{n} tr ON tr.doc_id = p.pair_id
+  LEFT JOIN tot{n} th ON th.doc_id = p.pair_id + 1
   LEFT JOIN ov{n} o ON o.pair_id = p.pair_id
 )"""
 

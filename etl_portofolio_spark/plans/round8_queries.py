@@ -951,6 +951,7 @@ def q_groupwise_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "event_share_permille",
+            # bounded: over () on the 5-row fold manifest
             F.expr(
                 "(1000 * n_events) div (sum(n_events) over ())"
             ).cast("long"),
@@ -1848,7 +1849,9 @@ def q_stratified_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ate_c",
+            # bounded: over () on the stratum panel (bounded value domain)
             F.expr(
+                # bounded: same stratum panel
                 "sum((n1 + n0) * (sum1_c div n1 - sum0_c div n0)) over ()"
                 " div sum(n1 + n0) over ()"
             ).cast("long"),
@@ -3284,12 +3287,14 @@ def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "hrw_moved_permille",
+            # bounded: over () on the <= 7 node rollup rows
             F.expr(
                 "(1000 * sum(moved_hrw) over ()) div sum(keys_after) over ()"
             ).cast("long"),
         )
         .withColumn(
             "mod_moved_permille",
+            # bounded: same node rollup
             F.expr(
                 "(1000 * sum(moved_mod) over ()) div sum(keys_after) over ()"
             ).cast("long"),

@@ -127,12 +127,22 @@ def test_jpeg_pixel_stats_replayed_per_doc(spark):
 # ---------------------------------------------------------------------------
 
 
+def _toks(txt: str) -> list[str]:
+    """Replay tokenizer matching BOTH engines' regexp-split semantics:
+    split('', r'\\s+') yields one '' token (wc=1), unlike Python's
+    str.split() which yields [] — a review-confirmed divergence on
+    empty/whitespace-only documents."""
+    import re
+
+    return re.split(r"\s+", txt.strip().lower())
+
+
 def _flags():
     out = []
     for txt, nc in duckdb.sql(
         f"SELECT text, n_chars FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchall():
-        wc = len(txt.strip().lower().split())
+        wc = len(_toks(txt))
         out.append((int(wc >= 64), int(nc >= 384), int(nc >= 6 * wc)))
     return out
 
@@ -190,7 +200,7 @@ def _gram_counts_py(toks, n):
 
 
 def _pair_stats_py(n):
-    toks = [t.strip().lower().split() for t in _texts()]
+    toks = [_toks(t) for t in _texts()]
     out = {}
     for i in range(len(toks) - 1):
         ref, hyp = _gram_counts_py(toks[i], n), _gram_counts_py(toks[i + 1], n)
@@ -212,8 +222,13 @@ def test_rouge_replayed_from_raw_rows(spark):
         n_ref_b, _, ov_b = bi[row["pair_id"]]
         assert (row["n_ref_uni"], row["ov_uni"]) == (n_ref_u, ov_u)
         assert (row["n_ref_bi"], row["ov_bi"]) == (n_ref_b, ov_b)
-        assert row["rouge1_permicro"] == ov_u * 1_000_000 // n_ref_u
-        assert row["rouge2_permicro"] == ov_b * 1_000_000 // n_ref_b
+        # nullif semantics: a reference with no n-grams yields NULL
+        assert row["rouge1_permicro"] == (
+            ov_u * 1_000_000 // n_ref_u if n_ref_u else None
+        )
+        assert row["rouge2_permicro"] == (
+            ov_b * 1_000_000 // n_ref_b if n_ref_b else None
+        )
 
 
 def test_bleu_replayed_from_raw_rows(spark):
@@ -245,3 +260,66 @@ def test_bleu_replayed_from_raw_rows(spark):
     assert 0 <= row["p1_permicro"] <= 1_000_000
     assert 0 <= row["p2_permicro"] <= 1_000_000
     assert 0 < row["bp_permicro"] <= 1_000_000
+
+
+def test_rouge_bleu_degenerate_corpus_engines_agree(spark, tmp_path):
+    """Review-confirmed latent divergence, pinned: a corpus containing a
+    single-token document (zero bigrams) must produce the SAME pair set
+    on both engines — the oracle's totals joins are LEFT from the pairs
+    frame and the Spark plan zero-fills, so one-sided-empty and
+    both-sided-empty pairs survive with n_ref_bi=0/NULL recall rather
+    than silently vanishing from one engine only."""
+    import pandas as pd
+
+    from etl_portofolio_spark.plans.round11_queries import (
+        ROUND11_QUERIES,
+        q_rouge_ngram_overlap,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c", "x", "y", "p q r"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [5, 1, 1, 5],
+        }
+    )
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    rows = {
+        r["pair_id"]: r.asDict()
+        for r in q_rouge_ngram_overlap(spark, str(d)).collect()
+    }
+    # pairs 0 (3-tok ref, 1-tok hyp), 1 (1-tok/1-tok), 2 (1-tok ref,
+    # 3-tok hyp) must ALL be present; bigram refs are empty for 1/2
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["n_ref_bi"] == 2 and rows[0]["rouge2_permicro"] == 0
+    assert rows[1]["n_ref_bi"] == 0 and rows[1]["rouge2_permicro"] is None
+    assert rows[2]["n_ref_bi"] == 0 and rows[2]["rouge2_permicro"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    rel = con.execute(ROUND11_QUERIES["rouge_ngram_overlap"][1])
+    cols = [c[0] for c in rel.description]
+    duck = {r[cols.index("pair_id")]: dict(zip(cols, r)) for r in rel.fetchall()}
+    assert set(duck) == {0, 1, 2}
+    for pid, row in rows.items():
+        for c in ("n_ref_uni", "ov_uni", "n_ref_bi", "ov_bi",
+                  "rouge1_permicro", "rouge2_permicro"):
+            assert duck[pid][c] == row[c], (pid, c, duck[pid][c], row[c])
+
+    # BLEU on the same corpus: the single global row must agree too
+    bleu_fn, bleu_sql = ROUND11_QUERIES["bleu_ngram_precision"]
+    srow = bleu_fn(spark, str(d)).collect()[0].asDict()
+    rel = con.execute(bleu_sql)
+    cols = [c[0] for c in rel.description]
+    drow = dict(zip(cols, rel.fetchone()))
+    for c in ("m1", "t1", "m2", "t2", "ref_len", "hyp_len",
+              "p1_permicro", "p2_permicro", "bp_permicro", "bleu_permicro"):
+        assert drow[c] == srow[c], (c, drow[c], srow[c])

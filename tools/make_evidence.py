@@ -67,20 +67,38 @@ def _bench_compare_block(tag: str, bench_out: str) -> dict:
     sys.path.insert(0, REPO)
     from tools.bench_compare import compare, _load
 
-    prior = sorted(
-        (p for p in glob.glob(os.path.join(REPO, "bench_builder_*.json"))),
-        key=os.path.getmtime,
-    )
+    # baseline selection: the committed bench_builder_LATEST pointer
+    # (stable across clones — file mtimes are checkout artifacts and a
+    # glob-by-mtime can silently pick an ancient baseline on a fresh
+    # clone); mtime ordering is only the bootstrap fallback
     artifact = os.path.join(REPO, f"bench_builder_{tag}_idle.json")
+    pointer = os.path.join(REPO, "bench_builder_LATEST")
+    against = None
+    if os.path.exists(pointer):
+        cand = os.path.join(REPO, open(pointer).read().strip())
+        if os.path.exists(cand) and os.path.abspath(cand) != os.path.abspath(
+            artifact
+        ):
+            against = cand
+    if against is None:
+        prior = sorted(
+            (
+                p
+                for p in glob.glob(os.path.join(REPO, "bench_builder_*.json"))
+                if os.path.abspath(p) != os.path.abspath(artifact)
+            ),
+            key=os.path.getmtime,
+        )
+        against = prior[-1] if prior else None
     lines = [
         l for l in bench_out.splitlines() if l.strip().startswith("{")
     ]
     with open(artifact, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    prior = [p for p in prior if os.path.abspath(p) != os.path.abspath(artifact)]
-    if not prior:
+    with open(pointer, "w") as fh:
+        fh.write(os.path.basename(artifact) + "\n")
+    if against is None:
         return {"against": None, "note": "no prior idle artifact found"}
-    against = prior[-1]
     report = compare(_load(against), _load(artifact), threshold=1.5)
     return {
         "against": os.path.basename(against),
@@ -122,11 +140,17 @@ def main() -> int:
             time.sleep(30)
             waited += 30
         if os.getloadavg()[0] > 2.0:
+            # a skip is NEUTRAL for all_ok (external load isn't a code
+            # failure) but must be self-evident: the artifact carries a
+            # top-level `skipped` list and NO bench/bench_compare data,
+            # so "all_ok with bench skipped" can never read as
+            # "full-ladder green" (review finding r9)
             print(
                 f"  bench: SKIPPED (loadavg {os.getloadavg()[0]:.1f} after "
                 f"{waited}s wait — external load, not ours; neutral result)"
             )
             results["bench"] = {"ok": True, "skipped": "loadavg", "waited_s": waited}
+            results.setdefault("skipped", []).append("bench")
         else:
             if waited:
                 print(f"  bench: waited {waited}s for loadavg to settle")
@@ -148,6 +172,13 @@ def main() -> int:
     results["all_ok"] = all(
         v.get("ok") for k, v in results.items() if isinstance(v, dict)
     )
+    if results.get("skipped"):
+        # keep the headline honest: a ladder with skipped stages is
+        # "green except <stages>", never plain green
+        results["all_ok_note"] = (
+            "all_ok covers only the stages that RAN; skipped: "
+            + ", ".join(results["skipped"])
+        )
     out = os.path.join(REPO, f"EVIDENCE_{tag}.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)

@@ -41,15 +41,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "etl_portofolio_spark")
 
-#: call-site patterns that plan as a single-partition WindowExec
+#: call-site patterns that plan as a single-partition WindowExec,
+#: matched over the WHOLE FILE TEXT (not per line — a multi-line
+#: `Window.partitionBy(\n F.lit(1))` or `Window\n .orderBy(` must not
+#: evade the gate; review finding r9):
+#: - `Window.orderBy(` directly on the Window class (a chained
+#:   `partitionBy(...).orderBy(` never matches — it is preceded by `)`)
+#: - `Window.partitionBy(F.lit(1))` in any whitespace layout
+#: - SQL `OVER ()` and `OVER (ORDER BY ...)` (ordered but
+#:   partitionless) inside Spark F.expr strings, any case
 _PATTERNS = (
-    re.compile(r"Window\.orderBy\("),
-    re.compile(r"Window\.partitionBy\(F\.lit\(1\)\)"),
-    re.compile(r"OVER\s*\(\s*\)"),
+    re.compile(r"Window\s*\.\s*orderBy\s*\("),
+    re.compile(r"Window\s*\.\s*partitionBy\s*\(\s*F\.lit\(\s*1\s*\)\s*\)"),
+    re.compile(r"OVER\s*\(\s*\)", re.IGNORECASE),
+    re.compile(r"OVER\s*\(\s*ORDER\s+BY", re.IGNORECASE),
 )
-#: a Window.orderBy line that is actually partitioned (chained after
-#: partitionBy on the same line) is not a global window
-_PARTITIONED = re.compile(r"Window\.partitionBy\((?!F\.lit\(1\))")
 
 
 def _enclosing(tree: ast.Module, lineno: int):
@@ -89,22 +95,24 @@ def _sites():
             except SyntaxError:
                 continue
             module_doc = ast.get_docstring(tree) or ""
-            for i, line in enumerate(lines, start=1):
-                if not any(p.search(line) for p in _PATTERNS):
-                    continue
-                if _PARTITIONED.search(line):
-                    continue
-                # oracle SQL strings aren't Spark plans: skip OVER ()
-                # hits inside module-level *_SQL constants (no enclosing
-                # function) — DuckDB runs those, not Spark... UNLESS the
-                # module docstring opts in. Enclosed Spark F.expr OVER ()
-                # is always audited.
+            hits: dict[int, bool] = {}  # line -> is_over (SQL-text hit)
+            for pi, p in enumerate(_PATTERNS):
+                for m in p.finditer(src):
+                    ln = src.count("\n", 0, m.start()) + 1
+                    hits[ln] = hits.get(ln, False) or pi >= 2
+            for i in sorted(hits):
+                line = lines[i - 1]
+                is_over = hits[i]
                 fn = _enclosing(tree, i)
-                if "OVER" in line and fn is None:
+                # OVER hits in DuckDB-side SQL aren't Spark plans: skip
+                # module-level *_SQL constants (no enclosing function)
+                # and oracle-SQL builder functions; Spark F.expr OVER ()
+                # inside a query builder is always audited
+                if is_over and fn is None:
                     continue
                 if _in_docstring(fn, i):
                     continue
-                if "OVER" in line and fn is not None and (
+                if is_over and fn is not None and (
                     "oracle" in fn.name.lower() or "sql" in fn.name.lower()
                 ):
                     continue
