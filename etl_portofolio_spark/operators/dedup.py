@@ -278,16 +278,19 @@ def minhash_candidate_pairs(
     sizes = docs.select(
         F.col("__gid").alias("__g"), F.size("sh_set").alias("__s")
     )
-    # merge hints: members/sizes grow with the CORPUS — a warm-cache
-    # compressed-size estimate under the broadcast threshold must not
-    # lure the planner into building a corpus-scale hash relation
-    # (the 100x-scale failure mode documented in _verified_pairs)
+    # NO merge hints on the expansion joins, deliberately: these frames
+    # are (long, md5-string) rows that cache at ~1:1 compression, so the
+    # broadcast threshold honestly tracks their hash-relation size — the
+    # warm-cache trap needs the ~10:1 array compression of the shingle
+    # frames (see _verified_pairs). Forcing merge here serialized the
+    # hot-group expansion of the skew bench 2.4x (one sorted partition
+    # per duplicate group) where the broadcast plan parallelizes it.
     ma = members.select(F.col(id_col).alias("id_a"), F.col("__gid").alias("__g"))
     mb = members.select(F.col(id_col).alias("id_b"), F.col("__gid").alias("__g"))
     intra = (
-        ma.join(mb.hint("merge"), "__g")
+        ma.join(mb, "__g")
         .where(F.col("id_a") < F.col("id_b"))
-        .join(sizes.hint("merge"), "__g")
+        .join(sizes, "__g")
         .select(
             "id_a",
             "id_b",
@@ -306,19 +309,15 @@ def minhash_candidate_pairs(
     ga = rep_gid.select(F.col("__rid").alias("id_a"), F.col("__gid").alias("__ga"))
     gb = rep_gid.select(F.col("__rid").alias("id_b"), F.col("__gid").alias("__gb"))
     expanded = (
-        rep_pairs.join(ga.hint("merge"), "id_a")
-        .join(gb.hint("merge"), "id_b")
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
         .select("__ga", "__gb", "jaccard")
         .join(
-            members.select(
-                F.col(id_col).alias("__ia"), F.col("__gid").alias("__ga")
-            ).hint("merge"),
+            members.select(F.col(id_col).alias("__ia"), F.col("__gid").alias("__ga")),
             "__ga",
         )
         .join(
-            members.select(
-                F.col(id_col).alias("__ib"), F.col("__gid").alias("__gb")
-            ).hint("merge"),
+            members.select(F.col(id_col).alias("__ib"), F.col("__gid").alias("__gb")),
             "__gb",
         )
         .select(
