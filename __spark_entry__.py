@@ -112,13 +112,12 @@ def _evidence_scores() -> dict[str, tuple[int, int]]:
 # Spliced in at the head of the zero-green group (ahead of
 # never-checked queries). Refresh (or empty) this tuple each round from
 # the latest VERDICT.md.
-# Round 9: the r8 verdict's item #2 requires a green CORRECTNESS row
-# for jpeg_pixel_stats THIS round (the baseline-JPEG codec's first
-# driver-hash evidence); as the newest registrant it would otherwise
-# sort behind the 58-query backlog and miss the 50-slot window. The
-# splice displaces exactly one backlog query (49 of 58 + jpeg fill the
-# window; the rest clear in round 10, union 382/382).
-_JUDGE_RECHECK: tuple[str, ...] = ("jpeg_pixel_stats",)
+# Round 10: empty — jpeg_pixel_stats went green in r9 and the r9
+# verdict's item #1 is exactly what the default ordering already does:
+# the 13 never-checked queries lead the rotation, new registrants sort
+# right behind them (0 green, 0 checked, later registration), and the
+# 50-slot window clears the union to registry size.
+_JUDGE_RECHECK: tuple[str, ...] = ()
 
 
 def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -18,6 +18,7 @@ inside the measured run.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -243,8 +244,18 @@ def render_contract_line(timings: dict[str, float], sf: float, passes: int) -> s
     in the preceding headline_detail line). Unit-tested to stay under
     1,800 chars at 400 queries (tests/test_bench_contract.py).
     """
+    def _short(name: str) -> str:
+        # per-name truncation keeps the line bounded, but a plain
+        # prefix cut makes two queries sharing a 40-char prefix
+        # indistinguishable in the driver artifact — keep a short
+        # content hash suffix so truncated names stay unique
+        if len(name) <= 40:
+            return name
+        digest = hashlib.md5(name.encode()).hexdigest()[:5]
+        return name[:34] + "~" + digest
+
     top10 = [
-        name[:40]
+        _short(name)
         for name, _ in sorted(
             timings.items(), key=lambda kv: (-kv[1], kv[0])
         )[:10]

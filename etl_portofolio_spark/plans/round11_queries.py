@@ -217,8 +217,12 @@ def q_mcnemar_paired_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("chi2_permille"),
+        # greatest(..., 0): the continuity correction is clamped at
+        # zero in the n10 == n01 degenerate (conventional definition;
+        # unclamped, |n10-n01|-1 = -1 squares to a spurious 1)
         F.expr(
-            "(abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000"
+            "greatest(abs(n10 - n01) - 1, 0)"
+            " * greatest(abs(n10 - n01) - 1, 0) * 1000"
             " div nullif(n10 + n01, 0)"
         )
         .cast("long")
@@ -242,8 +246,8 @@ WITH flags AS (
 SELECT n_docs, n10, n01,
        (n10 - n01) * (n10 - n01) * 1000 // nullif(n10 + n01, 0)
          AS chi2_permille,
-       (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000
-         // nullif(n10 + n01, 0) AS chi2_cc_permille
+       greatest(abs(n10 - n01) - 1, 0) * greatest(abs(n10 - n01) - 1, 0)
+         * 1000 // nullif(n10 + n01, 0) AS chi2_cc_permille
 FROM tab
 """,
     "n_docs",

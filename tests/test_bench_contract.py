@@ -71,6 +71,51 @@ def test_contract_line_top10_names_only_fixed_count():
     timings["x" * 100] = 99.0
     rec = json.loads(bench.render_contract_line(timings, sf=0.1, passes=3))
     assert len(rec["top10"]) == 10
-    assert rec["top10"][0] == "x" * 40  # most expensive, truncated
+    # most expensive: truncated to 34-char prefix + ~ + 5-hex digest
+    assert rec["top10"][0].startswith("x" * 34 + "~")
+    assert len(rec["top10"][0]) == 40
     assert rec["top10"][1:4] == ["q19", "q18", "q17"]
     assert all(isinstance(n, str) for n in rec["top10"])
+
+
+def test_contract_line_top10_truncation_stays_unique():
+    """Two queries sharing a 40-char prefix must remain distinguishable
+    in the driver artifact (r9-advice): the hash suffix disambiguates."""
+    shared = "shared_prefix_" + "a" * 40
+    timings = {shared + "_one": 9.0, shared + "_two": 8.0}
+    rec = json.loads(bench.render_contract_line(timings, sf=0.1, passes=1))
+    assert len(set(rec["top10"])) == 2
+    assert all(len(n) == 40 for n in rec["top10"])
+
+
+def test_bench_compare_drift_canary_gates_phantom_flags():
+    """r9 verdict item #3: when the never-touched canary queries move
+    >25% between records, every REGRESSION verdict downgrades to a
+    re-bench annotation and the exit stays 0 — no more hand-adjudicating
+    phantom flags from ambient host drift."""
+    import tools.bench_compare as bc
+
+    def rec(spread):
+        return {
+            "metric": "headline_detail",
+            "loadavg_before": [0.5, 0.5, 0.5],
+            "spread": spread,
+        }
+
+    canary = bc.CANARIES[0]
+    old = rec({canary: [0.50, 0.55, 0.60], "big": [2.0, 2.1, 2.2]})
+    # canary +60% on untouched code => drift; big's 1.75x must not be hard
+    new = rec({canary: [0.80, 0.85, 0.90], "big": [3.5, 3.6, 3.7]})
+    out = bc.compare(old, new, threshold=1.5)
+    assert out["canary"]["drifted"] is True
+    assert out["load_gated"] is False
+    assert out["gated"] is True
+    assert out["hard_regression"] is False
+    flagged = {f["query"]: f["verdict"] for f in out["flags"]}
+    assert "canary drift" in flagged["big"]
+
+    # stable canaries: the same regression IS hard
+    new_stable = rec({canary: [0.51, 0.56, 0.61], "big": [3.5, 3.6, 3.7]})
+    out2 = bc.compare(old, new_stable, threshold=1.5)
+    assert out2["canary"]["drifted"] is False
+    assert out2["hard_regression"] is True

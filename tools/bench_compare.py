@@ -14,8 +14,14 @@ to re-derive "that +15% was load":
   verdict when either record was captured on a busy box (1-min
   loadavg > 25% of the bench's 32 CPUs) — ratios from a gated record
   are annotated as untrustworthy rather than silently compared;
+- a DRIFT CANARY (r9 verdict item #3): three never-touched control
+  queries are ratio-checked first; if any moves >25% the host drifted
+  BETWEEN captures (thermal/clock drift the at-capture loadavg gate
+  cannot see) and the record is annotated drift-untrusted instead of
+  emitting phantom flags;
 - exits 1 only on a hard regression: the min-of-passes ratio exceeds
-  the threshold AND neither record is load-gated.
+  the threshold AND the comparison is neither load-gated nor
+  canary-drifted.
 
 Accepts three record shapes: the bench's `headline_detail` line (has
 `spread`), the legacy contract line (has `queries` medians), and the
@@ -62,11 +68,43 @@ def _load_gated(rec: dict) -> bool:
 #: queries are scheduler noise, not plan changes (r9b triage lesson)
 MIN_ABS_DELTA_S = 0.25
 
+#: drift canaries (r9 verdict item #3): stable, never-touched control
+#: queries whose code has not changed since round 2. When their
+#: min-of-passes moves more than CANARY_TOL between the two records,
+#: the HOST drifted between captures (the loadavg gate only sees load
+#: present AT capture time, not a slower-clocked / thermally-throttled
+#: window) — the whole comparison is annotated drift-untrusted instead
+#: of flagging phantom regressions a human then has to adjudicate.
+CANARIES = ("agg_pricing_summary", "window_top_orders", "join_region_revenue")
+CANARY_TOL = 0.25
+
+
+def _canary_verdict(
+    old_min: dict[str, float], new_min: dict[str, float]
+) -> dict:
+    moves = {}
+    for q in CANARIES:
+        if q in old_min and q in new_min and old_min[q] > 0:
+            moves[q] = round(new_min[q] / old_min[q], 3)
+    drifted = any(abs(r - 1.0) > CANARY_TOL for r in moves.values())
+    return {
+        "queries": moves,
+        "tolerance": CANARY_TOL,
+        "drifted": drifted,
+        "note": (
+            "canary min-of-passes moved >25% on untouched code — "
+            "host conditions differ between records; ratios are "
+            "drift-untrusted" if drifted else "canaries stable"
+        ),
+    }
+
 
 def compare(old: dict, new: dict, threshold: float) -> dict:
     old_min, old_med = _per_query(old)
     new_min, new_med = _per_query(new)
-    gated = _load_gated(old) or _load_gated(new)
+    canary = _canary_verdict(old_min, new_min)
+    load_gated = _load_gated(old) or _load_gated(new)
+    gated = load_gated or canary["drifted"]
     common = sorted(set(old_min) & set(new_min))
     ratios: dict[str, float] = {}
     flags: list[dict] = []
@@ -93,7 +131,12 @@ def compare(old: dict, new: dict, threshold: float) -> dict:
                     "REGRESSION (min-of-passes)"
                     if regressed and not gated
                     else (
-                        "regression? (record load-gated, re-bench idle)"
+                        (
+                            "regression? (canary drift — re-bench under "
+                            "matched conditions)"
+                            if canary["drifted"]
+                            else "regression? (record load-gated, re-bench idle)"
+                        )
                         if regressed
                         else "improvement"
                     )
@@ -106,7 +149,11 @@ def compare(old: dict, new: dict, threshold: float) -> dict:
         "old_loadavg": old.get("loadavg_before"),
         "new_loadavg": new.get("loadavg_before"),
         "load_gate": LOAD_GATE,
-        "load_gated": gated,
+        "load_gated": load_gated,
+        "canary": canary,
+        # either gate (loadavg at capture, or canary drift between
+        # captures) downgrades REGRESSION verdicts to "re-bench"
+        "gated": gated,
         # a record without `spread` degrades to median==min — its
         # ratios lose the load robustness the min signal provides
         "old_has_spread": bool(old.get("spread")),

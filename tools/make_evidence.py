@@ -95,11 +95,24 @@ def _bench_compare_block(tag: str, bench_out: str) -> dict:
     ]
     with open(artifact, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    if against is None:
+        with open(pointer, "w") as fh:
+            fh.write(os.path.basename(artifact) + "\n")
+        return {"against": None, "note": "no prior idle artifact found"}
+    # compare BEFORE repointing LATEST: a corrupt prior artifact must
+    # surface as a failed block, not crash the ladder after the pointer
+    # already moved (r9-advice)
+    try:
+        report = compare(_load(against), _load(artifact), threshold=1.5)
+    except Exception as exc:  # noqa: BLE001 — any parse/shape failure
+        return {
+            "against": os.path.basename(against),
+            "artifact": os.path.basename(artifact),
+            "ok": False,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
     with open(pointer, "w") as fh:
         fh.write(os.path.basename(artifact) + "\n")
-    if against is None:
-        return {"against": None, "note": "no prior idle artifact found"}
-    report = compare(_load(against), _load(artifact), threshold=1.5)
     return {
         "against": os.path.basename(against),
         "artifact": os.path.basename(artifact),
@@ -141,15 +154,18 @@ def main() -> int:
             waited += 30
         if os.getloadavg()[0] > 2.0:
             # a skip is NEUTRAL for all_ok (external load isn't a code
-            # failure) but must be self-evident: the artifact carries a
-            # top-level `skipped` list and NO bench/bench_compare data,
-            # so "all_ok with bench skipped" can never read as
-            # "full-ladder green" (review finding r9)
+            # failure) but must be self-evident: the bench stage records
+            # only {skipped, reason, waited_s} — no "ok" key, so the
+            # all_ok fold never counts a stage that did not run — plus
+            # the top-level `skipped` list and all_ok_note (r9-advice)
             print(
                 f"  bench: SKIPPED (loadavg {os.getloadavg()[0]:.1f} after "
                 f"{waited}s wait — external load, not ours; neutral result)"
             )
-            results["bench"] = {"ok": True, "skipped": "loadavg", "waited_s": waited}
+            # no "ok" key at all: a stage that never ran is NEITHER
+            # green nor red — the all_ok fold skips ok-less dicts and
+            # the top-level `skipped` list + all_ok_note carry the story
+            results["bench"] = {"skipped": True, "reason": "loadavg", "waited_s": waited}
             results.setdefault("skipped", []).append("bench")
         else:
             if waited:
@@ -170,7 +186,9 @@ def main() -> int:
                     f" ({n_flags} flags)"
                 )
     results["all_ok"] = all(
-        v.get("ok") for k, v in results.items() if isinstance(v, dict)
+        v.get("ok")
+        for k, v in results.items()
+        if isinstance(v, dict) and "ok" in v  # skipped stages carry no ok
     )
     if results.get("skipped"):
         # keep the headline honest: a ladder with skipped stages is

@@ -19,9 +19,14 @@ or flagged. Two documentation classes:
   scale twin, write-time clustering): a `# global-window: <reason>`
   comment within two lines above the call.
 
-Skipped as non-Spark: `OVER ()` hits inside function docstrings and
-inside oracle-SQL builder functions (name contains `oracle`/`sql` —
-DuckDB executes those strings, not Spark).
+Skipped as non-Spark: `OVER ()` hits inside docstrings, inside a call
+to an `oracle_*` helper (e.g. `oracle_bigint(...)` — DuckDB executes
+those strings, not Spark), or inside an assignment to a `*_SQL` /
+`*_ORACLE`-named constant. The exemption is SPAN-based, not
+name-based: an `F.expr("... OVER ()")` is always audited even inside
+an exempt span or a function whose name merely contains "sql", and a
+module-level `F.expr` constant no longer evades the gate (review
+finding r9-advice).
 
 Usage:
   python tools/window_audit.py            # markdown table to stdout
@@ -81,6 +86,47 @@ def _in_docstring(fn, lineno: int) -> bool:
     return False
 
 
+def _spans(tree: ast.Module) -> tuple[list, list]:
+    """(fexpr_spans, oracle_spans): line ranges of Spark `expr(...)`
+    calls (always audited) vs DuckDB-oracle contexts (exempt) — calls
+    to `oracle_*` helpers and assignments to `*_SQL`/`*_ORACLE` names."""
+    fexpr, oracle = [], []
+    #: oracle-builder FUNCTION names: leading/trailing oracle/sql
+    #: segments only — `_oracle_bm25`, `_hrw_oracle`, `build_sql` match;
+    #: `_build_sql_expr` (sql mid-name) does NOT
+    oracle_fn = re.compile(r"^_*(oracle|sql)_|_(oracle|sql)$", re.IGNORECASE)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            fname = (
+                node.func.attr
+                if isinstance(node.func, ast.Attribute)
+                else node.func.id if isinstance(node.func, ast.Name) else None
+            )
+            if fname == "expr":
+                fexpr.append((node.lineno, node.end_lineno or node.lineno))
+            elif fname and fname.startswith("oracle"):
+                oracle.append((node.lineno, node.end_lineno or node.lineno))
+        elif isinstance(node, ast.Assign):
+            # oracle-SQL CONSTANT names: a leading/trailing SQL or
+            # ORACLE segment (ORACLE_EQUI_DEPTH, _MCNEMAR_SQL, …)
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            if any(
+                n.upper().split("_")[0] in ("SQL", "ORACLE")
+                or n.upper().strip("_").split("_")[0] in ("SQL", "ORACLE")
+                or n.upper().endswith(("SQL", "ORACLE"))
+                for n in names
+            ):
+                oracle.append((node.lineno, node.end_lineno or node.lineno))
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if oracle_fn.search(node.name):
+                oracle.append((node.lineno, node.end_lineno or node.lineno))
+    return fexpr, oracle
+
+
+def _in_spans(spans: list, lineno: int) -> bool:
+    return any(lo <= lineno <= hi for lo, hi in spans)
+
+
 def _sites():
     out = []
     for root, _dirs, files in os.walk(PKG):
@@ -95,6 +141,7 @@ def _sites():
             except SyntaxError:
                 continue
             module_doc = ast.get_docstring(tree) or ""
+            fexpr_spans, oracle_spans = _spans(tree)
             hits: dict[int, bool] = {}  # line -> is_over (SQL-text hit)
             for pi, p in enumerate(_PATTERNS):
                 for m in p.finditer(src):
@@ -104,16 +151,25 @@ def _sites():
                 line = lines[i - 1]
                 is_over = hits[i]
                 fn = _enclosing(tree, i)
-                # OVER hits in DuckDB-side SQL aren't Spark plans: skip
-                # module-level *_SQL constants (no enclosing function)
-                # and oracle-SQL builder functions; Spark F.expr OVER ()
-                # inside a query builder is always audited
-                if is_over and fn is None:
-                    continue
+                # OVER hits in DuckDB-side SQL aren't Spark plans —
+                # but the exemption is SPAN-based: a hit inside an
+                # `expr(...)` call is Spark and is ALWAYS audited; only
+                # hits inside oracle_*(...) calls or *_SQL/*_ORACLE
+                # assignments are skipped. Module level and "sql"-named
+                # helpers get no blanket pass (review finding r9-advice).
                 if _in_docstring(fn, i):
                     continue
-                if is_over and fn is not None and (
-                    "oracle" in fn.name.lower() or "sql" in fn.name.lower()
+                # module docstring prose (fn is None): same non-call rule
+                if fn is None and tree.body and isinstance(
+                    tree.body[0], ast.Expr
+                ) and isinstance(tree.body[0].value, ast.Constant) and (
+                    tree.body[0].lineno
+                    <= i
+                    <= (tree.body[0].end_lineno or tree.body[0].lineno)
+                ):
+                    continue
+                if is_over and not _in_spans(fexpr_spans, i) and _in_spans(
+                    oracle_spans, i
                 ):
                     continue
                 doc = (ast.get_docstring(fn) or "") if fn else module_doc
