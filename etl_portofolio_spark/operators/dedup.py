@@ -24,6 +24,8 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -356,22 +358,28 @@ def _verified_pairs(
         .distinct()
     )
 
-    # merge hint: the shingle-set frames grow with the CORPUS, so they
-    # must never be the build side of a broadcast join. Without the
-    # hint the planner picks sort-merge on a cold cache (parquet-scan
+    # join-strategy hint: the shingle-set frames grow with the CORPUS,
+    # so they must never be the build side of a BROADCAST join. Without
+    # a hint the planner picks sort-merge on a cold cache (parquet-scan
     # estimate: huge) but BROADCASTS on a warm one — the materialized
     # InMemoryRelation's COMPRESSED columnar size (~40 MB for 500k
     # shingle sets) sits under the 64m threshold while the deserialized
     # HashedRelation is ~10x that, which OOM-killed the second pass of
-    # the 100x scale run. Pinning merge keeps the strategy
-    # estimate-independent at every scale.
+    # the 100x scale run. Any estimate-independent strategy avoids the
+    # trap; the r10 A/B (SCALE.md §"round 10") picked SHUFFLE_HASH over
+    # merge: per-partition hash build on the shingle side skips merge's
+    # full sort of both corpus-scale inputs (and Spark 4's SHJ build
+    # side is spillable, so partition-sized builds hold at any corpus
+    # size), recovering most of merge's sf0.1 tax while the 3x warm
+    # 100x passes stay green. Env override for reproducing the A/B.
+    hint = os.environ.get("SPARK_GRAFT_DEDUP_VERIFY_HINT", "shuffle_hash")
     da = docs.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(da.hint("merge"), "id_a")
-        .join(db.hint("merge"), "id_b")
+        cands.join(da.hint(hint), "id_a")
+        .join(db.hint(hint), "id_b")
         .select(
             "id_a",
             "id_b",
