@@ -50,6 +50,7 @@ _PLAN_MODULES: tuple[tuple[str, str], ...] = (
     ("etl_portofolio_spark.plans.round9d_queries", "ROUND9D_QUERIES"),
     ("etl_portofolio_spark.plans.round10_queries", "ROUND10_QUERIES"),
     ("etl_portofolio_spark.plans.round11_queries", "ROUND11_QUERIES"),
+    ("etl_portofolio_spark.plans.round12_queries", "ROUND12_QUERIES"),
 )
 
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -224,6 +224,11 @@ HEADLINE = (
     "cochran_q_heuristics",
     "rouge_ngram_overlap",
     "bleu_ngram_precision",
+    "winnowing_fingerprints",
+    "jensen_shannon_source_drift",
+    "runs_test_revenue",
+    "ks_wasserstein_quantity",
+    "theil_index_nations",
 )
 
 

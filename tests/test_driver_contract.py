@@ -56,7 +56,7 @@ def test_registry_runs_under_plain_driver_session():
 # shrink the registry. Pin the exact size (update per wave) and assert
 # the import-error ledger is empty; a deliberately broken module is
 # exercised below to prove the failure is loud.
-EXPECTED_QUERIES = 382
+EXPECTED_QUERIES = 387
 
 
 def test_registry_size_pinned_and_imports_clean():
@@ -123,6 +123,7 @@ _MODULE_REGISTRATION_ROUND = {
     "round9d_queries": 8,
     "round10_queries": 8,
     "round11_queries": 9,
+    "round12_queries": 10,
 }
 
 
