@@ -1242,7 +1242,12 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(-_XCORR_MAXLAG), F.lit(_XCORR_MAXLAG))
         ).alias("lag")
     )
+    # cast-before-multiply: daily-revenue cents reach ~3e10 at the 100x
+    # corpus, so x*y in BIGINT overflows (~9e20 > 2^63) — the 100x curve
+    # run caught this LOUDLY under ANSI (round 10). decimal(19,0)
+    # operands multiply into decimal(38,0) with no truncation.
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     sums = (
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("da") + F.col("lag") == F.col("db"))
@@ -1251,9 +1256,9 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum(dec(F.col("x"))).alias("__sx"),
             F.sum(dec(F.col("y"))).alias("__sy"),
-            F.sum(dec(F.col("x") * F.col("y"))).alias("__sxy"),
-            F.sum(dec(F.col("x") * F.col("x"))).alias("__sxx"),
-            F.sum(dec(F.col("y") * F.col("y"))).alias("__syy"),
+            F.sum(dec(d19(F.col("x")) * d19(F.col("y")))).alias("__sxy"),
+            F.sum(dec(d19(F.col("x")) * d19(F.col("x")))).alias("__sxx"),
+            F.sum(dec(d19(F.col("y")) * d19(F.col("y")))).alias("__syy"),
         )
     )
     doubles = sums.select(
@@ -1302,9 +1307,12 @@ WITH brandday AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS syy
   FROM a CROSS JOIN lags JOIN b ON a.da + lags.lag = b.db
   GROUP BY lags.lag
 )
