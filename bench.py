@@ -229,6 +229,9 @@ HEADLINE = (
     "runs_test_revenue",
     "ks_wasserstein_quantity",
     "theil_index_nations",
+    "gumbel_block_maxima",
+    "simpson_diversity_sources",
+    "hill_tail_index",
 )
 
 

@@ -1,5 +1,6 @@
-"""Round-12 query wave — five additions (under the ≤8 discipline so the
-driver's 50-slot rotation clears the r9 backlog first):
+"""Round-12 query wave — eight additions, exactly at the ≤8 cap, so the
+driver's 50-slot rotation clears the r9 backlog first (13 backlog +
+these 8 = 21 zero-green heads, 29 recheck slots spare):
 
 - ``winnowing_fingerprints``: MOSS-style winnowing — the LOCAL
   document-fingerprinting algorithm (Schleimer/Wilkerson/Aiken,
@@ -25,6 +26,12 @@ driver's 50-slot rotation clears the r9 backlog first):
   revenue per nation — the decomposable companion to ``revenue_gini``
   (Theil's within-group terms sum to a group-decomposable total; Gini
   does not decompose).
+- ``gumbel_block_maxima``: extreme-value (Gumbel) moment fit on
+  monthly block maxima of daily revenue — EVT capacity planning.
+- ``simpson_diversity_sources``: exact Simpson index of the source mix
+  per language — the concentration audit for corpus mixing.
+- ``hill_tail_index``: Hill estimator of the revenue distribution's
+  power-law tail exponent from the top-k order statistics.
 
 Determinism contract: integer arithmetic on every compared value where
 possible (permille-quantized CDFs, integer runs counts, xor digests);
@@ -648,3 +655,267 @@ GROUP BY n_name
 )
 
 ROUND12_QUERIES["theil_index_nations"] = (q_theil_index_nations, _THEIL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gumbel_block_maxima — extreme-value (EVT) fit on monthly revenue maxima
+# ---------------------------------------------------------------------------
+
+#: Euler-Mascheroni and pi/sqrt(6), embedded as the same Python-computed
+#: literals in both engines (estimator constants, not correctness inputs)
+_EULER_GAMMA = 0.5772156649015329
+
+
+def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit by the method of moments on monthly block maxima of
+    daily revenue — the extreme-value-theory capacity question ("what
+    daily peak should the next month be provisioned for?") beside the
+    anomaly family's z-scores: EVT models the MAXIMA distribution
+    directly instead of the body.
+
+    Block maxima: max daily revenue (integer cents) per calendar
+    month. Moment fit: beta = s·sqrt(6)/pi, mu = m − gamma·beta.
+    Determinism: block maxima are exact integers; the variance clears
+    fractions in DECIMAL ((n·ss − s²) — the round-10 ANOVA staging, no
+    int64 product anywhere); sqrt IS correctly rounded cross-engine
+    (repo rule), and gamma / sqrt(6)/pi enter as identical Python
+    literals, so mu/beta come from one identical double tree, emitted
+    as floor(x + 0.5) integer cents.
+
+    Scale design: one fact-scale combinable day aggregation, then a
+    calendar-bounded month panel (~80 rows) folds to a single row —
+    nothing after the first shuffle grows with data.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("rev_c")
+    )
+    monthly = daily.groupBy(
+        F.trunc("o_orderdate", "month").alias("m")
+    ).agg(F.max("rev_c").alias("mx"))
+    mom = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("mx").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            F.col("mx").cast("decimal(19,0)") * F.col("mx").cast("decimal(19,0)")
+        ).alias("__ss"),
+    )
+    gsq6pi = _EULER_GAMMA, 2.449489742783178 / 3.141592653589793
+    return mom.select(
+        "n_blocks",
+        F.expr("CAST(__s div n_blocks AS BIGINT)").alias("mean_max_c"),
+        F.expr(
+            "CAST(floor(sqrt(CAST((__ss * n_blocks - __s * __s) AS DOUBLE))"
+            " / n_blocks + 0.5) AS BIGINT)"
+        ).alias("std_max_c"),
+        F.expr(
+            f"CAST(floor((sqrt(CAST((__ss * n_blocks - __s * __s) AS DOUBLE))"
+            f" / n_blocks) * {gsq6pi[1]!r} + 0.5) AS BIGINT)"
+        ).alias("beta_c"),
+        F.expr(
+            f"CAST(floor(CAST(__s AS DOUBLE) / n_blocks"
+            f" - {gsq6pi[0]!r} * ((sqrt(CAST((__ss * n_blocks - __s * __s)"
+            f" AS DOUBLE)) / n_blocks) * {gsq6pi[1]!r}) + 0.5) AS BIGINT)"
+        ).alias("mu_c"),
+    )
+
+
+def _gumbel_oracle() -> str:
+    g = repr(_EULER_GAMMA)
+    sq6pi = repr(2.449489742783178 / 3.141592653589793)
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_orderdate
+), monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m, max(rev_c) AS mx
+  FROM daily GROUP BY 1
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         sum(CAST(mx AS DECIMAL(38,0))) AS s,
+         sum(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0))) AS ss
+  FROM monthly
+)
+SELECT n_blocks,
+       CAST(CAST(s AS HUGEINT) // n_blocks AS BIGINT) AS mean_max_c,
+       CAST(floor(sqrt(CAST((ss * n_blocks - s * s) AS DOUBLE))
+            / n_blocks + 0.5) AS BIGINT) AS std_max_c,
+       CAST(floor((sqrt(CAST((ss * n_blocks - s * s) AS DOUBLE))
+            / n_blocks) * {sq6pi} + 0.5) AS BIGINT) AS beta_c,
+       CAST(floor(CAST(s AS DOUBLE) / n_blocks
+            - {g} * ((sqrt(CAST((ss * n_blocks - s * s) AS DOUBLE))
+                      / n_blocks) * {sq6pi}) + 0.5) AS BIGINT) AS mu_c
+FROM mom
+"""
+
+
+ROUND12_QUERIES["gumbel_block_maxima"] = (
+    q_gumbel_block_maxima,
+    _gumbel_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# simpson_diversity_sources — exact Simpson index of source mix per language
+# ---------------------------------------------------------------------------
+
+
+def q_simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity index of the SOURCE composition within each
+    language slice of the corpus — "is this language dominated by one
+    source?", the concentration audit a corpus-mixing pipeline runs
+    before trusting per-language statistics (the HHI's unbiased
+    sampling-without-replacement sibling: D = Σ n_i(n_i−1) / (N(N−1)),
+    the probability two random docs share a source).
+
+    All-integer: counts are exact; products stage through DECIMAL(19,0)
+    → DECIMAL(38,0) (no int64 overflow at any corpus size — the
+    round-10 overflow lesson applied at design time), and the index
+    ships as exact permicro via truncating division.
+
+    Scale design: one fact-scale combinable (lang, source) census; the
+    panel after it is bounded by |langs|·|sources|. No windows.
+    """
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ls = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per_lang = ls.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(d19("c") * (d19("c") - F.lit(1))).alias("__pairs"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.expr(
+            "CAST((__pairs * 1000000) div (CAST(n_docs AS DECIMAL(19,0))"
+            " * (CAST(n_docs AS DECIMAL(19,0)) - 1)) AS BIGINT)"
+        ).alias("simpson_permicro"),
+    )
+
+
+_SIMPSON_SQL = oracle_bigint(
+    """
+WITH ls AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+), per_lang AS (
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_sources,
+         sum(CAST(c AS DECIMAL(19,0)) * (CAST(c AS DECIMAL(19,0)) - 1))
+           AS pairs
+  FROM ls GROUP BY lang
+)
+SELECT lang, n_docs, n_sources,
+       CAST(CAST(pairs * 1000000 AS HUGEINT) // (CAST(n_docs AS HUGEINT)
+            * (CAST(n_docs AS HUGEINT) - 1)) AS BIGINT)
+         AS simpson_permicro
+FROM per_lang
+""",
+    "n_docs",
+    "n_sources",
+    "simpson_permicro",
+)
+
+ROUND12_QUERIES["simpson_diversity_sources"] = (
+    q_simpson_diversity_sources,
+    _SIMPSON_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index — heavy-tail exponent of the customer-revenue distribution
+# ---------------------------------------------------------------------------
+
+#: order statistics used by the Hill estimator (top-k tail)
+_HILL_K = 100
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of customer revenue:
+    1/alpha = (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest
+    customer totals — the heavy-tail diagnostic beside the Zipf rank
+    fit (word frequencies) and Gini/Theil (inequality): alpha ≈ 1-2
+    means whale customers dominate any sampled aggregate and sketches
+    need tail-aware sizing.
+
+    Determinism: order statistics are exact integers selected by a
+    deterministic (revenue DESC, custkey ASC) top-(k+1); each ln ratio
+    is one identical double tree rounded to 12 and summed as
+    DECIMAL(38,12) (order-free), final values rounded to 6.
+
+    Scale design: per-customer totals are one fact-scale combinable
+    aggregation; the top-(k+1) panel is a TakeOrdered-style bounded
+    head (k = 100 at any corpus size), and everything after runs on
+    that panel. No fact-scale windows or joins.
+    """
+    apply_runtime_confs(spark)
+    from etl_portofolio_spark.plans.analytics_queries import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("x_c")
+    )
+    top = x.orderBy(F.desc("x_c"), F.asc("o_custkey")).limit(_HILL_K + 1)
+    thresh = top.agg(F.min("x_c").alias("x_k1"))
+    terms = (
+        top.crossJoin(F.broadcast(thresh))
+        .where(F.col("x_c") > F.col("x_k1"))
+        .select(
+            "x_k1",
+            F.expr(
+                "CAST(round(ln(CAST(x_c AS DOUBLE) / CAST(x_k1 AS DOUBLE)),"
+                " 12) AS DECIMAL(38, 12))"
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("x_k1").alias("x_k1_c"),
+        F.round(
+            F.sum("term").cast("double") / F.count(F.lit(1)), 6
+        ).alias("inv_alpha"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("term").cast("double"), 6
+        ).alias("alpha"),
+    )
+
+
+_HILL_SQL = oracle_bigint(
+    f"""
+WITH x AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x_c
+  FROM orders GROUP BY o_custkey
+), top AS (
+  SELECT x_c FROM x ORDER BY x_c DESC, o_custkey ASC LIMIT {_HILL_K + 1}
+), thresh AS (
+  SELECT min(x_c) AS x_k1 FROM top
+), terms AS (
+  SELECT x_k1,
+         CAST(round(ln(CAST(x_c AS DOUBLE) / CAST(x_k1 AS DOUBLE)), 12)
+              AS DECIMAL(38, 12)) AS term
+  FROM top, thresh WHERE x_c > x_k1
+)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       max(x_k1) AS x_k1_c,
+       round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS inv_alpha,
+       round(count(*) / CAST(sum(term) AS DOUBLE), 6) AS alpha
+FROM terms
+""",
+    "k_used",
+    "x_k1_c",
+)
+
+ROUND12_QUERIES["hill_tail_index"] = (q_hill_tail_index, _HILL_SQL)

@@ -56,7 +56,7 @@ def test_registry_runs_under_plain_driver_session():
 # shrink the registry. Pin the exact size (update per wave) and assert
 # the import-error ledger is empty; a deliberately broken module is
 # exercised below to prove the failure is loud.
-EXPECTED_QUERIES = 387
+EXPECTED_QUERIES = 390
 
 
 def test_registry_size_pinned_and_imports_clean():

@@ -301,3 +301,78 @@ def test_round12_no_cartesian_or_smj_on_fact_paths(spark):
         assert "CartesianProduct" not in p, q.__name__
     # the nation/group panels must broadcast, never sort-merge
     assert "SortMergeJoin" not in _plan(q_theil_index_nations(spark, SF_DIR))
+
+
+# ---------------------------------------------------------------------------
+# gumbel_block_maxima / simpson_diversity_sources / hill_tail_index
+# ---------------------------------------------------------------------------
+
+
+def test_gumbel_replay():
+    rows = _duck(
+        "SELECT date_trunc('month', o_orderdate) AS m,"
+        " max(rev_c) AS mx FROM (SELECT o_orderdate,"
+        " CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)"
+        " AS rev_c FROM orders GROUP BY 1) GROUP BY 1"
+    )
+    mx = [r[1] for r in rows]
+    n, s, ss = len(mx), sum(mx), sum(v * v for v in mx)
+    std = math.sqrt(ss * n - s * s) / n
+    sq6pi = 2.449489742783178 / 3.141592653589793
+    gamma = 0.5772156649015329
+    beta = std * sq6pi
+    mu = s / n - gamma * beta
+    expect = (
+        n,
+        s // n,
+        math.floor(std + 0.5),
+        math.floor(beta + 0.5),
+        math.floor(mu + 0.5),
+    )
+    from etl_portofolio_spark.plans.round12_queries import ROUND12_QUERIES
+
+    row = _duck(ROUND12_QUERIES["gumbel_block_maxima"][1])[0]
+    assert row == expect
+
+
+def test_simpson_replay_and_bounds():
+    rows = _duck(
+        "SELECT lang, source, count(*) FROM documents GROUP BY 1, 2"
+    )
+    by_lang: dict[str, list[int]] = {}
+    for lang, _src, c in rows:
+        by_lang.setdefault(lang, []).append(c)
+
+    from etl_portofolio_spark.plans.round12_queries import ROUND12_QUERIES
+
+    got = {r[0]: r[1:] for r in _duck(ROUND12_QUERIES["simpson_diversity_sources"][1])}
+    assert set(got) == set(by_lang)
+    for lang, cs in by_lang.items():
+        n = sum(cs)
+        pairs = sum(c * (c - 1) for c in cs)
+        # exact integer division — the DECIMAL // float-division trap
+        # in DuckDB is exactly what this replay pins against
+        simpson = (pairs * 1_000_000) // (n * (n - 1))
+        assert got[lang] == (n, len(cs), simpson), lang
+        assert 0 <= simpson <= 1_000_000
+
+
+def test_hill_replay():
+    rows = _duck(
+        "SELECT CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+        " AS BIGINT) AS x FROM orders GROUP BY o_custkey"
+        " ORDER BY x DESC LIMIT 101"
+    )
+    xs = [r[0] for r in rows]
+    xk1 = min(xs)
+    terms = [round(math.log(x / xk1), 12) * 10**12 for x in xs if x > xk1]
+    k = len(terms)
+    inv_alpha = round(round(sum(terms)) / 10**12 / k, 6)
+    alpha = round(k / (round(sum(terms)) / 10**12), 6)
+
+    from etl_portofolio_spark.plans.round12_queries import ROUND12_QUERIES
+
+    row = _duck(ROUND12_QUERIES["hill_tail_index"][1])[0]
+    assert row[0] == k and row[1] == xk1
+    assert abs(row[2] - inv_alpha) < 2e-6
+    assert abs(row[3] - alpha) < 2e-5
