@@ -37,7 +37,7 @@ from etl_portofolio_spark.functions.hashing import (
     minhash_perm,
 )
 from etl_portofolio_spark.operators.text import tokens
-from etl_portofolio_spark.operators.util import spread
+from etl_portofolio_spark.operators.util import spread, spread_by
 
 NUM_MINHASHES = 16
 BAND_ROWS = 4  # 16 hashes / 4 rows = 4 bands
@@ -112,8 +112,15 @@ def shingled_docs(
 ) -> DataFrame:
     """(id[, extra...], sh_set) with the shingle set built in two stages:
     tokenize into a real column, then shingle from that attribute — see
-    :func:`shingles_of` for why. Input is spread across cores first."""
-    tokenized = spread(df).select(
+    :func:`shingles_of` for why. Input is spread across cores first,
+    KEYED on the id: every consumer of a shingle frame re-keys it by
+    document (the signature groupBy, both exact-verification join
+    sides), so a hash(id) spread makes the persisted frame's
+    partitioning satisfy those operators directly — the round-robin
+    spread paid the same exchange and then shuffled the shingle ARRAYS
+    again per consumer (two 3.9 MB array exchanges at sf0.1; r10 stage
+    profile). Same no-op-at-scale contract as :func:`spread`."""
+    tokenized = spread_by(df, id_col).select(
         F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("__toks")
     )
     return tokenized.select(
@@ -340,7 +347,19 @@ def _verified_pairs(
 ) -> DataFrame:
     """Band-bucket candidates + exact-Jaccard verification over a
     (id, sh_set) frame — the LSH core shared by both collapse modes."""
-    sig = minhash_signatures_from_shingles(docs, id_col, num_hashes)
+    from etl_portofolio_spark.caching import scoped_persist
+
+    # persist the SIGNATURE frame: both sides of the band self-join
+    # read it, and at runtime the two sides materialize as separate
+    # query stages (the broadcast side races the probe side past the
+    # exchange-reuse cache), re-running the explode + 64-min signature
+    # aggregation — the two dominant stages of the query (~10 s + ~14 s
+    # executor time at sf0.1; r10 stage profile). The frame is
+    # |docs| x num_hashes ints — linear in the corpus and ~50x smaller
+    # than the shingle sets, so the cache is cheap at any scale.
+    sig = scoped_persist(
+        minhash_signatures_from_shingles(docs, id_col, num_hashes)
+    )
     bands = minhash_bands(sig, id_col, num_hashes, rows)
 
     a = bands.alias("a")

@@ -21,6 +21,31 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """:func:`spread`, but hash-partitioned on the columns a following
+    ``groupBy``/join uses — the exchange is then REUSED by that operator
+    (same key, same partition count), so the whole aggregation runs
+    key-partitioned at full parallelism for ONE exchange instead of the
+    single-task partial aggregation a one-row-group scan forces.
+
+    Prefer this over :func:`spread` when the very next operator keys on
+    ``cols`` and the per-key reduction is expensive (``collect_set``,
+    array building): round-robin spreading would keep the map-side
+    partial aggregation, paying a second exchange for rows a keyed
+    exchange ships once. Like :func:`spread`, a no-op at production
+    scale where the scan already has enough splits.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        # explicit count: a bare repartition(*cols) is REPARTITION_BY_COL,
+        # which AQE's coalescer may collapse back to ONE partition on
+        # small inputs (observed at sf0.1) — re-serializing exactly the
+        # work this helper exists to spread. The pinned count also keeps
+        # the partitioning recognizable by downstream keyed operators.
+        return df.repartition(target, *cols)
+    return df
+
+
 def approx_distinct_audit(
     df: "DataFrame", col: str, rsd: float = 0.05
 ) -> "DataFrame":

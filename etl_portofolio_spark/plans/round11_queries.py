@@ -396,6 +396,13 @@ def _pair_gram_stats(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     (cache materialization + codegen pipeline break; A/B at sf0.1)."""
     from etl_portofolio_spark.operators import text
 
+    # NO spread here, deliberately (r10 A/B, both variants lost): the
+    # census exchange below the ref/hyp fork is REUSED across branches,
+    # so the single-task census runs once — a doc_id-KEYED spread made
+    # the census partition-local (exchange gone → census ran twice) and
+    # a round-robin spread quadrupled census CPU across the four
+    # branches that read the spread exchange. The serialized census is
+    # a one-row-group test-scan artifact only; production scans split.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", text.tokens("text").alias("toks")
     )

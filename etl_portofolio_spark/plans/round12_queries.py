@@ -96,7 +96,13 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_portofolio_spark.operators import text
 
     K, W = _WINNOW_K, _WINNOW_W
-    docs = load_table(spark, sf_dir, "documents")
+    from etl_portofolio_spark.operators.util import spread
+
+    # map-only plan, so the one-row-group test scan would otherwise run
+    # the whole gram-hash + window-min pipeline on ONE task; round-robin
+    # spread keeps it map-only per partition (no-op at production
+    # split counts)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", text.tokens("text").alias("t"))
     gh = toks.select(
         "doc_id",
@@ -206,6 +212,10 @@ def q_jensen_shannon_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame
     apply_runtime_confs(spark)
     from etl_portofolio_spark.operators import text
 
+    # NO spread here, deliberately (r10 A/B): the token census ``st``
+    # feeds four plan branches that share its exchange; inserting a
+    # repartition ahead of it broke that sharing and DOUBLED the query
+    # (0.49 s → 1.12 s isolated) even though tokenization parallelized
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(text.tokens("text")).alias("tok"))
     st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))

@@ -2887,16 +2887,41 @@ def q_streaming_tumbling_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = windowed_counts(stream, window="6 hours", lateness="1 day")
     import hashlib
+    import os
 
     sink = f"r7_stream_sink_{hashlib.md5(path.encode()).hexdigest()[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store right-sizing (r10): a streaming aggregation creates
+    # one state store PER SHUFFLE PARTITION per micro-batch, and each
+    # pays its own snapshot/commit file I/O. This aggregation's state is
+    # DOMAIN-bounded (windows x event_types — a few hundred rows at any
+    # corpus size, since the calendar and the type domain do not grow
+    # with data), so 32 stores per batch were ~28 empty commits of pure
+    # fixed cost. Stores should track STATE size, not input size — the
+    # map side (file splits) is unaffected. Parameterized for clusters
+    # where a wider key domain genuinely needs more stores.
+    n_state = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_state)
+    # no-data micro-batches exist to advance the watermark for APPEND-
+    # mode finalization; complete mode re-emits full state every batch,
+    # so the trailing empty batch is one more round of full machinery
+    # (plan + state commit + sink rewrite) that cannot change output
+    old_ndm = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_ndm
+        )
     # session TZ is pinned UTC — format to a string so the comparator
     # never sees engine-specific timestamp rendering
     return spark.table(sink).select(

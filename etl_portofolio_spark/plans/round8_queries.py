@@ -493,40 +493,60 @@ def q_item_cf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     from etl_portofolio_spark.caching import scoped_persist
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct()
-    # n_i feeds the panel AND the neighbor-support join; pairs feeds
-    # both union branches — Spark does no cross-branch CSE, so without
-    # the scoped persists the basket self-join runs three times
-    n_i = scoped_persist(
-        op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        # explicit NOT-NULL on the keys (the TPC-H columns are NOT NULL
+        # by spec, so this drops nothing): the optimizer infers these
+        # filters on the JOIN branches only, which de-canonicalizes the
+        # shared distinct subtree and forked it into FOUR separate
+        # scans+exchanges (r10 plan audit). Stating the filter once
+        # restores one shared exchange via ReuseExchange.
+        .where(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
     )
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ia"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ib"))
-    # both directions come from the self-join itself (!=, not <): the
-    # directed pair stream doubles map-side where the combiner absorbs
-    # it, instead of union-ing the aggregated frame (which would
-    # re-evaluate the whole self-join per branch)
-    sym = (
-        a.join(b, (a["ok"] == b["ok"]) & (F.col("ia") != F.col("ib")))
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # NOT persisted, deliberately: the distinct feeds n_i and both
+    # self-join sides, but all three references share one physical
+    # shuffle via ReuseExchange — an explicit persist was A/B'd this
+    # round and lost (cache materialization + cached-read cost ~2.5x
+    # the reused shuffle-file reads it replaced; r10 stage profiles).
+    # spread_by(l_orderkey) parallelizes the one-row-group test scan
+    # AND makes the distinct partition-local (hash(ok) satisfies the
+    # (ok, part) clustering) with the self-join co-partitioned on ok —
+    # one keyed exchange where the old plan paid three.
+    from etl_portofolio_spark.operators.util import spread_by
+
+    op = spread_by(li, "l_orderkey").distinct()
+    n_i = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     panel = (
         n_i.orderBy(F.col("n").desc(), F.col("l_partkey").asc())
         .limit(_CF_PANEL)
         .select(F.col("l_partkey").alias("ia"), F.col("n").alias("n_a"))
     )
-    scored = (
-        sym.join(F.broadcast(panel), "ia")
-        .join(
-            n_i.select(F.col("l_partkey").alias("ib"), F.col("n").alias("n_b")),
-            "ib",
-        )
-        .withColumn(
-            "simsq_ppm",
-            F.expr("(1000000 * c * c) div (n_a * n_b)").cast("long"),
-        )
+    # Panel pre-filter BEFORE the self-join (guide §3.2: reduce the big
+    # side before shuffling it): only pairs anchored at a panel item
+    # survive downstream, so the probe side drops to the panel items'
+    # basket rows via a broadcast equi-join — the pair stream then
+    # shrinks from every co-purchase pair (26 MB exchange at sf0.1, the
+    # query's dominant shuffle; r10 stage profile) to the panel
+    # neighborhood, absorbed map-side by the census combiner. Pair
+    # counts are unchanged: the filter is per pair KEY (anchor item),
+    # never per co-occurrence instance; n_a rides along to skip the
+    # former re-join of the panel onto the census.
+    a = op.join(F.broadcast(panel), op.l_partkey == panel.ia).select(
+        F.col("l_orderkey").alias("ok"), "ia", "n_a"
+    )
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ib"))
+    sym = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("ia") != F.col("ib")))
+        .groupBy("ia", "n_a", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = sym.join(
+        n_i.select(F.col("l_partkey").alias("ib"), F.col("n").alias("n_b")),
+        "ib",
+    ).withColumn(
+        "simsq_ppm",
+        F.expr("(1000000 * c * c) div (n_a * n_b)").cast("long"),
     )
     w = Window.partitionBy("ia").orderBy(
         F.col("simsq_ppm").desc(), F.col("c").desc(), F.col("ib").asc()
@@ -608,8 +628,16 @@ def q_graph_modularity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # spread_by(l_orderkey): parallelizes the one-row-group test scan
+    # and its partitioning satisfies BOTH the (ok, brand) distinct and
+    # the ok-keyed self-join below — one keyed exchange instead of a
+    # distinct shuffle plus two join-side exchanges (no-op at
+    # production split counts; see operators/util.spread_by)
+    from etl_portofolio_spark.operators.util import spread_by
+
     ob = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        spread_by(li, "l_orderkey")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
     )
@@ -1598,8 +1626,18 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array is materialized as a column BEFORE the pair lambda reads it
     # (the interpreted-HOF rule: never re-evaluate an expression tree
     # per element position).
+    from etl_portofolio_spark.operators.util import spread_by
+
+    # spread_by(l_orderkey): the sf fixture is one parquet row group, so
+    # the scan is ONE task and the broadcast-join probe + collect_set
+    # partial aggregation of the whole fact table serialized on it
+    # (measured 0.9 s single-task stage). One keyed exchange at the
+    # scan spreads everything downstream across cores and already
+    # satisfies the groupBy's distribution; no-op at production split
+    # counts.
     sets = scoped_persist(
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        spread_by(li, "l_orderkey")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("sb"))
     )
@@ -1615,7 +1653,15 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(sb, i + 2, size(sb)), "
         "y -> struct(x AS src, y AS dst))))"
     )
-    und = (
+    # persist the PAIR CENSUS, not the undirected union built from it:
+    # the union's two branches are separate plan subtrees (Spark does no
+    # cross-branch CSE), so persisting only the union ran the map-side
+    # pair expansion + census aggregation TWICE — measured as the two
+    # dominant stages of the query (10.8 s + 10.6 s executor time of a
+    # 34 s total at sf0.1; r10 stage profile). The census output is
+    # domain-bounded (≤ C(|brands|, 2) rows), so this persist is tiny at
+    # any corpus scale while the saved expansion pass is fact-scale.
+    und = scoped_persist(
         sets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.src", "p.dst")
         .groupBy("src", "dst")
@@ -1624,19 +1670,19 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") <= F.col("w_max"))
         .drop("w_max")
     )
-    edges = scoped_persist(
-        und.select("src", "dst", "w").unionAll(
-            und.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
+    edges = und.select("src", "dst", "w").unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     dist = sets.agg(
         F.min(F.element_at("sb", 1)).alias("brand")
     ).select("brand", F.lit(0).cast("long").alias("dist_w"))
     for _ in range(_WSP_ROUNDS):
         relaxed = (
-            dist.join(edges, dist["brand"] == edges["src"])
+            # edges is domain-bounded (≤ 2·C(|brands|,2) rows at any
+            # corpus size) — broadcast it explicitly so the relaxation
+            # never plans a shuffle join off the cached union's unknown
+            # estimate (measured: 65-task shuffle-join stages per round)
+            dist.join(F.broadcast(edges), dist["brand"] == edges["src"])
             .select(
                 F.col("dst").alias("brand"),
                 (F.col("dist_w") + F.col("w")).alias("dist_w"),
@@ -1645,7 +1691,17 @@ def q_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("brand")
             .agg(F.min("dist_w").alias("dist_w"))
         )
-        dist = relaxed.localCheckpoint()
+        # coalesce(1) before the checkpoint: the distance frame is
+        # domain-bounded (≤ |brands| rows at ANY corpus size), but a
+        # checkpoint inherits the union's full partitioning — measured
+        # 65-task stages per relaxation round whose executor time was
+        # pure scheduling overhead (r10 stage profile). One partition
+        # keeps every round's join + re-aggregation a 1-task stage.
+        # (A fully LAZY 3-round unroll — checkpoint only the seed — was
+        # A/B'd and is ~1.8x SLOWER: each round references dist twice,
+        # so the un-cut plan re-evaluates earlier rounds 2^k times,
+        # rebuilding their broadcasts and exchanges per reference.)
+        dist = relaxed.coalesce(1).localCheckpoint()
     return dist.orderBy("brand")
 
 

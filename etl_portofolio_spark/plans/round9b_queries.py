@@ -71,8 +71,14 @@ def q_hits_two_step_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from etl_portofolio_spark.operators.util import spread_by
+
+    # spread_by(l_orderkey): parallelize the one-row-group test scan's
+    # two join probes + the distinct's partial aggregation, and
+    # co-partition the orders join (no-op at production split counts)
     edges = scoped_persist(
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        spread_by(li, "l_orderkey")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "p_brand")
         .distinct()
@@ -305,9 +311,14 @@ def q_frequent_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     from etl_portofolio_spark.caching import scoped_persist
+    from etl_portofolio_spark.operators.util import spread_by
 
+    # spread_by(l_orderkey): parallelize the one-row-group test scan's
+    # broadcast probe + basket partial aggregation; the keyed exchange
+    # already satisfies the groupBy (no-op at production split counts)
     sets = scoped_persist(
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        spread_by(li, "l_orderkey")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("sb"))
     )
@@ -409,7 +420,18 @@ def q_ols_cramer_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-value key; everything after the shuffle is constant-size.
     """
     apply_runtime_confs(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    from etl_portofolio_spark.operators.util import spread
+
+    # round-robin spread of the PROJECTED columns (guide §2.3: project
+    # before the exchange): the nine decimal(38,0) moment partials are
+    # the query's dominant per-row work and otherwise serialize on the
+    # one-row-group test scan's single task. NOT keyed: l_returnflag
+    # has 3 values, so a keyed spread could use at most 3 cores.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+        )
+    )
     x1 = cents("l_quantity", 0)
     x2 = cents("l_discount", 3)
     y = cents("l_extendedprice")
@@ -1214,9 +1236,16 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_portofolio_spark.caching import scoped_persist
 
     # (brand, day) panel persisted: the top-2 election and BOTH series
-    # extractions read it — unpersisted, the fact join replayed 3×
+    # extractions read it — unpersisted, the fact join replayed 3×.
+    # spread_by(d): parallelize the one-row-group test scan's probe +
+    # partial aggregation; hash(d) satisfies the (brand, d) clustering,
+    # so the groupBy adds no second exchange (no-op at production
+    # split counts)
+    from etl_portofolio_spark.operators.util import spread_by
+
     brandday = scoped_persist(
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        spread_by(li, "d")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "d")
         .agg(F.sum("rev_c").cast("long").alias("rev"))
     )

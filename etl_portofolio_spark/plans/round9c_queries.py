@@ -755,8 +755,14 @@ def q_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # spread_by(l_orderkey): parallelize the one-row-group test scan's
+    # broadcast probe + basket partial aggregation; the keyed exchange
+    # already satisfies the groupBy (no-op at production split counts)
+    from etl_portofolio_spark.operators.util import spread_by
+
     sets = scoped_persist(
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        spread_by(li, "l_orderkey")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("sb"))
     )

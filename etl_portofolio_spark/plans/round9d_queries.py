@@ -75,7 +75,14 @@ def q_countmin_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against the 4,096-row sketch.
     """
     apply_runtime_confs(spark)
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    from etl_portofolio_spark.operators.util import spread
+
+    # round-robin spread: the 4-way depth explode + salted md5 per
+    # (depth, key) — the query's dominant per-row work — otherwise
+    # serializes on the one-row-group test scan's single task; the one
+    # narrow exchange is shared by the exact and sketch branches
+    # (no-op at production split counts)
+    orders = spread(load_table(spark, sf_dir, "orders").select("o_custkey"))
 
     exact = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")

@@ -273,14 +273,19 @@ def _plan(df) -> str:
 
 
 def test_winnowing_plan_is_map_only(spark):
-    """Zero shuffles, zero joins, zero Python UDFs — the whole
-    selection pipeline is one projection chain over the scan."""
+    """Zero joins, zero Python UDFs, zero KEYED shuffles — the whole
+    selection pipeline is one projection chain over the scan. The one
+    exchange allowed is spread()'s round-robin input rebalance (r10:
+    the one-row-group test fixture otherwise serializes the gram-hash +
+    window-min pipeline on a single task; a no-op at production split
+    counts), which carries raw input rows, never derived data."""
     from etl_portofolio_spark.plans.round12_queries import (
         q_winnowing_fingerprints,
     )
 
     p = _plan(q_winnowing_fingerprints(spark, SF_DIR))
-    assert p.count(") Exchange") == 0
+    assert p.count(") Exchange") <= 1
+    assert p.count("hashpartitioning") == 0  # never a keyed shuffle
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
