@@ -1,8 +1,16 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the LAST line of stdout — the driver keeps only a
+~2,000-char tail, so the line is budgeted to always fit whole):
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "n_queries": N, "sf": 0.1, "passes": N,
+     "queries": {name: sec, ...},   # the most expensive entries, greedily
+                                    # filled to a fixed character budget —
+                                    # NOT the full map (see
+                                    # render_contract_line)
+     "top10": [name, ...]}
+The full per-query min/median/max spread for every entry is printed on
+the preceding ``headline_detail`` line for human triage.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect overhead, no output IO skew).
@@ -240,17 +248,31 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+#: Character budget for the contract line. The driver keeps a ~2,000-char
+#: stdout tail; staying under this leaves slack for a stray trailing
+#: newline or log frame. Enforced by construction (the per-query map is
+#: filled greedily up to the budget) and unit-tested at 400 queries.
+_CONTRACT_LINE_BUDGET = 1780
+
+
 def render_contract_line(timings: dict[str, float], sf: float, passes: int) -> str:
     """Render the FINAL stdout line the driver parses into BENCH_r{N}.json.
 
     The driver keeps only a ~2,000-char tail of stdout, so this line must
     always fit whole regardless of how many queries the headline set
-    grows to — it therefore carries ONLY fixed-size content: scalars plus
-    the NAMES of the 10 most expensive queries (a fixed count with
-    per-name truncation, so a driver-side artifact alone identifies the
-    cost tier even when the per-query detail line truncates; times live
-    in the preceding headline_detail line). Unit-tested to stay under
-    1,800 chars at 400 queries (tests/test_bench_contract.py).
+    grows to. Round 7 learned this the hard way (the full per-query map
+    pushed the line out of the tail and BENCH_r07 recorded parsed:null);
+    rounds 7-10 swung to names-only ``top10``, which left the driver's
+    round-over-round PERF comparison with an empty per-query map
+    (PERF_r10: ``per_query: {}``, ``geomean: null``). This round's shape
+    is the middle ground (r10 verdict item #2): scalars + ``top10`` names
+    as before, PLUS a ``queries`` map of the MOST EXPENSIVE entries
+    filled greedily by descending cost until the rendered line reaches
+    ``_CONTRACT_LINE_BUDGET`` chars — bounded by construction at any
+    registry size (~40 entries at current name lengths, covering the
+    entire cost tier that dominates the total; the 0.2-0.5 s tail lives
+    only in the preceding headline_detail line). Unit-tested to stay
+    under 1,800 chars at 400 queries (tests/test_bench_contract.py).
     """
     def _short(name: str) -> str:
         # per-name truncation keeps the line bounded, but a plain
@@ -262,23 +284,38 @@ def render_contract_line(timings: dict[str, float], sf: float, passes: int) -> s
         digest = hashlib.md5(name.encode()).hexdigest()[:5]
         return name[:34] + "~" + digest
 
-    top10 = [
-        _short(name)
-        for name, _ in sorted(
-            timings.items(), key=lambda kv: (-kv[1], kv[0])
-        )[:10]
-    ]
-    return json.dumps(
-        {
-            "metric": "headline_total",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "n_queries": len(timings),
-            "sf": sf,
-            "passes": passes,
-            "top10": top10,
-        }
-    )
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    top10 = [_short(name) for name, _ in by_cost[:10]]
+
+    def _render(qmap: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+                "passes": passes,
+                "queries": qmap,
+                "top10": top10,
+            },
+            separators=(",", ":"),
+        )
+
+    # Greedy fill by descending cost: add entries while the rendered
+    # line stays inside the budget. Deterministic (cost-then-name order)
+    # and safe at any registry size — the map can only ever shrink as
+    # names grow, never push the line out of the driver's tail.
+    qmap: dict[str, float] = {}
+    line = _render(qmap)
+    for name, sec in by_cost:
+        trial = dict(qmap)
+        trial[_short(name)] = sec
+        trial_line = _render(trial)
+        if len(trial_line) > _CONTRACT_LINE_BUDGET:
+            break
+        qmap, line = trial, trial_line
+    return line
 
 
 def _force(df) -> None:

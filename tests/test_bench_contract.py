@@ -25,15 +25,34 @@ def test_contract_line_fits_driver_tail_at_400_queries():
     assert len(line) < 1800, f"contract line {len(line)} chars — driver tail is ~2000"
 
 
-def test_contract_line_has_no_per_query_map():
+def test_contract_line_per_query_map_is_budgeted():
+    """r10 verdict item #2: the line carries a per-query map again — but
+    budgeted (most-expensive-first, greedy fill), never the full map, so
+    registry growth can never push the line out of the driver tail."""
     rec = json.loads(bench.render_contract_line(_fake_timings(400), sf=0.1, passes=3))
-    assert "queries" not in rec
     assert rec["metric"] == "headline_total"
     assert rec["unit"] == "sec"
     assert rec["sf"] == 0.1
     assert rec["passes"] == 3
     assert rec["n_queries"] == 400
     assert isinstance(rec["value"], float)
+    # map present, non-trivial, but NOT the full 400 entries
+    assert isinstance(rec["queries"], dict)
+    assert 10 <= len(rec["queries"]) < 400
+    assert all(isinstance(v, float) for v in rec["queries"].values())
+
+
+def test_contract_line_queries_map_covers_cost_tier_in_order():
+    """The budgeted map is filled by DESCENDING cost, so the expensive
+    tier (what PERF's round-over-round geomean needs) is always in it."""
+    timings = {f"q{i:03d}": float(i) for i in range(100)}
+    rec = json.loads(bench.render_contract_line(timings, sf=0.1, passes=3))
+    kept = rec["queries"]
+    assert kept["q099"] == 99.0
+    dropped = [v for k, v in timings.items() if k not in kept]
+    # the kept set is exactly the top-|kept| by cost
+    if dropped:
+        assert min(kept.values()) >= max(dropped)
 
 
 def test_contract_line_value_is_sum_of_medians():
