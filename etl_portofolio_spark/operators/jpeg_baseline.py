@@ -26,6 +26,7 @@ partitions, never on the driver.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 try:
@@ -67,14 +68,22 @@ ZIGZAG = [
 ]
 
 
+_DCTM = None
+
+
 def _dct_matrix():
-    """8x8 orthonormal DCT-II matrix."""
+    """8x8 orthonormal DCT-II matrix (a constant — computed once per
+    process; rebuilding it dominated short decodes)."""
+    global _DCTM
+    if _DCTM is not None:
+        return _DCTM
     c = np.zeros((8, 8))
     for k in range(8):
         for n in range(8):
             c[k, n] = np.cos((2 * n + 1) * k * np.pi / 16.0)
     c *= 0.5
     c[0, :] *= 1.0 / np.sqrt(2.0)
+    _DCTM = c
     return c
 
 
@@ -103,6 +112,15 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_table_cached(bits: tuple[int, ...], values: tuple[int, ...]) -> _HuffTable:
+    """Memoized canonical-table construction keyed on the DHT payload
+    itself — a pure function of the segment bytes (decoding a stream of
+    same-table JPEGs otherwise rebuilds identical 174-symbol tables per
+    image). Instances are read-only after __init__, so sharing is safe."""
+    return _HuffTable(list(bits), list(values))
 
 
 #: Encoder tables: deliberately simple, VALID canonical tables.
@@ -275,10 +293,10 @@ def decode_jpeg(data: bytes):
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
+                bits = tuple(seg[p + 1 : p + 17])
                 n = sum(bits)
-                values = list(seg[p + 17 : p + 17 + n])
-                htables[(tc, th)] = _HuffTable(bits, values)
+                values = tuple(seg[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _huff_table_cached(bits, values)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             precision = seg[0]
@@ -394,7 +412,11 @@ def _decode_mcus(
 
 
 def _decode_block(reader, dc_t, ac_t, q, pred, cid):
-    zz = np.zeros(64, dtype=np.float64)
+    # zigzag-order coefficients in a plain Python list: int scalar
+    # stores are ~4x cheaper than per-element numpy assignments, and
+    # the single fancy-indexed store below converts int->float64
+    # exactly (values bounded far below 2**53)
+    zz = [0] * 64
     size = _decode_huff(reader, dc_t)
     diff = _extend(reader.read_bits(size), size) if size else 0
     pred[cid] += diff
@@ -452,8 +474,8 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
         ]
     q_luma = _scaled_quant(QUANT_LUMA, quality)
     q_chroma = _scaled_quant(QUANT_CHROMA, quality)
-    dc_t = _HuffTable(_ENC_DC_BITS, _ENC_DC_VALUES)
-    ac_t = _HuffTable(_ENC_AC_BITS, _ENC_AC_VALUES)
+    dc_t = _huff_table_cached(tuple(_ENC_DC_BITS), tuple(_ENC_DC_VALUES))
+    ac_t = _huff_table_cached(tuple(_ENC_AC_BITS), tuple(_ENC_AC_VALUES))
     dctm = _dct_matrix()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -490,32 +512,36 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     # entropy-coded data: pad to 8-multiples by edge replication
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nby, nbx = ph // 8, pw // 8
     writer = _BitWriter()
     pred = [0] * n_comp
-    padded = []
-    for plane in comps:
+    zigzag_idx = np.asarray(ZIGZAG)
+    # Forward DCT + quantization for ALL blocks of a plane in one
+    # batched numpy expression (the per-block 64-element Python
+    # comprehension was the encoder's hot loop). np.round and the old
+    # int(round(float64)) are both round-half-even over the identical
+    # float64 quotient, so every quantized coefficient is bit-identical
+    # to the scalar loop's.
+    zz_planes = []
+    for ci, plane in enumerate(comps):
         p = np.empty((ph, pw))
         p[:h, :w] = plane
         p[h:, :w] = plane[h - 1 : h, :]
         p[:, w:] = p[:, w - 1 : w]
-        padded.append(p - 128.0)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+        p -= 128.0
+        qv = np.asarray(q_luma if ci == 0 else q_chroma, dtype=np.float64)
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = dctm @ blocks @ dctm.T  # broadcasts over the block grid
+        zz = np.round(coef.reshape(nby, nbx, 64)[..., zigzag_idx] / qv)
+        zz = zz.astype(np.int64)
+        # AC size categories top out at 10 (|v| <= 1023) in the
+        # emitted tables — clamp, as real encoders do at q=1
+        zz[..., 1:] = np.clip(zz[..., 1:], -1023, 1023)
+        zz_planes.append(zz)
+    for by in range(nby):
+        for bx in range(nbx):
             for ci in range(n_comp):
-                q = q_luma if ci == 0 else q_chroma
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = dctm @ block @ dctm.T
-                flat = coef.reshape(-1)
-                zz = np.array(
-                    [
-                        int(round(flat[ZIGZAG[i]] / q[i]))
-                        for i in range(64)
-                    ]
-                )
-                # AC size categories top out at 10 (|v| <= 1023) in the
-                # emitted tables — clamp, as real encoders do at q=1
-                zz[1:] = np.clip(zz[1:], -1023, 1023)
-                _encode_block(writer, zz, pred, ci, dc_t, ac_t)
+                _encode_block(writer, zz_planes[ci][by, bx], pred, ci, dc_t, ac_t)
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -523,35 +549,34 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
 
 
 def _encode_block(writer, zz, pred, ci, dc_t, ac_t):
-    diff = int(zz[0]) - pred[ci]
-    pred[ci] = int(zz[0])
+    zzl = zz.tolist()  # one bulk conversion; the loop below sees plain ints
+    diff = zzl[0] - pred[ci]
+    pred[ci] = zzl[0]
     size = _category(diff)
     length, code = dc_t.encode[size]
     writer.write(length, code)
     if size:
         v = diff if diff >= 0 else diff + (1 << size) - 1
         writer.write(size, v)
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
-            last_nz = k
-            break
-    run = 0
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    # visit only the NONZERO AC positions (run lengths fall out of the
+    # index gaps) instead of scanning all 63 coefficients per block —
+    # for the near-empty blocks quantization produces, this is the
+    # difference between 63 iterations and 0
+    nz = (np.nonzero(zz[1:])[0] + 1).tolist()
+    prev = 0
+    for k in nz:
+        run = k - prev - 1
         while run > 15:
             length, code = ac_t.encode[0xF0]  # ZRL
             writer.write(length, code)
             run -= 16
+        v = zzl[k]
         size = _category(v)
         length, code = ac_t.encode[(run << 4) | size]
         writer.write(length, code)
         bits_v = v if v >= 0 else v + (1 << size) - 1
         writer.write(size, bits_v)
-        run = 0
-    if last_nz < 63:
+        prev = k
+    if not nz or nz[-1] < 63:
         length, code = ac_t.encode[0x00]  # EOB
         writer.write(length, code)

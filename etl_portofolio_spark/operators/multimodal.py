@@ -513,6 +513,41 @@ JPEG_STATS_SCHEMA = T.StructType(
 )
 
 
+def _jpeg_payload_from_text(txt: str) -> bytes:
+    """One document's synthesized constant-color JPEG payload: palette,
+    quality and dimensions from md5(text) nibbles, encoded by the repo's
+    pure-Python encoder. Shared by the standalone synthesizer and the
+    fused synthesize+decode operator so both emit byte-identical
+    streams."""
+    import numpy as np
+
+    from etl_portofolio_spark.operators.jpeg_baseline import encode_jpeg
+
+    h = hashlib.md5(txt.encode("utf-8")).hexdigest()
+    r, g, b = jpeg_palette(int(h[0:2], 16) % 64)
+    quality = JPEG_QUALITIES[int(h[2:4], 16) % 4]
+    w = 5 + int(h[4:6], 16) % 44
+    ht = 5 + int(h[6:8], 16) % 28
+    img = np.empty((ht, w, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = r, g, b
+    return encode_jpeg(img, quality=quality)
+
+
+def _jpeg_stats_tuple(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_pixels, sum_level) of one REAL-decoded payload.
+    Shared by the standalone stats operator and the fused operator."""
+    import numpy as np
+
+    dec = decode_real(payload)
+    arr = np.frombuffer(dec["pixels"], dtype=np.uint8)
+    return (
+        int(dec["width"]),
+        int(dec["height"]),
+        int(arr.size),
+        int(arr.astype(np.int64).sum()),
+    )
+
+
 def synthesize_jpeg_media(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -527,31 +562,49 @@ def synthesize_jpeg_media(
     so the decode also exercises MCU padding + crop."""
     import pandas as pd
 
-    from etl_portofolio_spark.operators.jpeg_baseline import encode_jpeg
-
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("content", T.BinaryType())]
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
-
         for pdf in batches:
-            payloads = []
-            for txt in pdf[text_col]:
-                h = hashlib.md5(txt.encode("utf-8")).hexdigest()
-                r, g, b = jpeg_palette(int(h[0:2], 16) % 64)
-                quality = JPEG_QUALITIES[int(h[2:4], 16) % 4]
-                w = 5 + int(h[4:6], 16) % 44
-                ht = 5 + int(h[6:8], 16) % 28
-                img = np.empty((ht, w, 3), dtype=np.uint8)
-                img[..., 0], img[..., 1], img[..., 2] = r, g, b
-                payloads.append(encode_jpeg(img, quality=quality))
+            payloads = [_jpeg_payload_from_text(txt) for txt in pdf[text_col]]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "content": payloads}
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def synthesize_jpeg_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused synthesize->decode->stats: mathematically identical to
+    ``jpeg_pixel_stats(synthesize_jpeg_media(df))`` (same two per-doc
+    helpers), but in ONE Arrow-batched mapInPandas — the chained form
+    ships every multi-KB JPEG payload across the JVM<->Python boundary
+    twice (Python->JVM out of the synthesizer, JVM->Python into the
+    decoder; chained mapInPandas stages never fuse), while here the
+    payload lives and dies inside one worker and only (doc_id, text) in
+    and five int64 stats out ever cross. Guide §4: pass the Python
+    boundary the columns the function needs, nothing else."""
+    import pandas as pd
+
+    def gen_stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [], "sum_level": []
+            }
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                w, ht, n_px, s = _jpeg_stats_tuple(_jpeg_payload_from_text(txt))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(ht)
+                out["n_pixels"].append(n_px)
+                out["sum_level"].append(s)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen_stats, JPEG_STATS_SCHEMA)
 
 
 def jpeg_pixel_stats(
@@ -564,7 +617,6 @@ def jpeg_pixel_stats(
     header, n_pixels from the cropped plane, sum_level as the int64 sum
     of every decoded RGB byte. Arrow-batched mapInPandas, map-only: at
     100 TB this is a scan-shaped stage with zero shuffle."""
-    import numpy as np
     import pandas as pd
 
     def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -573,13 +625,12 @@ def jpeg_pixel_stats(
                 "doc_id": [], "width": [], "height": [], "n_pixels": [], "sum_level": []
             }
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
-                dec = decode_real(bytes(payload))
-                arr = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                w, ht, n_px, s = _jpeg_stats_tuple(bytes(payload))
                 out["doc_id"].append(int(doc_id))
-                out["width"].append(int(dec["width"]))
-                out["height"].append(int(dec["height"]))
-                out["n_pixels"].append(int(arr.size))
-                out["sum_level"].append(int(arr.astype(np.int64).sum()))
+                out["width"].append(w)
+                out["height"].append(ht)
+                out["n_pixels"].append(n_px)
+                out["sum_level"].append(s)
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(stats, JPEG_STATS_SCHEMA)

@@ -34,6 +34,7 @@ so matching is co-partitioned with no cross-document fan-out.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,19 +121,28 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOF dimensions) and fails the hash. Dimensions are non-multiples
     of 8, so MCU edge padding + crop is on the verified path.
 
-    Scale design: two Arrow-batched mapInPandas crossings (synthesize,
-    decode), both map-only — a 100 TB media scan stays shuffle-free;
-    `spread` only widens the tiny fixture scan to all cores."""
+    Scale design: ONE Arrow-batched mapInPandas crossing (fused
+    synthesize+decode — r11, guide §4: the chained two-operator form
+    shipped every JPEG payload across the JVM<->Python boundary twice;
+    the fused operator is built from the same two per-doc helpers, so
+    the bytes decoded are identical), map-only — a 100 TB media scan
+    stays shuffle-free; `spread` only widens the tiny fixture scan to
+    all cores. SPARK_GRAFT_JPEG_FUSE=0 restores the chained shape (the
+    r11 A/B switch; alternate inside one session to control host
+    drift)."""
     apply_runtime_confs(spark)
     from etl_portofolio_spark.operators.multimodal import (
         jpeg_pixel_stats,
         synthesize_jpeg_media,
+        synthesize_jpeg_pixel_stats,
     )
     from etl_portofolio_spark.operators.util import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    media = synthesize_jpeg_media(docs, id_col="doc_id", text_col="text")
-    return jpeg_pixel_stats(media, id_col="doc_id", bin_col="content")
+    if os.environ.get("SPARK_GRAFT_JPEG_FUSE", "1") != "1":
+        media = synthesize_jpeg_media(docs, id_col="doc_id", text_col="text")
+        return jpeg_pixel_stats(media, id_col="doc_id", bin_col="content")
+    return synthesize_jpeg_pixel_stats(docs, id_col="doc_id", text_col="text")
 
 
 _MD5N = "CAST('0x' || substr(md5(text), {a}, 2) AS BIGINT)"
