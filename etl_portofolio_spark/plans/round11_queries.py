@@ -368,43 +368,55 @@ ROUND11_QUERIES["cochran_q_heuristics"] = (q_cochran_q_heuristics, _COCHRAN_SQL)
 # min(count_hyp, count_ref).
 
 
-def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, g, c): exact n-gram counts per document, n in {1, 2}.
-    Bigram extraction is the repo's map-side indexed-transform idiom
+def _tagged_gram_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, g, c): exact n-gram counts per document for BOTH
+    n=1 and n=2 in ONE pass — the grams are built as side-tagged
+    structs (n, g) in a single map-side array concat and exploded once,
+    so the document scan, tokenize, explode and census aggregation all
+    run once instead of once per n (r10 verdict item #5). Bigram
+    extraction stays the repo's map-side indexed-transform idiom
     (materialized token array, O(1) per-element lookup — r1 HOF rule),
-    never an explode-then-self-join."""
-    if n == 1:
-        grams = docs.select("doc_id", F.explode("toks").alias("g"))
-    else:
-        grams = docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(toks, 1, size(toks) - 1),"
-                    " (t, i) -> concat(t, ' ', toks[i + 1]))"
-                )
-            ).alias("g"),
-        )
-    return grams.groupBy("doc_id", "g").agg(
+    never an explode-then-self-join. The n tag keeps unigrams and
+    bigrams from ever colliding in the census key."""
+    tagged = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(toks, t -> struct(1 AS n, t AS g)),"
+                " transform(slice(toks, 1, size(toks) - 1),"
+                "  (t, i) -> struct(2 AS n, concat(t, ' ', toks[i + 1]) AS g)))"
+            )
+        ).alias("x"),
+    )
+    return tagged.select(
+        "doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g")
+    ).groupBy("doc_id", "n", "g").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
 
 
-def _pair_gram_stats(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """Per-pair clipped-match statistics for n-grams: (pair_id,
-    n_ref, n_hyp, overlap). The ref/hyp join is keyed on
-    (pair_id, gram) — co-partitioned, no cross-document fan-out; the
-    per-pair totals are combinable aggregations. Plan shape: ONE
-    full-outer join on (pair_id, gram) merges the ref and hyp count
-    streams, and ONE groupBy computes all three statistics from the
-    merged rows (unmatched grams contribute 0 to overlap and their
-    side's count to the totals) — one shuffle-join plus one aggregation
-    over the count streams instead of the naive inner-join + two
-    totals aggregations + 3-way pair join (equal at sf0.1 where fixed
-    costs dominate; fewer stages at scale). An explicit scoped_persist
-    of the count subtree measured 1.8x SLOWER than recomputing it
-    (cache materialization + codegen pipeline break; A/B at sf0.1)."""
-    from etl_portofolio_spark.operators import text
+def _pair_gram_stats_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair clipped-match statistics for unigrams AND bigrams in one
+    plan: (pair_id, n_ref_uni, n_hyp_uni, ov_uni, n_ref_bi, n_hyp_bi,
+    ov_bi), zero-filled over the pairs frame.
+
+    Plan shape (r10 verdict item #5 — one census by construction, not
+    by cache luck): ONE tagged census over both gram sizes
+    (:func:`_tagged_gram_counts`), whose exchange is read by both the
+    ref and hyp relabels via ReuseExchange; the two relabeled count
+    streams are merged by ONE full-outer join on (pair_id, n, g); then
+    ONE groupBy(pair_id) computes all six statistics with conditional
+    sums. vs the old shape (each of ROUGE/BLEU built the n=1 and n=2
+    pipelines independently): tokenize/explode/census once instead of
+    twice, one merge join instead of two, one pair-level aggregation
+    instead of two plus a final uni-bi join. A UNION + re-aggregation
+    merge was A/B'd and LOST (stage profile: the per-branch partial
+    aggregations fused differently on the two union branches, so their
+    census exchange subtrees were no longer identical and ReuseExchange
+    stopped firing — the census ran twice, 3.9 s vs 3.0 s executor
+    time); the join formulation keeps both branches' exchange subtrees
+    byte-identical, which is what ReuseExchange keys on.
 
     # NO spread here, deliberately (r10 A/B, both variants lost): the
     # census exchange below the ref/hyp fork is REUSED across branches,
@@ -413,42 +425,74 @@ def _pair_gram_stats(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     # a round-robin spread quadrupled census CPU across the four
     # branches that read the spread exchange. The serialized census is
     # a one-row-group test-scan artifact only; production scans split.
+    """
+    from etl_portofolio_spark.operators import text
+
+    # Still NO spread (re-A/B'd against the fused shape this round,
+    # alternating variants in one session to control host drift: spread
+    # min 1.809 vs no-spread 1.782 — the exchange buys nothing at wall
+    # even though the census is a single task on the one-row-group test
+    # scan, because the merge join stage dominates; and a doc_id-KEYED
+    # spread would satisfy the census ClusteredDistribution, delete its
+    # exchange, and re-run the census once per branch — the r10
+    # failure).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", text.tokens("text").alias("toks")
     )
-    counts = _gram_counts(docs, n)
+    counts = _tagged_gram_counts(docs)
     ref = counts.select(
-        F.col("doc_id").alias("pair_id"), "g", F.col("c").alias("c_ref")
+        F.col("doc_id").alias("pair_id"), "n", "g", F.col("c").alias("c_ref")
     )
     hyp = counts.select(
-        (F.col("doc_id") - 1).alias("pair_id"), "g", F.col("c").alias("c_hyp")
+        (F.col("doc_id") - 1).alias("pair_id"),
+        "n",
+        "g",
+        F.col("c").alias("c_hyp"),
+    )
+    # Full-outer on the (pair, n, gram) key: unmatched grams contribute
+    # 0 to the clipped overlap and their side's count to the totals.
+    # Default sort-merge, deliberately: a shuffle_hash hint was A/B'd
+    # (alternating in one session) and lost — min 1.789 vs merge 1.685;
+    # the full-outer SHJ builds a whole-partition map of string-keyed
+    # gram rows, which costs more than merge's sorts here.
+    merged = ref.join(hyp, ["pair_id", "n", "g"], "full_outer")
+
+    def _n_sum(n: int, col: F.Column, alias: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col("n") == n, col).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(alias)
+        )
+
+    c_ref = F.coalesce("c_ref", F.lit(0))
+    c_hyp = F.coalesce("c_hyp", F.lit(0))
+    clip = F.least(c_ref, c_hyp)
+    stats = merged.groupBy("pair_id").agg(
+        _n_sum(1, c_ref, "n_ref_uni"),
+        _n_sum(1, c_hyp, "n_hyp_uni"),
+        _n_sum(1, clip, "ov_uni"),
+        _n_sum(2, c_ref, "n_ref_bi"),
+        _n_sum(2, c_hyp, "n_hyp_bi"),
+        _n_sum(2, clip, "ov_bi"),
     )
     ids = docs.select("doc_id")
     pairs = ids.alias("l").join(
         ids.alias("r"), F.expr("r.doc_id = l.doc_id + 1"), "inner"
     ).select(F.col("l.doc_id").alias("pair_id"))
-    merged = ref.join(hyp, ["pair_id", "g"], "full_outer")
-    stats = merged.groupBy("pair_id").agg(
-        F.sum(F.coalesce("c_ref", F.lit(0))).cast("long").alias("n_ref"),
-        F.sum(F.coalesce("c_hyp", F.lit(0))).cast("long").alias("n_hyp"),
-        F.sum(
-            F.least(F.coalesce("c_ref", F.lit(0)), F.coalesce("c_hyp", F.lit(0)))
-        )
-        .cast("long")
-        .alias("overlap"),
-    )
-    # LEFT join + zero-fill: a pair whose docs have NO n-grams at all
+    # LEFT join + zero-fill: a pair whose docs have NO grams at all
     # (both texts shorter than n tokens) must still emit a row with
     # zero totals — the oracle mirrors this with LEFT JOINs from the
     # pairs frame, so both engines agree on degenerate corpora (a
     # review-confirmed latent divergence: inner joins dropped
     # one-sided-empty pairs on the SQL side only)
-    return pairs.join(stats, "pair_id", "left").select(
-        "pair_id",
-        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-        F.coalesce("n_hyp", F.lit(0)).cast("long").alias("n_hyp"),
-        F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
-    )
+    zf = [
+        F.coalesce(c, F.lit(0)).cast("long").alias(c)
+        for c in (
+            "n_ref_uni", "n_hyp_uni", "ov_uni",
+            "n_ref_bi", "n_hyp_bi", "ov_bi",
+        )
+    ]
+    return pairs.join(stats, "pair_id", "left").select("pair_id", *zf)
 
 
 def _pair_gram_sql(n: int) -> str:
@@ -503,23 +547,15 @@ def q_rouge_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nullif-guarded for pairs whose reference has no bigrams.
 
     Scale design: n-gram counting is map-side (indexed transform, no
-    self-join); the ref-vs-hyp match joins on (pair_id, gram) — fully
-    co-partitioned, fan-out bounded by per-document vocabulary; the
-    recall reduction is a per-pair combinable aggregation. At 100 TB
-    the shuffle carries (pair, gram) count rows only."""
+    self-join); the ref-vs-hyp match is a (pair_id, n, gram)-keyed
+    aggregation — fully co-partitioned, fan-out bounded by per-document
+    vocabulary; the recall reduction is a per-pair combinable
+    aggregation. At 100 TB the shuffle carries (pair, n, gram) count
+    rows only. Both gram sizes share one census + one merge
+    (:func:`_pair_gram_stats_both`)."""
     apply_runtime_confs(spark)
-    uni = _pair_gram_stats(spark, sf_dir, 1).select(
-        "pair_id",
-        F.col("n_ref").alias("n_ref_uni"),
-        F.col("overlap").alias("ov_uni"),
-    )
-    bi = _pair_gram_stats(spark, sf_dir, 2).select(
-        "pair_id",
-        F.col("n_ref").alias("n_ref_bi"),
-        F.col("overlap").alias("ov_bi"),
-    )
     return (
-        uni.join(bi, "pair_id", "inner")
+        _pair_gram_stats_both(spark, sf_dir)
         .select(
             "pair_id",
             "n_ref_uni",
@@ -583,23 +619,20 @@ def q_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented; the operand is one double division of two BIGINTs,
     identical IEEE steps both engines).
 
-    Scale design: identical pair-keyed joins as ROUGE, then ONE global
+    Scale design: identical pair-keyed aggregation as ROUGE (shared
+    one-census helper :func:`_pair_gram_stats_both`), then ONE global
     six-moment reduction — O(1) final shuffle at any corpus size."""
     apply_runtime_confs(spark)
-    uni = _pair_gram_stats(spark, sf_dir, 1)
-    bi = _pair_gram_stats(spark, sf_dir, 2)
-    m1 = uni.agg(
-        F.sum("overlap").cast("long").alias("m1"),
-        F.sum("n_hyp").cast("long").alias("t1"),
-        F.sum("n_ref").cast("long").alias("ref_len"),
-        F.sum("n_hyp").cast("long").alias("hyp_len"),
-    )
-    m2 = bi.agg(
-        F.sum("overlap").cast("long").alias("m2"),
-        F.sum("n_hyp").cast("long").alias("t2"),
+    m = _pair_gram_stats_both(spark, sf_dir).agg(
+        F.sum("ov_uni").cast("long").alias("m1"),
+        F.sum("n_hyp_uni").cast("long").alias("t1"),
+        F.sum("n_ref_uni").cast("long").alias("ref_len"),
+        F.sum("n_hyp_uni").cast("long").alias("hyp_len"),
+        F.sum("ov_bi").cast("long").alias("m2"),
+        F.sum("n_hyp_bi").cast("long").alias("t2"),
     )
     return (
-        m1.crossJoin(F.broadcast(m2))
+        m
         .withColumn(
             "p1_permicro", F.expr("m1 * 1000000 div nullif(t1, 0)").cast("long")
         )
