@@ -76,6 +76,8 @@ def q_hits_two_step_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread_by(l_orderkey): parallelize the one-row-group test scan's
     # two join probes + the distinct's partial aggregation, and
     # co-partition the orders join (no-op at production split counts)
+    # r11 keep-or-revert A/B (alternating SPARK_GRAFT_SPREAD_BY in one
+    # session, 32 cores, wall s spread-vs-none): min 2.257 vs 2.344, med 2.314 vs 2.453 — kept.
     edges = scoped_persist(
         spread_by(li, "l_orderkey")
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -316,6 +318,8 @@ def q_frequent_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread_by(l_orderkey): parallelize the one-row-group test scan's
     # broadcast probe + basket partial aggregation; the keyed exchange
     # already satisfies the groupBy (no-op at production split counts)
+    # r11 keep-or-revert A/B (alternating SPARK_GRAFT_SPREAD_BY in one
+    # session, 32 cores, wall s spread-vs-none): min 2.050 vs 2.216, med 2.167 vs 2.560 — kept.
     sets = scoped_persist(
         spread_by(li, "l_orderkey")
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1241,6 +1245,8 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial aggregation; hash(d) satisfies the (brand, d) clustering,
     # so the groupBy adds no second exchange (no-op at production
     # split counts)
+    # r11 keep-or-revert A/B (alternating SPARK_GRAFT_SPREAD_BY in one
+    # session, 32 cores, wall s spread-vs-none): min 2.158 vs 2.166, med 2.304 vs 2.926 over 8 rounds — kept.
     from etl_portofolio_spark.operators.util import spread_by
 
     brandday = scoped_persist(

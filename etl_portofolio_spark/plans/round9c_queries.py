@@ -758,6 +758,8 @@ def q_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread_by(l_orderkey): parallelize the one-row-group test scan's
     # broadcast probe + basket partial aggregation; the keyed exchange
     # already satisfies the groupBy (no-op at production split counts)
+    # r11 keep-or-revert A/B (alternating SPARK_GRAFT_SPREAD_BY in one
+    # session, 32 cores, wall s spread-vs-none): min 1.651 vs 2.005, med 1.735 vs 2.177 — kept.
     from etl_portofolio_spark.operators.util import spread_by
 
     sets = scoped_persist(
