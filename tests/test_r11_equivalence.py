@@ -1,0 +1,82 @@
+"""r11 optimization equivalence gates.
+
+Every r11 A/B switch guards a pair of plans that MUST be
+result-identical — these tests pin that equivalence so a future edit
+to either variant (or a numpy/py version bump that changes rounding)
+fails loudly instead of silently diverging the benched default from
+the oracle-verified shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_jpeg_stats_equals_chained(spark):
+    """synthesize_jpeg_pixel_stats (ONE Arrow crossing) must emit
+    exactly what jpeg_pixel_stats(synthesize_jpeg_media(...)) (two
+    crossings) emits — same per-doc helpers, so byte-identical payloads
+    and identical int64 stats."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators.multimodal import (
+        jpeg_pixel_stats,
+        synthesize_jpeg_media,
+        synthesize_jpeg_pixel_stats,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    chained = jpeg_pixel_stats(
+        synthesize_jpeg_media(docs, id_col="doc_id", text_col="text"),
+        id_col="doc_id",
+        bin_col="content",
+    )
+    fused = synthesize_jpeg_pixel_stats(docs, id_col="doc_id", text_col="text")
+    assert fused.schema == chained.schema
+    assert _rows(fused) == _rows(chained)
+
+
+@pytest.mark.parametrize("variant", ["minby", "joinback"])
+def test_dedup_elect_variants_identical(spark, variant):
+    """Both representative-election plans (min_by default vs the
+    reverted join-back, SPARK_GRAFT_DEDUP_ELECT) must produce the same
+    verified pairs — the A/B switch is a performance fork only."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # force the collapse path regardless of the corpus dup fraction:
+    # duplicate every text so the probe sees 50% duplicates
+    from pyspark.sql import functions as F
+
+    dup = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    old = os.environ.get("SPARK_GRAFT_DEDUP_ELECT")
+    try:
+        os.environ["SPARK_GRAFT_DEDUP_ELECT"] = variant
+        got = _rows(minhash_candidate_pairs(dup, "doc_id", "text"))
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_DEDUP_ELECT", None)
+        else:
+            os.environ["SPARK_GRAFT_DEDUP_ELECT"] = old
+    # compare against the other variant lazily via cached golden on the
+    # test instance: recompute with the default to keep the test
+    # self-contained
+    try:
+        os.environ["SPARK_GRAFT_DEDUP_ELECT"] = "minby"
+        golden = _rows(minhash_candidate_pairs(dup, "doc_id", "text"))
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_DEDUP_ELECT", None)
+        else:
+            os.environ["SPARK_GRAFT_DEDUP_ELECT"] = old
+    assert got == golden
