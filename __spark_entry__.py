@@ -110,15 +110,34 @@ def _evidence_scores() -> dict[str, tuple[int, int]]:
     return scores
 
 
-# Spliced in at the head of the zero-green group (ahead of
-# never-checked queries). Refresh (or empty) this tuple each round from
-# the latest VERDICT.md.
-# Round 10: empty — jpeg_pixel_stats went green in r9 and the r9
-# verdict's item #1 is exactly what the default ordering already does:
-# the 13 never-checked queries lead the rotation, new registrants sort
-# right behind them (0 green, 0 checked, later registration), and the
-# 50-slot window clears the union to registry size.
-_JUDGE_RECHECK: tuple[str, ...] = ()
+# Spliced in at the VERY head of the rotation (ahead of the green-count
+# sort — r11: every registry query now has >=1 green, so a recheck list
+# that only outranked the zero-green group would land behind 296
+# one-green queries and never reach the 50-slot window). Refresh (or
+# empty) this tuple each round from the latest VERDICT.md.
+# Round 11 (verdict item #7): the r10/r11 restructured tier, so the
+# driver's sf0.01 hash gate covers every rewrite — this round's
+# restructures first (jpeg fusion, rouge/bleu one-census, countmin
+# re-A/B), then the r10 rewrites whose hash-level check was pending
+# rotation, then the four kept spread_by sites.
+_JUDGE_RECHECK: tuple[str, ...] = (
+    "jpeg_pixel_stats",
+    "rouge_ngram_overlap",
+    "bleu_ngram_precision",
+    "countmin_point_estimates",
+    "dedup_minhash_pairs",
+    "dedup_containment_pairs",
+    "item_cf_cosine_topk",
+    "weighted_shortest_path",
+    "graph_modularity_partition",
+    "streaming_tumbling_oracle",
+    "ols_cramer_two_feature",
+    "winnowing_fingerprints",
+    "hits_two_step_scores",
+    "frequent_triple_itemsets",
+    "edge_triangle_support",
+    "lead_lag_xcorr",
+)
 
 
 def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -128,9 +147,9 @@ def _ordered() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     names = sorted(
         _ALL,
         key=lambda n: (
-            scores.get(n, (0, 0))[0],                      # times green asc
-            0 if n in recheck_rank else 1,                 # judge recheck list
+            0 if n in recheck_rank else 1,                 # judge recheck list FIRST
             recheck_rank.get(n, 0),
+            scores.get(n, (0, 0))[0],                      # times green asc
             scores.get(n, (0, 0))[1],                      # times checked asc
             reg_index[n],                                  # stable registration order
         ),
