@@ -38,39 +38,38 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     run()  # warmup
+
+    def _stages() -> list[dict]:
+        app_id = spark.sparkContext.applicationId
+        url = (
+            f"http://localhost:4050/api/v1/applications/{app_id}"
+            "/stages?status=COMPLETE"
+        )
+        return json.loads(urllib.request.urlopen(url).read())
+
+    # Filter by stageId, not wall-clock (ADVICE r10: REST submissionTime
+    # parsing vs local time.time() can include/drop warmup stages when
+    # clocks or formats drift): everything with stageId above the max
+    # warmup stageId belongs to the measured run.
+    max_warmup_stage = max((s["stageId"] for s in _stages()), default=-1)
     release_cached()
     spark.catalog.clearCache()
-    tracker = spark.sparkContext.statusTracker()
-    first_new = max(tracker.getJobIdsForGroup() or [-1]) + 1
     t0 = time.perf_counter()
     for _ in range(passes):
         run()
     wall = time.perf_counter() - t0
-    app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:4050/api/v1/applications/{app_id}/stages?status=COMPLETE"
-    stages = json.loads(urllib.request.urlopen(url).read())
-    # keep only stages submitted after the warmup
-    stages = [s for s in stages if s.get("firstTaskLaunchedTime")]
-    stages.sort(key=lambda s: s["submissionTime"])
-    cutoff = None
-    # find wall-clock start of the measured run
+    stages = [
+        s
+        for s in _stages()
+        if s["stageId"] > max_warmup_stage and s.get("firstTaskLaunchedTime")
+    ]
+    stages.sort(key=lambda s: s["stageId"])
     print(f"query={name} wall={wall:.3f}s passes={passes}")
     print(
         f"{'stage':>6} {'tasks':>5} {'execRun(s)':>10} {'cpu(s)':>8} "
         f"{'shRead(MB)':>10} {'shWrite(MB)':>11} {'input(MB)':>9}  name"
     )
-    from datetime import datetime, timezone
-
-    def ts(s):
-        return datetime.strptime(
-            s["submissionTime"], "%Y-%m-%dT%H:%M:%S.%f%Z"
-        ).replace(tzinfo=timezone.utc)
-
-    measured_start = time.time() - wall
     for s in stages:
-        sub = ts(s).timestamp()
-        if sub < measured_start - 1:
-            continue
         print(
             f"{s['stageId']:>6} {s['numCompleteTasks']:>5} "
             f"{s['executorRunTime'] / 1e3:>10.2f} "
