@@ -325,6 +325,45 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
+def _filled_payload(doc_id: int, txt: str) -> bytes:
+    """One document's md5-derived BMP (even ids) or WAV (odd ids)
+    payload. Shared by the standalone synthesizer and the fused
+    synthesize+stats operator so both emit byte-identical streams."""
+    from etl_portofolio_spark.operators import codecs
+
+    h = hashlib.md5(txt.encode("utf-8")).hexdigest()
+    if int(doc_id) % 2 == 0:
+        w = 1 + int(h[0:4], 16) % 64
+        ht = 1 + int(h[4:8], 16) % 48
+        fill = int(h[18:20], 16)
+        return codecs.make_bmp(w, ht, fill=fill)
+    channels = 1 + int(h[8:10], 16) % 2
+    n_samples = 1 + int(h[14:18], 16) % 256
+    sample = int(h[18:22], 16) % 2001 - 1000
+    return codecs.make_wav(8000, channels, n_samples, sample_value=sample)
+
+
+def _pixel_stats_tuple(payload: bytes) -> tuple[str, int | None, float | None]:
+    """(kind, n_units, level) of one decoded payload — the per-doc body
+    of :func:`pixel_sample_stats`, shared with the fused operator."""
+    import numpy as np
+
+    from etl_portofolio_spark.operators import codecs
+
+    try:
+        if payload[:2] == b"BM":
+            w, h, px = codecs.decode_bmp_pixels(payload)
+            arr = np.frombuffer(px, dtype=np.uint8)
+            return "bmp", int(arr.size), float(np.mean(arr.astype(np.float64)))
+        if payload[:4] == b"RIFF":
+            rate, ch, samples = codecs.decode_wav_samples(payload)
+            arr = np.asarray(samples, dtype=np.float64)
+            return "wav", int(arr.size), float(np.sqrt(np.mean(arr * arr)))
+    except ValueError:
+        pass
+    return "unknown", None, None
+
+
 def synthesize_filled_media(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -335,36 +374,50 @@ def synthesize_filled_media(
     content-level decode bugs are observable, not just header bugs."""
     import pandas as pd
 
-    from etl_portofolio_spark.operators import codecs
-
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("content", T.BinaryType())]
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            payloads = []
-            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
-                h = hashlib.md5(txt.encode("utf-8")).hexdigest()
-                if int(doc_id) % 2 == 0:
-                    w = 1 + int(h[0:4], 16) % 64
-                    ht = 1 + int(h[4:8], 16) % 48
-                    fill = int(h[18:20], 16)
-                    payloads.append(codecs.make_bmp(w, ht, fill=fill))
-                else:
-                    channels = 1 + int(h[8:10], 16) % 2
-                    n_samples = 1 + int(h[14:18], 16) % 256
-                    sample = int(h[18:22], 16) % 2001 - 1000
-                    payloads.append(
-                        codecs.make_wav(
-                            8000, channels, n_samples, sample_value=sample
-                        )
-                    )
+            payloads = [
+                _filled_payload(doc_id, txt)
+                for doc_id, txt in zip(pdf[id_col], pdf[text_col])
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "content": payloads}
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def synthesize_filled_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused synthesize->decode->stats: mathematically identical to
+    ``pixel_sample_stats(synthesize_filled_media(df))`` (same two
+    per-doc helpers), but in ONE Arrow-batched mapInPandas — the
+    chained form ships every BMP/WAV payload across the JVM<->Python
+    boundary twice, while here the payload lives and dies inside one
+    worker and only (doc_id, text) in and four narrow stats columns out
+    ever cross. Guide §4: pass the Python boundary the columns the
+    function needs, nothing else."""
+    import pandas as pd
+
+    def gen_stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "kind": [], "n_units": [], "level": []}
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                kind, n_units, level = _pixel_stats_tuple(
+                    _filled_payload(doc_id, txt)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["kind"].append(kind)
+                out["n_units"].append(n_units)
+                out["level"].append(level)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen_stats, PIXEL_STATS_SCHEMA)
 
 
 def pixel_sample_stats(
@@ -375,30 +428,13 @@ def pixel_sample_stats(
     PCM RMS for 16-bit WAV (numpy over the frame array). Arrow-batched
     mapInPandas; undecodable payloads degrade to kind='unknown' rows,
     never failing the batch."""
-    import numpy as np
     import pandas as pd
-
-    from etl_portofolio_spark.operators import codecs
 
     def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "kind": [], "n_units": [], "level": []}
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
-                payload = bytes(payload)
-                kind, n_units, level = "unknown", None, None
-                try:
-                    if payload[:2] == b"BM":
-                        w, h, px = codecs.decode_bmp_pixels(payload)
-                        arr = np.frombuffer(px, dtype=np.uint8)
-                        kind, n_units = "bmp", int(arr.size)
-                        level = float(np.mean(arr.astype(np.float64)))
-                    elif payload[:4] == b"RIFF":
-                        rate, ch, samples = codecs.decode_wav_samples(payload)
-                        arr = np.asarray(samples, dtype=np.float64)
-                        kind, n_units = "wav", int(arr.size)
-                        level = float(np.sqrt(np.mean(arr * arr)))
-                except ValueError:
-                    kind, n_units, level = "unknown", None, None
+                kind, n_units, level = _pixel_stats_tuple(bytes(payload))
                 out["doc_id"].append(int(doc_id))
                 out["kind"].append(kind)
                 out["n_units"].append(n_units)

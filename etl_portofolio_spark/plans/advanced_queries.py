@@ -922,17 +922,28 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw bytes (through the BMP row stride and the WAV chunk
     walk). The oracle recomputes the embedded values from md5(text) in
     SQL: a stride or chunk-walk bug shifts the decoded statistics and
-    fails the hash. Two Arrow mapInPandas crossings, numpy kernels."""
+    fails the hash. ONE Arrow mapInPandas crossing (fused
+    synthesize+decode — r11, guide §4, same change as jpeg_pixel_stats:
+    the chained two-operator form shipped every BMP/WAV payload across
+    the JVM<->Python boundary twice; the fused operator is built from
+    the same two per-doc helpers, so the decoded bytes are identical).
+    SPARK_GRAFT_MM_FUSE=0 restores the chained shape (the r11 A/B
+    switch; alternate inside one session to control host drift)."""
     apply_runtime_confs(spark)
+    import os
+
     from etl_portofolio_spark.operators.multimodal import (
         pixel_sample_stats,
         synthesize_filled_media,
+        synthesize_filled_pixel_stats,
     )
     from etl_portofolio_spark.operators.util import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    media = synthesize_filled_media(docs, id_col="doc_id", text_col="text")
-    return pixel_sample_stats(media, id_col="doc_id", bin_col="content")
+    if os.environ.get("SPARK_GRAFT_MM_FUSE", "1") != "1":
+        media = synthesize_filled_media(docs, id_col="doc_id", text_col="text")
+        return pixel_sample_stats(media, id_col="doc_id", bin_col="content")
+    return synthesize_filled_pixel_stats(docs, id_col="doc_id", text_col="text")
 
 
 _MD5_INT = "CAST('0x' || substr(md5(text), {a}, {n}) AS BIGINT)"

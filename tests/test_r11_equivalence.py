@@ -43,6 +43,29 @@ def test_fused_jpeg_stats_equals_chained(spark):
     assert _rows(fused) == _rows(chained)
 
 
+def test_fused_filled_media_stats_equals_chained(spark):
+    """synthesize_filled_pixel_stats (ONE Arrow crossing) must emit
+    exactly what pixel_sample_stats(synthesize_filled_media(...)) (two
+    crossings) emits — same per-doc helpers, so byte-identical BMP/WAV
+    payloads and identical stats."""
+    from etl_portofolio_spark.catalog import load_table
+    from etl_portofolio_spark.operators.multimodal import (
+        pixel_sample_stats,
+        synthesize_filled_media,
+        synthesize_filled_pixel_stats,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    chained = pixel_sample_stats(
+        synthesize_filled_media(docs, id_col="doc_id", text_col="text"),
+        id_col="doc_id",
+        bin_col="content",
+    )
+    fused = synthesize_filled_pixel_stats(docs, id_col="doc_id", text_col="text")
+    assert fused.schema == chained.schema
+    assert _rows(fused) == _rows(chained)
+
+
 @pytest.mark.parametrize("variant", ["minby", "joinback"])
 def test_dedup_elect_variants_identical(spark, variant):
     """Both representative-election plans (min_by default vs the
