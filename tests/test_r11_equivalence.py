@@ -43,6 +43,73 @@ def test_fused_jpeg_stats_equals_chained(spark):
     assert _rows(fused) == _rows(chained)
 
 
+def test_xmlapi_vectorized_fetcher_byte_identical():
+    """The vectorized fixture fetcher (predicate-pushdown read +
+    pandas to_csv) must emit BYTE-identical CSV to the original row-loop
+    csv.writer server, window by window — including the empty window."""
+    from etl_portofolio_spark.sources.http_xml import build_query_xml
+    from etl_portofolio_spark.sources.xmlapi_fixture import fetch_events_csv
+
+    url = f"{SF_DIR}/events.parquet"
+    from datetime import datetime
+
+    windows = [
+        (datetime(2024, 1, 1), datetime(2024, 1, 2)),
+        (datetime(2024, 1, 2), datetime(2024, 1, 9)),
+        (datetime(1999, 1, 1), datetime(1999, 1, 2)),  # empty window
+    ]
+    old = os.environ.get("SPARK_GRAFT_XMLAPI_VEC")
+    try:
+        for lo, hi in windows:
+            body = build_query_xml(("waktu",), "", lo, hi)
+            os.environ["SPARK_GRAFT_XMLAPI_VEC"] = "1"
+            new_csv = fetch_events_csv(url, body, str(lo))
+            os.environ["SPARK_GRAFT_XMLAPI_VEC"] = "0"
+            old_csv = fetch_events_csv(url, body, str(lo))
+            assert new_csv == old_csv
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_XMLAPI_VEC", None)
+        else:
+            os.environ["SPARK_GRAFT_XMLAPI_VEC"] = old
+
+
+def test_xmlapi_arrow_read_equals_tuple_read(spark):
+    """The Arrow-batch DataSource read path must produce exactly the
+    rows of the row-at-a-time tuple path."""
+    from etl_portofolio_spark.sources.http_xml import register_xml_api
+
+    register_xml_api(spark)
+
+    def _load():
+        return (
+            spark.read.format("xmlapi")
+            .option(
+                "fetcher",
+                "etl_portofolio_spark.sources.xmlapi_fixture:fetch_events_csv",
+            )
+            .option("url", f"{SF_DIR}/events.parquet")
+            .option("starttime", "2024-01-01 00:00:00")
+            .option("endtime", "2024-01-04 00:00:00")
+            .option("windowminutes", "1440")
+            .load()
+        )
+
+    old = os.environ.get("SPARK_GRAFT_XMLAPI_ARROW")
+    try:
+        os.environ["SPARK_GRAFT_XMLAPI_ARROW"] = "1"
+        arrow_rows = _rows(_load())
+        os.environ["SPARK_GRAFT_XMLAPI_ARROW"] = "0"
+        tuple_rows = _rows(_load())
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_XMLAPI_ARROW", None)
+        else:
+            os.environ["SPARK_GRAFT_XMLAPI_ARROW"] = old
+    assert arrow_rows == tuple_rows
+    assert len(arrow_rows) > 0
+
+
 def test_fused_filled_media_stats_equals_chained(spark):
     """synthesize_filled_pixel_stats (ONE Arrow crossing) must emit
     exactly what pixel_sample_stats(synthesize_filled_media(...)) (two
