@@ -133,6 +133,14 @@ def q_kl_divergence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # NO spread_by(doc_id) at the scan, deliberately (r11 A/B,
+    # alternating SPARK_GRAFT_SPREAD_BY in one session, 32 cores:
+    # spread min 1.008 / med 1.190 vs none min 0.982 / med 1.059 —
+    # LOST). The 1-task tokenize+census chain the spread parallelizes
+    # is only ~0.5 s of a wall dominated by the window-by-token
+    # exchange that follows either way; the extra exchange costs more
+    # than the parallelism buys at this SF, and production scans split
+    # on their own.
     tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
     doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
     with_corpus = doc_tok.withColumn(

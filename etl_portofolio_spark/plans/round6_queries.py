@@ -657,9 +657,22 @@ def q_boilerplate_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode("sh_set").alias("g"))
         .select("doc_id", "source", F.md5("g").alias("gh"))
     )
-    from etl_portofolio_spark.caching import scoped_persist
+    # NO scoped_persist of the gram frame, deliberately (r11 A/B,
+    # alternating SPARK_GRAFT_BP_PERSIST in one session, 32 cores,
+    # 8 rounds: persist min 1.221 / med 1.396 vs recompute min 1.074 /
+    # med 1.335 — recompute WINS). The two consumers (df_counts, the
+    # join probe side) each re-run the map-only tokenize+shingle+md5
+    # scan into their own exchange, which beats materializing a
+    # fact-scale gram cache — the same lesson as the r11-wave rouge
+    # census persist (cache write + codegen pipeline break cost more
+    # than the replay), and strictly safer at 100 TB where the cache
+    # would spill. SPARK_GRAFT_BP_PERSIST=1 restores the cached form.
+    import os as _os
 
-    grams = scoped_persist(grams)
+    if _os.environ.get("SPARK_GRAFT_BP_PERSIST", "0") == "1":
+        from etl_portofolio_spark.caching import scoped_persist
+
+        grams = scoped_persist(grams)
     df_counts = grams.groupBy("gh").agg(
         F.count(F.lit(1)).alias("n_docs_gram")  # rows are doc-distinct
     )
